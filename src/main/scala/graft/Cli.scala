@@ -1,0 +1,47 @@
+package graft
+
+import graft.build.{Datagen, IndexBuilder}
+import graft.exec.Searcher
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit surface of the engine.
+  *
+  * Usage:
+  *   graft.Cli build  <indexDir> <numDocs> <numSegments>   — synth corpus -> persistent index (resumable)
+  *   graft.Cli search <indexDir> <k> <query...>            — top-k BM25 over a built index
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args.toList match {
+        case "build" :: dir :: nDocs :: nSegs :: Nil =>
+          val t0 = System.nanoTime()
+          val docs = Datagen.toInputDocs(Datagen.corpus(spark, nDocs.toLong), nSegs.toInt)
+          val manifests = IndexBuilder.buildPersistent(spark, docs, dir)
+          val secs = (System.nanoTime() - t0) / 1e9
+          manifests.foreach(m => println(
+            s"seg=${m.seg} status=${m.status} docs=${m.docs} postings=${m.postings} bytes=${m.bytes} fp=${m.inputFingerprint}"))
+          println(f"build: ${nDocs.toLong} docs in $secs%.1fs (${nDocs.toLong / secs}%.0f docs/sec)")
+        case "search" :: dir :: k :: qparts if qparts.nonEmpty =>
+          val index = IndexBuilder.open(spark, dir)
+          val q = qparts.mkString(" ")
+          val t0 = System.nanoTime()
+          val hits = Searcher.topK(index, q, k.toInt).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
+          hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+        case _ =>
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...>")
+          sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+}

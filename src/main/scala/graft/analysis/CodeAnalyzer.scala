@@ -1,0 +1,65 @@
+package graft.analysis
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A token with its position (for phrase queries). */
+final case class Token(term: String, pos: Int)
+
+/** Word tokenizer + lowercase filter for source-code text.
+  *
+  * Semantics: maximal runs of `[A-Za-z0-9_]` plus any Unicode
+  * letter/digit are tokens; everything else separates. Tokens longer than
+  * [[CodeAnalyzer.MaxTokenLength]] are discarded (not split), matching the
+  * reference analyzer's default
+  * (`core/analysis/standard/StandardTokenizer.java:80-98` maxTokenLength
+  * 255; `StandardAnalyzer.java:34` = tokenizer + LowerCaseFilter, empty
+  * default stopset). On the ASCII alphabet used by the fixtures and the
+  * driver's `documents` table this emits exactly the reference's token
+  * stream (SURVEY.md §7.4.2); full UAX#29 is out of scope for a code
+  * corpus.
+  *
+  * Pure function `String => Array[Token]` so it can back either a typed
+  * `flatMap` or a codegen'd Catalyst expression.
+  */
+object CodeAnalyzer {
+  val MaxTokenLength = 255
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_' ||
+      (c > 127 && Character.isLetterOrDigit(c))
+
+  /** Tokenize with positions. Position increments are 1 per kept token
+    * (no stopwords by default, like StandardAnalyzer's empty stopset).
+    */
+  def tokenize(text: String): Array[Token] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Token](math.min(64, text.length / 4 + 1))
+    var i = 0
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isWordChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isWordChar(text.charAt(i))) i += 1
+      if (i > start) {
+        val len = i - start
+        if (len <= MaxTokenLength) {
+          out += Token(text.substring(start, i).toLowerCase(java.util.Locale.ROOT), pos)
+          pos += 1
+        }
+        // over-long tokens are dropped entirely (position not consumed),
+        // mirroring the reference tokenizer skipping too-long terms
+      }
+    }
+    out.toArray
+  }
+
+  /** Terms only, no positions (cheaper for inversion without phrases). */
+  def terms(text: String): Array[String] = tokenize(text).map(_.term)
+
+  /** Token count = field length that feeds the norm byte
+    * (`core/index/FieldInvertState.java:75-76`).
+    */
+  def tokenCount(text: String): Int = tokenize(text).length
+}

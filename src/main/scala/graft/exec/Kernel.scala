@@ -1,0 +1,562 @@
+package graft.exec
+
+import graft.codec.PostingCodec
+import graft.model.{PostingBlock, ScoredDoc}
+
+/** Per-segment scoring kernels.
+  *
+  * These run inside a typed `flatMapGroups` over one segment's posting
+  * rows — the Spark analogue of Lucene's per-leaf bulk scorers
+  * (`core/search/Weight.java:230-300`). Physical algorithm selection
+  * mirrors `core/search/BooleanScorerSupplier.java:176-349`:
+  * pure disjunction of terms -> block-max WAND
+  * (`core/search/WANDScorer.java:55`); conjunction of terms -> leapfrog
+  * with block-max skipping (`core/search/BlockMaxConjunctionScorer.java`);
+  * anything else -> generic document-at-a-time cursor composition.
+  *
+  * Scoring contract: per-term scores in float (or double, see
+  * [[BM25.TermScorerD]]), clause sums accumulated in double, cast at the
+  * end (`ConjunctionScorer.java:57-63`). Tie-break: score desc, docId asc
+  * (`core/search/HitQueue.java:76-82`). Docs stream in ascending docId
+  * order, so once the heap is full a candidate with upper bound <= the
+  * heap minimum can never win (equal score loses on docId) — the
+  * min-competitive feedback of `TopScoreDocCollector.java:147-162`.
+  */
+object Kernel {
+  val NoMoreDocs: Long = Long.MaxValue
+
+  /** Unified scorer handle: float-parity mode or double-oracle mode. */
+  sealed trait AnyScorer extends Serializable {
+    def score(freq: Int, norm: Byte): Double
+    def maxScore(maxFreq: Int, minNorm: Byte): Double
+    def globalMax: Double
+  }
+  final case class FloatScorer(s: BM25.TermScorer) extends AnyScorer {
+    def score(freq: Int, norm: Byte): Double = s.score(freq, norm).toDouble
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = s.maxScore(maxFreq, minNorm).toDouble
+    def globalMax: Double = s.globalMaxScore.toDouble
+  }
+  final case class DoubleScorer(s: BM25.TermScorerD) extends AnyScorer {
+    def score(freq: Int, norm: Byte): Double = s.score(freq, norm)
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = s.maxScore(maxFreq, minNorm)
+    def globalMax: Double = s.globalMaxScore
+  }
+
+  // ---- top-k heap ---------------------------------------------------------
+
+  /** Bounded min-heap with the reference tie-break (HitQueue.java:76-82):
+    * entry A is less competitive than B iff A.score < B.score, or equal
+    * score and A.doc > B.doc.
+    */
+  final class HitHeap(k: Int) {
+    private val scores = new Array[Double](k)
+    private val docs = new Array[Long](k)
+    var size = 0
+
+    @inline private def less(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
+      s1 < s2 || (s1 == s2 && d1 > d2)
+
+    def full: Boolean = size == k
+    def minScore: Double = if (full) scores(0) else Double.NegativeInfinity
+
+    /** true if (score, doc) was inserted. */
+    def insert(score: Double, doc: Long): Boolean = {
+      if (size < k) {
+        var i = size
+        scores(i) = score; docs(i) = doc; size += 1
+        while (i > 0 && less(scores(i), docs(i), scores((i - 1) / 2), docs((i - 1) / 2))) {
+          swap(i, (i - 1) / 2); i = (i - 1) / 2
+        }
+        true
+      } else if (less(scores(0), docs(0), score, doc)) {
+        scores(0) = score; docs(0) = doc
+        siftDown()
+        true
+      } else false
+    }
+
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val s = scores(i); scores(i) = scores(j); scores(j) = s
+      val d = docs(i); docs(i) = docs(j); docs(j) = d
+    }
+
+    private def siftDown(): Unit = {
+      var i = 0
+      var cont = true
+      while (cont) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var m = i
+        if (l < size && less(scores(l), docs(l), scores(m), docs(m))) m = l
+        if (r < size && less(scores(r), docs(r), scores(m), docs(m))) m = r
+        if (m != i) { swap(i, m); i = m } else cont = false
+      }
+    }
+
+    /** Drain, most competitive first. */
+    def result(): Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](size)
+      var i = size - 1
+      while (size > 0) {
+        out(i) = (docs(0), scores(0))
+        size -= 1
+        scores(0) = scores(size); docs(0) = docs(size)
+        siftDown()
+        i -= 1
+      }
+      out
+    }
+  }
+
+  // ---- cursors -------------------------------------------------------------
+
+  /** Sorted-docID iterator contract — `core/search/DocIdSetIterator.java:28`. */
+  trait DocCursor {
+    def doc: Long
+    def nextDoc(): Long
+    def advance(target: Long): Long
+
+    /** Score of the current doc (double accumulation). */
+    def score(): Double
+
+    /** Static upper bound of any doc's score — impacts-derived. */
+    def maxScoreBound: Double
+  }
+
+  /** Posting-list cursor with lazy block decode and block-skip on
+    * advance (skip data analogue, `Lucene103PostingsFormat.java:343-353`).
+    */
+  final class TermCursor(blocks: Array[PostingBlock], val scorer: AnyScorer, needPositions: Boolean = false)
+      extends DocCursor {
+    private var blockIdx = -1
+    private var decoded: PostingCodec.Decoded = _
+    private var i = 0
+    private var n = 0
+    var doc: Long = -1
+
+    /** Upper bound over all blocks (scan of metadata only). */
+    val maxScoreBound: Double = {
+      var m = 0d
+      var b = 0
+      while (b < blocks.length) {
+        val ub = scorer.maxScore(blocks(b).maxFreq, blocks(b).minNorm)
+        if (ub > m) m = ub
+        b += 1
+      }
+      m
+    }
+
+    @inline private def prevBlockLast(bi: Int): Long =
+      if (bi == 0) -1L else blocks(bi - 1).maxDocId
+
+    private def loadBlock(bi: Int): Unit = {
+      blockIdx = bi
+      decoded = PostingCodec.decodeBlock(blocks(bi), prevBlockLast(bi), needPositions)
+      i = 0
+      n = decoded.docIds.length
+    }
+
+    def nextDoc(): Long = {
+      if (blockIdx < 0) {
+        if (blocks.isEmpty) { doc = NoMoreDocs; return doc }
+        loadBlock(0)
+      } else {
+        i += 1
+        if (i >= n) {
+          if (blockIdx + 1 >= blocks.length) { doc = NoMoreDocs; return doc }
+          loadBlock(blockIdx + 1)
+        }
+      }
+      doc = decoded.docIds(i)
+      doc
+    }
+
+    def advance(target: Long): Long = {
+      if (doc == NoMoreDocs) return doc
+      // block skip without decoding
+      var bi = math.max(blockIdx, 0)
+      if (blockIdx < 0 || target > blocks(blockIdx).maxDocId) {
+        while (bi < blocks.length && blocks(bi).maxDocId < target) bi += 1
+        if (bi >= blocks.length) { doc = NoMoreDocs; return doc }
+        if (bi != blockIdx) loadBlock(bi)
+      }
+      while (i < n && decoded.docIds(i) < target) i += 1
+      if (i >= n) return nextDocFromBlockEnd()
+      doc = decoded.docIds(i)
+      doc
+    }
+
+    private def nextDocFromBlockEnd(): Long = {
+      if (blockIdx + 1 >= blocks.length) { doc = NoMoreDocs; doc }
+      else { loadBlock(blockIdx + 1); doc = decoded.docIds(0); doc }
+    }
+
+    def freq: Int = decoded.freqs(i)
+    def norm: Byte = decoded.norms(i)
+    def positions: Array[Int] = decoded.positions(i)
+    def score(): Double = scorer.score(decoded.freqs(i), decoded.norms(i))
+
+    /** Upper bound of the current block (for BMW); call only when on a doc. */
+    def blockMaxScore: Double =
+      scorer.maxScore(blocks(blockIdx).maxFreq, blocks(blockIdx).minNorm)
+
+    /** Last doc of the current block. */
+    def blockLastDoc: Long = blocks(blockIdx).maxDocId
+  }
+
+  /** Leapfrog conjunction — `core/search/ConjunctionScorer.java:24`,
+    * lead = rarest first (callers pass cursors sorted by cost).
+    */
+  final class ConjunctionCursor(subs: Array[DocCursor]) extends DocCursor {
+    var doc: Long = -1
+    val maxScoreBound: Double = subs.map(_.maxScoreBound).sum
+
+    private def align(startTarget: Long): Long = {
+      var target = startTarget
+      var agreed = false
+      while (!agreed) {
+        agreed = true
+        var j = 0
+        while (j < subs.length && agreed) {
+          val d = if (subs(j).doc < target) subs(j).advance(target) else subs(j).doc
+          if (d == NoMoreDocs) { doc = NoMoreDocs; return doc }
+          if (d > target) { target = d; agreed = false }
+          j += 1
+        }
+      }
+      doc = target
+      doc
+    }
+
+    def nextDoc(): Long = {
+      val d = subs(0).nextDoc()
+      if (d == NoMoreDocs) { doc = NoMoreDocs; doc } else align(d)
+    }
+    def advance(target: Long): Long = {
+      val d = subs(0).advance(target)
+      if (d == NoMoreDocs) { doc = NoMoreDocs; doc } else align(d)
+    }
+    def score(): Double = {
+      var s = 0d
+      var j = 0
+      while (j < subs.length) { s += subs(j).score(); j += 1 }
+      s
+    }
+  }
+
+  /** Doc-ordered disjunction with minShouldMatch —
+    * `core/search/DisjunctionSumScorer.java:24`,
+    * `BooleanScorerSupplier.java:283-305`. Linear scan over sub-cursors
+    * (clause counts are small after rewrite).
+    */
+  final class DisjunctionCursor(subs: Array[DocCursor], minShouldMatch: Int) extends DocCursor {
+    var doc: Long = -1
+    val maxScoreBound: Double = subs.map(_.maxScoreBound).sum
+
+    private def minDoc(): Long = {
+      var m = NoMoreDocs
+      var j = 0
+      while (j < subs.length) { if (subs(j).doc < m) m = subs(j).doc; j += 1 }
+      m
+    }
+    @inline private def matchCount(d: Long): Int = {
+      var c = 0
+      var j = 0
+      while (j < subs.length) { if (subs(j).doc == d) c += 1; j += 1 }
+      c
+    }
+    private def seek(first: Long): Long = {
+      var d = first
+      while (d != NoMoreDocs && matchCount(d) < minShouldMatch) {
+        var j = 0
+        while (j < subs.length) { if (subs(j).doc == d) subs(j).nextDoc(); j += 1 }
+        d = minDoc()
+      }
+      doc = d
+      doc
+    }
+    def nextDoc(): Long = {
+      if (doc == -1) { var j = 0; while (j < subs.length) { subs(j).nextDoc(); j += 1 } }
+      else {
+        var j = 0
+        while (j < subs.length) { if (subs(j).doc == doc) subs(j).nextDoc(); j += 1 }
+      }
+      seek(minDoc())
+    }
+    def advance(target: Long): Long = {
+      var j = 0
+      while (j < subs.length) { if (subs(j).doc < target) subs(j).advance(target); j += 1 }
+      seek(minDoc())
+    }
+    def score(): Double = {
+      var s = 0d
+      var j = 0
+      while (j < subs.length) { if (subs(j).doc == doc) s += subs(j).score(); j += 1 }
+      s
+    }
+  }
+
+  /** Required minus excluded — `core/search/ReqExclScorer.java:26`. */
+  final class ExclusionCursor(req: DocCursor, excl: DocCursor) extends DocCursor {
+    var doc: Long = -1
+    val maxScoreBound: Double = req.maxScoreBound
+    excl.nextDoc()
+
+    private def skipExcluded(start: Long): Long = {
+      var d = start
+      while (d != NoMoreDocs) {
+        if (excl.doc < d) excl.advance(d)
+        if (excl.doc != d) { doc = d; return d }
+        d = req.nextDoc()
+      }
+      doc = NoMoreDocs
+      doc
+    }
+    def nextDoc(): Long = skipExcluded(req.nextDoc())
+    def advance(target: Long): Long = skipExcluded(req.advance(target))
+    def score(): Double = req.score()
+  }
+
+  /** Required with optional score boost — `core/search/ReqOptSumScorer.java:29`. */
+  final class ReqOptCursor(req: DocCursor, opt: DocCursor) extends DocCursor {
+    var doc: Long = -1
+    val maxScoreBound: Double = req.maxScoreBound + opt.maxScoreBound
+    opt.nextDoc()
+    def nextDoc(): Long = { doc = req.nextDoc(); doc }
+    def advance(target: Long): Long = { doc = req.advance(target); doc }
+    def score(): Double = {
+      var s = req.score()
+      if (opt.doc < doc) opt.advance(doc)
+      if (opt.doc == doc) s += opt.score()
+      s
+    }
+  }
+
+  /** Exact phrase: conjunction of term cursors + consecutive-position
+    * verification (two-phase iteration,
+    * `core/search/ExactPhraseMatcher.java:39`,
+    * `core/search/TwoPhaseIterator.java:30`). `phraseFreq` = number of
+    * phrase starts; scored like a single pseudo-term whose idf is the sum
+    * of member idfs (`BM25Similarity.idfExplain` array overload).
+    */
+  final class PhraseCursor(terms: Array[TermCursor], scorer: AnyScorer) extends DocCursor {
+    private val conj = new ConjunctionCursor(terms.map(x => x: DocCursor))
+    var doc: Long = -1
+    var phraseFreq: Int = 0
+    val maxScoreBound: Double = scorer.globalMax
+
+    private def verify(): Boolean = {
+      // count start positions p such that term i occurs at p + i
+      val first = terms(0).positions
+      var count = 0
+      var a = 0
+      while (a < first.length) {
+        val p = first(a)
+        var ok = true
+        var t = 1
+        while (t < terms.length && ok) {
+          ok = java.util.Arrays.binarySearch(terms(t).positions, p + t) >= 0
+          t += 1
+        }
+        if (ok) count += 1
+        a += 1
+      }
+      phraseFreq = count
+      count > 0
+    }
+
+    private def seek(start: Long): Long = {
+      var d = start
+      while (d != NoMoreDocs && !verify()) d = conj.nextDoc()
+      doc = d
+      doc
+    }
+    def nextDoc(): Long = seek(conj.nextDoc())
+    def advance(target: Long): Long = seek(conj.advance(target))
+    def score(): Double = scorer.score(phraseFreq, terms(0).norm)
+  }
+
+  // ---- root drivers ---------------------------------------------------------
+
+  /** Exhaustive driver: stream every match of the root cursor into the heap. */
+  def collectAll(root: DocCursor, k: Int): Array[(Long, Double)] = {
+    val heap = new HitHeap(k)
+    var d = root.nextDoc()
+    while (d != NoMoreDocs) {
+      heap.insert(root.score(), d)
+      d = root.nextDoc()
+    }
+    heap.result()
+  }
+
+  /** Dense/large disjunction: term-at-a-time accumulation —
+    * the Spark-kernel analogue of `core/search/BooleanScorer.java:31`
+    * (windowed bitset scoring for dense disjunctions; here the "window"
+    * is the whole segment, whose size is bounded by build config).
+    * Used when the clause count makes document-at-a-time WAND's per-doc
+    * cursor overhead dominate (multi-term expansions). Rank-identical.
+    */
+  def taatTopK(cursors: Array[TermCursor], k: Int, minShouldMatch: Int = 1): Array[(Long, Double)] = {
+    val acc = new java.util.HashMap[java.lang.Long, Array[Double]]() // doc -> (score, matchCount)
+    cursors.foreach { c =>
+      var d = c.nextDoc()
+      while (d != NoMoreDocs) {
+        val key = java.lang.Long.valueOf(d)
+        var slot = acc.get(key)
+        if (slot == null) { slot = new Array[Double](2); acc.put(key, slot) }
+        slot(0) += c.score()
+        slot(1) += 1
+        d = c.nextDoc()
+      }
+    }
+    val heap = new HitHeap(k)
+    acc.forEach { (doc, slot) =>
+      if (slot(1) >= minShouldMatch) heap.insert(slot(0), doc)
+    }
+    heap.result()
+  }
+
+  /** Block-max WAND over term cursors (pure disjunction, msm=1) —
+    * `core/search/WANDScorer.java:55` (Broder et al. two-level retrieval),
+    * with block-max skipping. Rank-identical to exhaustive evaluation.
+    */
+  def wandTopK(cursors: Array[TermCursor], k: Int): Array[(Long, Double)] = {
+    val heap = new HitHeap(k)
+    val subs: Array[TermCursor] = cursors.filter(_.nextDoc() != NoMoreDocs)
+    if (subs.isEmpty) return heap.result()
+
+    val ub = subs.map(_.maxScoreBound) // static per-term upper bounds
+
+    // order(0..live-1): cursor indices sorted by current doc; exhausted at the end
+    val order = subs.indices.toArray
+
+    def sortOrder(): Unit = {
+      // insertion sort by current doc — order is nearly sorted between
+      // iterations (only advanced cursors move right), so this is ~O(moved)
+      var a = 1
+      while (a < order.length) {
+        val v = order(a)
+        val dv = subs(v).doc
+        var b = a - 1
+        while (b >= 0 && subs(order(b)).doc > dv) { order(b + 1) = order(b); b -= 1 }
+        order(b + 1) = v
+        a += 1
+      }
+    }
+
+    sortOrder()
+    var live = order.count(subs(_).doc != NoMoreDocs)
+
+    while (live > 0) {
+      sortOrder()
+      live = order.count(subs(_).doc != NoMoreDocs)
+      if (live == 0) return heap.result()
+      val threshold = heap.minScore
+      // find pivot: smallest prefix of live cursors whose UB sum can beat threshold
+      var acc = 0d
+      var p = -1
+      var j = 0
+      while (j < live && p < 0) {
+        acc += ub(order(j))
+        if (!heap.full || acc > threshold) p = j
+        j += 1
+      }
+      if (p < 0) return heap.result() // nothing can be competitive any more
+      val pivotDoc = subs(order(p)).doc
+      if (pivotDoc == NoMoreDocs) return heap.result()
+      // extend the pivot group over every cursor already on pivotDoc, so the
+      // block-max bound below covers the doc's full potential score
+      while (p + 1 < live && subs(order(p + 1)).doc == pivotDoc) p += 1
+      if (subs(order(0)).doc == pivotDoc) {
+        // all cursors [0..p] are on pivotDoc (doc-sorted): block-max check
+        var blockUb = 0d
+        var jj = 0
+        while (jj <= p) { blockUb += subs(order(jj)).blockMaxScore; jj += 1 }
+        if (!heap.full || blockUb > threshold) {
+          // score pivotDoc fully: advance all cursors to pivotDoc
+          var s = 0d
+          var m = 0
+          while (m < subs.length) {
+            val c = subs(m)
+            if (c.doc < pivotDoc) c.advance(pivotDoc)
+            if (c.doc == pivotDoc) s += c.score()
+            m += 1
+          }
+          heap.insert(s, pivotDoc)
+          // advance everything sitting on pivotDoc
+          m = 0
+          while (m < subs.length) {
+            if (subs(m).doc == pivotDoc) subs(m).nextDoc()
+            m += 1
+          }
+        } else {
+          // skip: jump the pivot group past the earliest block boundary, but
+          // never past the next non-group cursor's doc — docs from there on
+          // get additional score mass the block bound didn't cover
+          var upTo = Long.MaxValue
+          var jj2 = 0
+          while (jj2 <= p) {
+            val c = subs(order(jj2))
+            if (c.blockLastDoc < upTo) upTo = c.blockLastDoc
+            jj2 += 1
+          }
+          var nextOutside = NoMoreDocs
+          if (p + 1 < order.length && subs(order(p + 1)).doc != NoMoreDocs)
+            nextOutside = subs(order(p + 1)).doc
+          val target = math.max(pivotDoc + 1, math.min(upTo + 1, nextOutside))
+          var jj3 = 0
+          while (jj3 <= p) {
+            val c = subs(order(jj3))
+            if (c.doc < target) c.advance(target)
+            jj3 += 1
+          }
+        }
+      } else {
+        // advance the first cursor below pivot up to pivotDoc
+        subs(order(0)).advance(pivotDoc)
+      }
+      live = order.count(subs(_).doc != NoMoreDocs)
+    }
+    heap.result()
+  }
+
+  /** Conjunction of terms with block-max pruning —
+    * `core/search/BlockMaxConjunctionBulkScorer.java`. Rank-identical to
+    * exhaustive evaluation.
+    */
+  def conjunctionTopK(cursors: Array[TermCursor], k: Int): Array[(Long, Double)] = {
+    val heap = new HitHeap(k)
+    val sorted = cursors // caller orders by cost (rarest lead)
+    val conj = new ConjunctionCursor(sorted.map(x => x: DocCursor))
+    var d = conj.nextDoc()
+    while (d != NoMoreDocs) {
+      if (heap.full) {
+        // block-max check before scoring
+        var ub = 0d
+        var j = 0
+        while (j < sorted.length) { ub += sorted(j).blockMaxScore; j += 1 }
+        if (ub > heap.minScore) heap.insert(conj.score(), d)
+      } else heap.insert(conj.score(), d)
+      d = conj.nextDoc()
+    }
+    heap.result()
+  }
+
+  /** Single term with impact-based block skipping once the heap is full —
+    * `core/search/TermScorer.java:35` + `ImpactsDISI.java:74-97`.
+    */
+  def termTopK(cursor: TermCursor, k: Int): Array[(Long, Double)] = {
+    val heap = new HitHeap(k)
+    var d = cursor.nextDoc()
+    while (d != NoMoreDocs) {
+      if (heap.full && cursor.blockMaxScore <= heap.minScore) {
+        // whole block non-competitive -> skip it
+        d = cursor.advance(cursor.blockLastDoc + 1)
+      } else {
+        heap.insert(cursor.score(), d)
+        d = cursor.nextDoc()
+      }
+    }
+    heap.result()
+  }
+}

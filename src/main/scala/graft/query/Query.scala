@@ -1,0 +1,204 @@
+package graft.query
+
+/** Sealed query ADT — the logical plan of the fulltext engine.
+  *
+  * Shapes cover the reference query classes
+  * (`lucene/benchmark/conf/query-terms.txt`, `query-phrases.txt`,
+  * `query-wildcards.txt`): terms, boolean mixes with MUST / SHOULD /
+  * MUST_NOT and minShouldMatch (`core/search/BooleanQuery.java:40`),
+  * exact phrases (`core/search/PhraseQuery.java:71`), prefix
+  * (`core/search/PrefixQuery.java:29`).
+  */
+sealed trait Query
+
+case object MatchAll extends Query
+case object MatchNone extends Query
+final case class TermQ(term: String) extends Query
+final case class PhraseQ(terms: Seq[String]) extends Query
+final case class PrefixQ(prefix: String) extends Query
+final case class BoolQ(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    minShouldMatch: Int = 0
+) extends Query
+
+object Query {
+
+  /** Max clause count after multi-term expansion —
+    * `core/search/IndexSearcher.java:873,891`.
+    */
+  val MaxClauseCount = 1024
+
+  /** Logical rewrite to fixpoint — re-implementation of the reference's
+    * `Query.rewrite` loop (`core/search/IndexSearcher.java:866-875`) and
+    * `BooleanQuery.rewrite` simplifications
+    * (`core/search/BooleanQuery.java:269-373`). These act on our ADT
+    * *before* a DataFrame plan is emitted; relational-side optimization
+    * (pushdown, pruning) is left to Catalyst.
+    */
+  def rewrite(q: Query): Query = {
+    var cur = q
+    var next = rewriteOnce(cur)
+    var guard = 0
+    while (next != cur && guard < 16) { cur = next; next = rewriteOnce(cur); guard += 1 }
+    next
+  }
+
+  private def rewriteOnce(q: Query): Query = q match {
+    case BoolQ(must, should, mustNot, msm) =>
+      val m = must.map(rewriteOnce)
+      val s = should.map(rewriteOnce)
+      val n = mustNot.map(rewriteOnce).distinct // dedup MUST_NOT (BooleanQuery.java:344-354)
+      // any MUST clause that can never match -> whole query never matches
+      if (m.contains(MatchNone)) MatchNone
+      // MUST_NOT MatchAll -> never matches (BooleanQuery.java:365-373)
+      else if (n.contains(MatchAll)) MatchNone
+      // a clause both MUST and MUST_NOT -> never matches
+      else if (m.exists(n.contains) || (m.isEmpty && s.nonEmpty && s.forall(n.contains))) MatchNone
+      else {
+        val m2 = m.filterNot(_ == MatchAll) match {
+          case Nil if m.nonEmpty => Seq(MatchAll) // keep one anchor if all were MatchAll
+          case other => other
+        }
+        val n2 = n.filterNot(_ == MatchNone)
+        val s2 = s.filterNot(_ == MatchNone)
+        val msm2 = math.max(msm, if (m2.isEmpty && s2.nonEmpty) 1 else 0)
+        if (m2.isEmpty && s2.isEmpty && n2.isEmpty) MatchNone // empty boolean (BooleanQuery.java:270-276)
+        else if (m2.isEmpty && s2.isEmpty) MatchNone // pure negation never matches (Lucene semantics)
+        else if (m2.size == 1 && s2.isEmpty && n2.isEmpty) m2.head // single-clause unwrap (:280-295)
+        else if (m2.isEmpty && s2.size == 1 && n2.isEmpty && msm2 <= 1) s2.head
+        else if (s2.nonEmpty && msm2 > s2.size) MatchNone // unsatisfiable minShouldMatch
+        else BoolQ(m2, s2, n2, msm2)
+      }
+    case PhraseQ(Seq(t)) => TermQ(t)
+    case PhraseQ(Nil) => MatchNone
+    case other => other
+  }
+
+  /** All literal terms mentioned (prefixes excluded — they expand against
+    * the term dictionary at planning time).
+    */
+  def literalTerms(q: Query): Set[String] = q match {
+    case TermQ(t) => Set(t)
+    case PhraseQ(ts) => ts.toSet
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(literalTerms).toSet
+    case _ => Set.empty
+  }
+
+  def prefixes(q: Query): Set[String] = q match {
+    case PrefixQ(p) => Set(p)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(prefixes).toSet
+    case _ => Set.empty
+  }
+}
+
+/** Tiny recursive-descent parser for the reference query-set syntax:
+  * `AND`, `OR`, `NOT`, parentheses, `"quoted phrases"`, trailing-`*`
+  * prefixes. Grammar (lowest precedence first): or := and (OR and)*,
+  * and := unary (AND unary)*, unary := NOT unary | atom.
+  * Reference analogue: the classic QueryParser surface
+  * (`lucene/queryparser/.../classic/QueryParserBase.java:133`) restricted
+  * to the shapes in `lucene/benchmark/conf/query-*.txt`.
+  */
+object QueryParser {
+  private final case class Tok(kind: String, value: String)
+
+  private def lex(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += Tok("(", "("); i += 1 }
+      else if (c == ')') { out += Tok(")", ")"); i += 1 }
+      else if (c == '"') {
+        val end = s.indexOf('"', i + 1)
+        val body = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
+        out += Tok("phrase", body)
+        i = if (end < 0) s.length else end + 1
+      } else {
+        var j = i
+        while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
+        val w = s.substring(i, j)
+        i = j
+        w match {
+          case "AND" => out += Tok("AND", w)
+          case "OR" => out += Tok("OR", w)
+          case "NOT" => out += Tok("NOT", w)
+          case _ if w.endsWith("*") && w.length > 1 => out += Tok("prefix", w.dropRight(1))
+          case _ => out += Tok("term", w)
+        }
+      }
+    }
+    out.toList
+  }
+
+  def parse(s: String): Query = {
+    var toks = lex(s)
+    def peek: Option[Tok] = toks.headOption
+    def pop(): Tok = { val t = toks.head; toks = toks.tail; t }
+
+    def atom(): Query = peek match {
+      case Some(Tok("(", _)) =>
+        pop(); val q = or()
+        if (peek.exists(_.kind == ")")) pop()
+        q
+      case Some(Tok("phrase", body)) =>
+        pop()
+        PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq)
+      case Some(Tok("prefix", p)) =>
+        pop(); PrefixQ(p.toLowerCase(java.util.Locale.ROOT))
+      case Some(Tok("term", w)) =>
+        pop()
+        graft.analysis.CodeAnalyzer.terms(w) match {
+          case Array(t) => TermQ(t)
+          case Array() => MatchNone
+          case many => PhraseQ(many.toSeq) // multi-token word behaves like a phrase
+        }
+      case _ => MatchNone
+    }
+
+    def unary(): Query = peek match {
+      case Some(Tok("NOT", _)) =>
+        pop(); BoolQ(must = Seq(MatchAll), mustNot = Seq(unary()))
+      case _ => atom()
+    }
+
+    def and(): Query = {
+      var clauses = Seq(unary())
+      while (peek.exists(t => t.kind == "AND" || t.kind == "NOT")) {
+        val neg = pop().kind == "NOT" || {
+          // `a AND NOT b` — consume NOT after AND
+          if (peek.exists(_.kind == "NOT")) { pop(); true } else false
+        }
+        if (neg) clauses = clauses :+ BoolQ(must = Seq(MatchAll), mustNot = Seq(unary()))
+        else clauses = clauses :+ unary()
+      }
+      if (clauses.size == 1) clauses.head
+      else {
+        // fold NOT-wrapped clauses into mustNot of the conjunction
+        val (negs, pos) = clauses.partition {
+          case BoolQ(Seq(MatchAll), Nil, Seq(_), _) => true
+          case _ => false
+        }
+        val mustNot = negs.collect { case BoolQ(_, _, Seq(n), _) => n }
+        BoolQ(must = if (pos.isEmpty) Seq(MatchAll) else pos, mustNot = mustNot)
+      }
+    }
+
+    def or(): Query = {
+      var clauses = Seq(and())
+      // explicit OR, or implicit OR between adjacent atoms (the classic
+      // QueryParser default operator)
+      while (peek.exists(t => t.kind == "OR" ||
+          t.kind == "term" || t.kind == "phrase" || t.kind == "prefix" || t.kind == "(")) {
+        if (peek.exists(_.kind == "OR")) pop()
+        clauses = clauses :+ and()
+      }
+      if (clauses.size == 1) clauses.head else BoolQ(should = clauses, minShouldMatch = 1)
+    }
+
+    Query.rewrite(or())
+  }
+}

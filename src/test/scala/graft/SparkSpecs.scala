@@ -1,0 +1,180 @@
+package graft
+
+import graft.build.{Datagen, IndexBuilder, InputDoc}
+import graft.exec.Searcher
+import graft.query.QueryParser
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+trait SparkTest extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.spark
+}
+
+/** Differential top-k tests — engine vs exhaustive in-memory oracle
+  * (reference practice: CheckHits / QueryUtils, SURVEY.md §5.3).
+  * Exercises every physical strategy: single-term impacts skipping,
+  * block-max conjunction, WAND, generic cursors (not/phrase/prefix/
+  * nested/minShouldMatch), across 1 and 4 segments.
+  */
+class SearchDifferentialSpec extends SparkTest {
+  import spark.implicits._
+
+  private val N = 1200
+  private lazy val rows = (0L until N).map(i => Datagen.row(7L, i, 20, 300))
+
+  // engine-visible corpus with deterministic docIds, 4 segments
+  private def inputDocs(numSegments: Int): Seq[InputDoc] =
+    rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      val seg = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
+      InputDoc(seg, key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+
+  private def docIdsOf(docs: Seq[InputDoc]): Seq[(Long, String)] =
+    docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+      ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+        ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content)
+      }
+    }
+
+  private val queries = Seq(
+    "def",
+    "needle_1",
+    "def AND class",
+    "def AND class AND return AND val",
+    "val OR needle_0",
+    "def OR class OR return",
+    "(def AND return) OR needle_1",
+    "ident_17 AND NOT ident_23",
+    "def AND NOT needle_0",
+    "\"class camelCaseName7\"",
+    "ident_2*",
+    "camelCaseName1*",
+    "nonexistent_term_xyz",
+    "def AND nonexistent_term_xyz",
+    "def OR nonexistent_term_xyz"
+  )
+
+  for (numSegments <- Seq(1, 4)) {
+    test(s"engine == oracle on all fixture query shapes ($numSegments segment(s))") {
+      val docs = inputDocs(numSegments)
+      val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+      val oracle = NaiveOracle.fromContents(docIdsOf(docs))
+      queries.foreach { qs =>
+        val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), 10)
+        val got = Searcher.topK(index, qs, 10)
+          .as[(Long, Float)].collect().toSeq
+        assert(got == expected, s"query [$qs] segs=$numSegments:\n got=$got\n exp=$expected")
+      }
+    }
+  }
+
+  test("k larger than hit count and k=1 behave") {
+    val docs = inputDocs(2)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val oracle = NaiveOracle.fromContents(docIdsOf(docs))
+    Seq(1, 1000).foreach { k =>
+      val qs = "needle_0 OR needle_1"
+      val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), k)
+      val got = Searcher.topK(index, qs, k).as[(Long, Float)].collect().toSeq
+      assert(got == expected)
+    }
+  }
+}
+
+/** Per-row invariant demanded by the driver: sha256(content) equality
+  * between docmeta and the source table, plus norm-byte correctness.
+  */
+class InvariantSpec extends SparkTest {
+  import spark.implicits._
+
+  test("sha256(content) matches source for every doc; norms = intToByte4(tokenCount)") {
+    val src = Datagen.corpus(spark, 500, seed = 11L)
+    val index = IndexBuilder.buildInMemory(spark, Datagen.toInputDocs(src, 3))
+    val joined = index.docmeta.join(src, Seq("repo", "path", "commit"))
+      .select($"sha256", org.apache.spark.sql.functions.sha2($"content", 256).as("expected"),
+        $"tokenCount", $"norm", $"content")
+      .collect()
+    assert(joined.length == 500)
+    joined.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "sha256 mismatch")
+      val tc = graft.analysis.CodeAnalyzer.tokenCount(r.getString(4))
+      assert(r.getInt(2) == tc)
+      assert(r.getByte(3) == graft.util.SmallFloat.intToByte4(tc))
+    }
+  }
+
+  test("CheckIndex-style invariants: docIds strictly ascending, df == postings length, stats consistent") {
+    val src = Datagen.corpus(spark, 400, seed = 12L)
+    val index = IndexBuilder.buildInMemory(spark, Datagen.toInputDocs(src, 4))
+    val posts = index.postings.collect()
+    posts.foreach { pl =>
+      val d = graft.codec.PostingCodec.decodeAll(pl.blocks)
+      assert(d.docIds.length == pl.df)
+      assert(d.freqs.map(_.toLong).sum == pl.ttf)
+      assert(d.docIds.toSeq == d.docIds.toSeq.sorted)
+      assert(d.docIds.distinct.length == d.docIds.length)
+      assert(d.docIds.forall(id => IndexBuilder.segOf(id) == pl.seg))
+    }
+    // global term stats = sum of segment-local
+    val byTerm = posts.groupBy(_.term).map { case (t, ps) => t -> (ps.map(_.df.toLong).sum, ps.map(_.ttf).sum) }
+    index.termStats.collect().foreach { ts =>
+      assert(byTerm(ts.term) == ((ts.df, ts.ttf)), s"stats mismatch for ${ts.term}")
+    }
+    val fs = index.fieldStats
+    assert(fs.docCount == 400)
+    assert(fs.sumTotalTermFreq == index.docmeta.agg(org.apache.spark.sql.functions.sum($"tokenCount")).as[Long].head())
+  }
+}
+
+/** Resumable build: kill-and-resume semantics via the per-segment
+  * manifest (north rule; reference analogue `SegmentInfos` generations).
+  */
+class ResumeSpec extends SparkTest {
+  import spark.implicits._
+
+  test("resume skips complete segments, rebuilds missing ones, results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graftidx").toString
+    val src = Datagen.corpus(spark, 600, seed = 5L)
+    val docs = Datagen.toInputDocs(src, 4)
+
+    val m1 = IndexBuilder.buildPersistent(spark, docs, dir)
+    assert(m1.size == 4 && m1.forall(_.status == "complete"))
+    assert(m1.map(_.docs).sum == 600)
+    assert(m1.forall(_.postings > 0) && m1.forall(_.bytes > 0))
+    val full = Searcher.topK(IndexBuilder.open(spark, dir), "def AND class", 10)
+      .as[(Long, Float)].collect().toSeq
+
+    // simulate a crash: destroy one segment's manifest + data
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$dir/manifest/seg_2.json")).deleteRecursively()
+    val resumed = IndexBuilder.buildPersistent(spark, docs, dir)
+    assert(resumed.size == 4 && resumed.forall(_.status == "complete"))
+    val after = Searcher.topK(IndexBuilder.open(spark, dir), "def AND class", 10)
+      .as[(Long, Float)].collect().toSeq
+    assert(after == full)
+
+    // full resume with nothing to do must be a no-op (manifests unchanged)
+    val t0 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/manifest/seg_1.json"))
+    IndexBuilder.buildPersistent(spark, docs, dir)
+    val t1 = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/manifest/seg_1.json"))
+    assert(t0 == t1, "complete segment was rebuilt on resume")
+  }
+}

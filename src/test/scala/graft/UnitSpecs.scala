@@ -1,0 +1,155 @@
+package graft
+
+import graft.analysis.{CodeAnalyzer, Token}
+import graft.codec.PostingCodec
+import graft.exec.BM25
+import graft.model.{FieldStats, TermStats}
+import graft.query._
+import graft.util.SmallFloat
+import org.scalatest.funsuite.AnyFunSuite
+
+class SmallFloatSpec extends AnyFunSuite {
+  test("low values exact (NUM_FREE_VALUES = 24)") {
+    assert(SmallFloat.NumFreeValues == 24)
+    (0 until 24).foreach(i => assert(SmallFloat.byte4ToInt(SmallFloat.intToByte4(i)) == i))
+  }
+  test("round-trip is lower bound, monotone, 4 significant bits") {
+    var prev = -1
+    (0 to 2000000 by 17).foreach { i =>
+      val d = SmallFloat.byte4ToInt(SmallFloat.intToByte4(i))
+      assert(d <= i, s"decode($i) = $d must be <= original")
+      assert(d >= prev, "monotone")
+      prev = d
+    }
+    assert(SmallFloat.byte4ToInt(SmallFloat.intToByte4(Int.MaxValue)) <= Int.MaxValue)
+  }
+  test("known buckets") {
+    // 0..39 are exact (24 free values + 4-bit mantissa values 0..15);
+    // first quantisation at offset value 16: lengths 40 and 41 collide
+    (0 to 39).foreach(i => assert(SmallFloat.byte4ToInt(SmallFloat.intToByte4(i)) == i))
+    assert(SmallFloat.intToByte4(41) == SmallFloat.intToByte4(40))
+    assert(SmallFloat.byte4ToInt(SmallFloat.intToByte4(41)) == 40)
+  }
+}
+
+class AnalyzerSpec extends AnyFunSuite {
+  test("golden token stream with positions") {
+    val toks = CodeAnalyzer.tokenize("def foo(bar_1, Baz2); return FOO")
+    assert(toks.toSeq == Seq(
+      Token("def", 0), Token("foo", 1), Token("bar_1", 2), Token("baz2", 3),
+      Token("return", 4), Token("foo", 5)))
+  }
+  test("punctuation separates; empty and null safe") {
+    assert(CodeAnalyzer.terms("a.b,c;d(e)f=g").toSeq == Seq("a", "b", "c", "d", "e", "f", "g"))
+    assert(CodeAnalyzer.tokenize("").isEmpty)
+    assert(CodeAnalyzer.tokenize(null).isEmpty)
+    assert(CodeAnalyzer.tokenize("  \n\t ").isEmpty)
+  }
+  test("tokens longer than 255 chars are dropped without consuming a position") {
+    val long = "x" * 256
+    val toks = CodeAnalyzer.tokenize(s"a $long b")
+    assert(toks.toSeq == Seq(Token("a", 0), Token("b", 1)))
+    assert(CodeAnalyzer.tokenize("y" * 255).length == 1)
+  }
+}
+
+class CodecSpec extends AnyFunSuite {
+  private def gen(rnd: scala.util.Random): (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = {
+    val n = 1 + rnd.nextInt(700)
+    val base = math.abs(rnd.nextLong()) % (1L << 41)
+    val ids = new Array[Long](n)
+    var cur = base
+    val freqs = new Array[Int](n)
+    val norms = new Array[Byte](n)
+    val ps = new Array[Array[Int]](n)
+    (0 until n).foreach { i =>
+      cur += 1 + rnd.nextInt(5000)
+      ids(i) = cur
+      freqs(i) = 1 + rnd.nextInt(40)
+      norms(i) = rnd.nextInt(256).toByte
+      var p = rnd.nextInt(3)
+      ps(i) = Array.fill(freqs(i)) { p += 1 + rnd.nextInt(5); p }
+    }
+    (ids, freqs, norms, ps)
+  }
+
+  test("encode/decode round-trip incl. positions and block metadata (seeded property run)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 100).foreach { _ =>
+      val (ids, freqs, norms, ps) = gen(rnd)
+      val blocks = PostingCodec.encode(ids, freqs, norms, ps)
+      // block structure
+      assert(blocks.map(_.norms.length).sum == ids.length)
+      blocks.foreach(b => assert(b.norms.length <= PostingCodec.BlockSize))
+      val d = PostingCodec.decodeAll(blocks, withPositions = true)
+      assert(d.docIds.toSeq == ids.toSeq)
+      assert(d.freqs.toSeq == freqs.toSeq)
+      assert(d.norms.toSeq == norms.toSeq)
+      assert(d.positions.map(_.toSeq).toSeq == ps.map(_.toSeq).toSeq)
+      // impacts: per-block maxima are true maxima
+      var off = 0
+      blocks.foreach { b =>
+        val n = b.norms.length
+        assert(b.maxDocId == ids(off + n - 1))
+        assert(b.maxFreq == freqs.slice(off, off + n).max)
+        val minLen = norms.slice(off, off + n).map(SmallFloat.byte4ToInt).min
+        assert(SmallFloat.byte4ToInt(b.minNorm) == minLen)
+        off += n
+      }
+    }
+  }
+}
+
+class BM25Spec extends AnyFunSuite {
+  test("hand-computed single-term score (reference float op order)") {
+    // N=3 docs, df=2, lengths 3 and 5, avgdl = (3+5+4)/3
+    val fs = FieldStats(3, 12)
+    val sc = BM25.termScorer(TermStats("t", 2, 0), fs)
+    val idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5)).toFloat
+    assert(sc.weight == idf)
+    val norm3 = SmallFloat.intToByte4(3)
+    val avgdl = (12 / 3.0).toFloat
+    val cacheV = 1f / (1.2f * ((1 - 0.75f) + 0.75f * SmallFloat.LengthTable(norm3 & 0xff) / avgdl))
+    val expected = idf - idf / (1f + 2 * cacheV)
+    assert(sc.score(2, norm3) == expected)
+  }
+  test("monotone in freq, anti-monotone in length (reference contract, BaseSimilarityTestCase)") {
+    val fs = FieldStats(1000, 100000)
+    val sc = BM25.termScorer(TermStats("t", 10, 0), fs)
+    var prev = -1f
+    (1 to 100).foreach { f =>
+      val s = sc.score(f, SmallFloat.intToByte4(50))
+      assert(s >= prev && s >= 0 && !s.isNaN && s <= sc.globalMaxScore)
+      prev = s
+    }
+    val s1 = sc.score(5, SmallFloat.intToByte4(10))
+    val s2 = sc.score(5, SmallFloat.intToByte4(1000))
+    assert(s1 > s2)
+  }
+}
+
+class QueryParserSpec extends AnyFunSuite {
+  test("shapes of the reference query classes") {
+    assert(QueryParser.parse("def") == TermQ("def"))
+    assert(QueryParser.parse("def AND class") == BoolQ(must = Seq(TermQ("def"), TermQ("class"))))
+    assert(QueryParser.parse("val OR needle_2") ==
+      BoolQ(should = Seq(TermQ("val"), TermQ("needle_2")), minShouldMatch = 1))
+    assert(QueryParser.parse("(def AND return) OR needle_3") ==
+      BoolQ(should = Seq(BoolQ(must = Seq(TermQ("def"), TermQ("return"))), TermQ("needle_3")),
+        minShouldMatch = 1))
+    assert(QueryParser.parse("ident_17 AND NOT py_only") ==
+      BoolQ(must = Seq(TermQ("ident_17")), mustNot = Seq(TermQ("py_only"))))
+    assert(QueryParser.parse("\"class camelCaseName7\"") ==
+      PhraseQ(Seq("class", "camelcasename7")))
+    assert(QueryParser.parse("ident_1*") == PrefixQ("ident_1"))
+  }
+  test("rewrites: empty, single-clause unwrap, must-not-all") {
+    assert(Query.rewrite(BoolQ()) == MatchNone)
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")))) == TermQ("a"))
+    assert(Query.rewrite(BoolQ(should = Seq(TermQ("a")), minShouldMatch = 1)) == TermQ("a"))
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")), mustNot = Seq(MatchAll))) == MatchNone)
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a"), MatchNone))) == MatchNone)
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")), mustNot = Seq(TermQ("a")))) == MatchNone)
+    assert(Query.rewrite(PhraseQ(Seq("x"))) == TermQ("x"))
+  }
+}
