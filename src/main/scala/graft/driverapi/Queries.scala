@@ -1,0 +1,636 @@
+package graft.driverapi
+
+import graft.exec.Searcher
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver-facing operator catalog: every entry has a Spark implementation
+  * and (where ANSI-SQL-expressible) a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL column names and arithmetic. Fulltext entries run through
+  * the real engine (Corpus -> IndexBuilder -> Searcher kernels) in
+  * double-precision mode; relational and pipeline entries are plain
+  * Catalyst plans (broadcast joins for dims, partial aggs, window
+  * functions) — SURVEY.md §2 inventory coverage.
+  */
+object Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Half-up rounding written as explicit double arithmetic so the DuckDB
+    * oracle can reproduce it TEXTUALLY (round() rounding modes differ
+    * between engines on exact .xxxx5 rationals).
+    */
+  private def r4(c: org.apache.spark.sql.Column) = floor(c * 10000d + 0.5d) / 10000d
+  private def r2(c: org.apache.spark.sql.Column) = floor(c * 100d + 0.5d) / 100d
+
+  // ---------- shared SQL fragments (DuckDB) ----------
+
+  /** Tokenizer CTEs — must equal CodeAnalyzer on the documents alphabet. */
+  private val tokCte =
+    """tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM documents)"""
+
+  private val posCte =
+    """pos AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+      |            generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1) AS p
+      |     FROM documents)""".stripMargin
+
+  /** Byte-quantised doc length — exact SmallFloat.intToByte4 semantics
+    * (validated bit-for-bit over 0..200000).
+    */
+  private val qlenExpr =
+    "CASE WHEN len < 32 THEN len ELSE 24 + (((len-24) >> (length(bin(len-24))-4)) << (length(bin(len-24))-4)) END"
+
+  /** BM25 top-k oracle over terms (OR = any term, AND = all terms),
+    * double precision, quantised norms, identical formula to
+    * BM25.TermScorerD: score = sum_t [ idf_t - idf_t/(1 + tf*normInv) ].
+    */
+  private def bm25Sql(terms: Seq[String], requireAll: Boolean, k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val having = if (requireAll) s"HAVING count(DISTINCT tf.term) = ${terms.length}" else ""
+    s"""WITH $tokCte,
+       |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+       |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ($inList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+       |sc AS (SELECT tf.doc_id,
+       |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+       |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+       |       GROUP BY tf.doc_id $having)
+       |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+       |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+       |FROM sc ORDER BY rank LIMIT $k""".stripMargin
+  }
+
+  /** Engine-side BM25 top-k with the same rounded re-rank. */
+  private def ftScored(q: String, k: Int): QFn = (spark, dir) => {
+    import spark.implicits._
+    val (index, mapping) = Corpus.get(spark, dir)
+    val hits = Searcher.topK(index, q, k + 40, doubleMode = true)
+    hits.join(mapping, "docId")
+      .select($"doc_id", r4($"score").as("score"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"rank")
+  }
+
+  // ============================================================
+  // §A fulltext engine queries (documents table)
+  // ============================================================
+
+  val fulltext: Map[String, (QFn, Option[String])] = Map(
+    "ft_term_topk" -> ((ftScored("merge", 10), Some(bm25Sql(Seq("merge"), requireAll = false, 10)))),
+
+    "ft_and_topk" -> ((ftScored("merge AND stream", 10),
+      Some(bm25Sql(Seq("merge", "stream"), requireAll = true, 10)))),
+
+    "ft_or_topk" -> ((ftScored("merge OR stream OR vector", 10),
+      Some(bm25Sql(Seq("merge", "stream", "vector"), requireAll = false, 10)))),
+
+    "ft_not_count" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      Searcher.topK(index, "table AND NOT vector", Int.MaxValue / 2, doubleMode = true)
+        .agg(count(lit(1)).as("n"))
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT doc_id FROM tok GROUP BY doc_id
+         |  HAVING sum(CASE WHEN term = 'table' THEN 1 ELSE 0 END) > 0
+         |     AND sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) = 0)""".stripMargin))),
+
+    "ft_phrase_docs" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      Searcher.topK(index, "\"fast table\"", Int.MaxValue / 2, doubleMode = true)
+        .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.term = 'fast' AND b.term = 'table' ORDER BY 1""".stripMargin))),
+
+    "ft_prefix_terms" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      index.termStats.filter($"term".startsWith("w"))
+        .select($"term", $"df", $"ttf").orderBy($"term")
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS ttf
+         |FROM tok WHERE term LIKE 'w%' GROUP BY term ORDER BY term""".stripMargin))),
+
+    "ft_term_stats" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      index.termStats.filter($"term".isin("spark", "merge", "window", "zzz_absent"))
+        .select($"term", $"df", $"ttf").orderBy($"term")
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |       CAST(count(*) AS BIGINT) AS ttf
+         |FROM tok WHERE term IN ('spark','merge','window','zzz_absent')
+         |GROUP BY term ORDER BY term""".stripMargin))),
+
+    "ft_collection_stats" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      val nTerms = index.termStats.count()
+      val fs = index.fieldStats
+      Seq((fs.docCount, fs.sumTotalTermFreq, nTerms))
+        .toDF("doc_count", "sum_ttf", "n_terms")
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS doc_count,
+         |       CAST(count(*) AS BIGINT) AS sum_ttf,
+         |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms FROM tok""".stripMargin))),
+
+    "ft_msm2_count" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      val q = graft.query.BoolQ(
+        should = Seq(graft.query.TermQ("spark"), graft.query.TermQ("window"), graft.query.TermQ("merge")),
+        minShouldMatch = 2)
+      Searcher.topKQ(index, q, Int.MaxValue / 2, doubleMode = true)
+        .agg(count(lit(1)).as("n"))
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT doc_id FROM tok WHERE term IN ('spark','window','merge')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) >= 2)""".stripMargin)))
+  )
+
+  // ============================================================
+  // §B relational operators (TPC-H-ish tables)
+  // ============================================================
+
+  val relational: Map[String, (QFn, Option[String])] = Map(
+    "q1_agg" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          r2(sum($"l_quantity")).as("sum_qty"),
+          r2(sum($"l_extendedprice")).as("sum_base"),
+          r4(avg($"l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  floor((sum(l_quantity)) * 100 + 0.5)/100 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5)/100 AS sum_base,
+        |  floor((avg(l_quantity)) * 10000 + 0.5)/10000 AS avg_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))),
+
+    "q3_revenue_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .filter($"c_mktsegment" === "BUILDING")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      li.join(orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderkey")
+        .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    }, Some(
+      """SELECT o_orderkey, floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5)/100 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))),
+
+    "join_dims" -> (((spark, dir) => {
+      import spark.implicits._
+      val nation = spark.read.parquet(s"$dir/nation.parquet")
+      val region = spark.read.parquet(s"$dir/region.parquet")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      cust.join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name").agg(count(lit(1)).as("n"),
+          r2(sum($"c_acctbal")).as("bal"))
+        .orderBy($"r_name")
+    }, Some(
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n, floor((sum(c_acctbal)) * 100 + 0.5)/100 AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin))),
+
+    "semi_join" -> (((spark, dir) => {
+      import spark.implicits._
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      cust.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+        .agg(count(lit(1)).as("n"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))),
+
+    "anti_join" -> (((spark, dir) => {
+      import spark.implicits._
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      cust.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .agg(count(lit(1)).as("n"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))),
+
+    "window_topk_per_group" -> (((spark, dir) => {
+      import spark.implicits._
+      val orders = spark.read.parquet(s"$dir/orders.parquet").filter($"o_custkey" < 50)
+      orders.withColumn("rn",
+          row_number().over(Window.partitionBy($"o_custkey")
+            .orderBy(desc("o_totalprice"), asc("o_orderkey"))).cast("long"))
+        .filter($"rn" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    }, Some(
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders WHERE o_custkey < 50)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin))),
+
+    "agg_distinct" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("parts"),
+          countDistinct($"l_suppkey").as("supps"))
+        .orderBy($"l_returnflag")
+    }, Some(
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))),
+
+    "set_ops" -> (((spark, dir) => {
+      import spark.implicits._
+      val a = spark.read.parquet(s"$dir/orders.parquet")
+        .filter($"o_totalprice" > 150000).select($"o_custkey".as("k")).distinct()
+      val b = spark.read.parquet(s"$dir/customer.parquet")
+        .filter($"c_nationkey" < 12).select($"c_custkey".as("k")).distinct()
+      val rows = Seq(
+        ("union", a.union(b).distinct().count()),
+        ("intersect", a.intersect(b).count()),
+        ("except", a.except(b).count()))
+      rows.toDF("op", "n").orderBy($"op")
+    }, Some(
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+        |     b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey < 12)
+        |SELECT op, n FROM (
+        |  SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (SELECT k FROM a UNION SELECT k FROM b)
+        |  UNION ALL
+        |  SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |  UNION ALL
+        |  SELECT 'except', CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT SELECT k FROM b))
+        |ORDER BY op""".stripMargin))),
+
+    "range_filter" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter($"l_quantity".between(10, 20) &&
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .agg(count(lit(1)).as("n"), r2(sum($"l_quantity")).as("qty"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n, floor((sum(l_quantity)) * 100 + 0.5)/100 AS qty
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'""".stripMargin))),
+
+    "in_set_filter" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/orders.parquet")
+        .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    }, Some(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))),
+
+    "search_after_page" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"n_chars" < 300 || ($"n_chars" === 300 && $"doc_id" > 100))
+        .orderBy(desc("n_chars"), asc("doc_id"))
+        .limit(10)
+        .select($"doc_id", $"n_chars")
+    }, Some(
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 100)
+        |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin))),
+
+    "facet_lang_counts" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("lang"))
+    }, Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |GROUP BY lang ORDER BY n DESC, lang""".stripMargin))),
+
+    "facet_range_histogram" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("bucket", (floor($"n_chars" / 100) * 100).cast("long"))
+        .groupBy($"bucket").agg(count(lit(1)).as("n"))
+        .orderBy($"bucket")
+    }, Some(
+      """SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin))),
+
+    "events_agg" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/events.parquet")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), r4(avg($"value")).as("avg_value"),
+          r2(sum($"value")).as("sum_value"))
+        .orderBy($"event_type")
+    }, Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       floor((avg(value)) * 10000 + 0.5)/10000 AS avg_value, floor((sum(value)) * 100 + 0.5)/100 AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))),
+
+    "group_heads" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/events.parquet").filter($"user_id" < 20)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy(desc("value"), asc("event_id"))))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id")
+        .orderBy($"user_id")
+    }, Some(
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events WHERE user_id < 20)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)))
+  )
+
+  // ============================================================
+  // §C training-data pipeline operators
+  // ============================================================
+
+  val pipeline: Map[String, (QFn, Option[String])] = Map(
+    "dedup_exact" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct($"text").as("n_distinct"),
+        (count(lit(1)) - countDistinct($"text")).as("n_dupes"))
+    }, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+        |       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dupes
+        |FROM documents""".stripMargin))),
+
+    "dedup_ngram_jaccard" -> (((spark, dir) => {
+      import spark.implicits._
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"doc_id" < 60)
+        .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+        .distinct()
+      val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = toks.as("x").join(toks.as("y"),
+          $"x.term" === $"y.term" && $"x.doc_id" < $"y.doc_id")
+        .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
+        .filter($"inter" / ($"sa" + $"sb" - $"inter") >= 0.5) // filter pre-round, like the oracle
+        .withColumn("j", r4($"inter" / ($"sa" + $"sb" - $"inter")))
+        .select($"a", $"b", $"j")
+        .orderBy($"a", $"b")
+    }, Some(
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+        |           FROM documents WHERE doc_id < 60),
+        |sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
+        |i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+        |      FROM t x JOIN t y ON x.term = y.term AND x.doc_id < y.doc_id
+        |      GROUP BY x.doc_id, y.doc_id)
+        |SELECT a, b, floor((inter / (sa.s + sb.s - inter)) * 10000 + 0.5)/10000 AS j
+        |FROM i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
+        |WHERE inter / (sa.s + sb.s - inter) >= 0.5
+        |ORDER BY a, b""".stripMargin))),
+
+    "dedup_minhash_lsh" -> (((spark, dir) => {
+      import spark.implicits._
+      // 3-token shingles -> 8 md5-string minhashes -> 4 bands of 2 -> candidate pairs
+      val sh = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("sh"))
+        .distinct()
+      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i"))
+      val minhashes = sh.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      val bands = minhashes.select($"doc_id",
+        explode(array((0 until 4).map(b =>
+          concat(lit(s"$b:"), col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))): _*)).as("band"))
+      bands.as("x").join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+        .orderBy($"a", $"b")
+    }, Some(
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+        |mh AS (SELECT doc_id,
+        |  min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
+        |  min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
+        |  min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
+        |  min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
+        |  FROM sh GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, '0:' || h0 || '|' || h1 AS band FROM mh UNION ALL
+        |  SELECT doc_id, '1:' || h2 || '|' || h3 FROM mh UNION ALL
+        |  SELECT doc_id, '2:' || h4 || '|' || h5 FROM mh UNION ALL
+        |  SELECT doc_id, '3:' || h6 || '|' || h7 FROM mh)
+        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        |ORDER BY a, b""".stripMargin))),
+
+    "dedup_simhash" -> (((spark, dir) => {
+      import spark.implicits._
+      // 16-bit simhash over tf-weighted md5-derived token hashes
+      val tf = spark.read.parquet(s"$dir/documents.parquet").filter($"doc_id" < 100)
+        .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", conv(substring(md5($"term"), 1, 15), 16, 10).cast("long"))
+      val bits = tf.select($"doc_id", $"tf", $"h",
+          explode(expr("sequence(0, 15)")).as("j"))
+        .withColumn("c", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN tf ELSE -tf END"))
+        .groupBy($"doc_id", $"j").agg(sum($"c").as("s"))
+      bits.withColumn("bit", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
+        .groupBy($"doc_id").agg(sum($"bit").cast("long").as("simhash"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf,
+        |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+        |        FROM documents WHERE doc_id < 100)
+        |  GROUP BY doc_id, term),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+        |  FROM tf, generate_series(0, 15) g(j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    "ann_cosine_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val q = emb.filter($"vec_id" === 0).select($"v").head().getSeq[Double](0).toArray
+      // same formula as the oracle: dot/(sqrt(dot(v,v)) * sqrt(dot(q,q)))
+      val scored = emb.withColumn("qv", typedLit(q.toSeq))
+        .withColumn("dot",
+          expr("aggregate(zip_with(v, qv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+        .withColumn("qnrm",
+          sqrt(expr("aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
+        .withColumn("cos", r4($"dot" / ($"nrm" * $"qnrm")))
+      scored
+        .withColumn("rank", row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"vec_id", $"cos", $"rank")
+        .orderBy($"rank")
+    }, Some(
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT vec_id,
+        |  list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+        |   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      * sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |  FROM embeddings, q)
+        |SELECT vec_id, floor((c) * 10000 + 0.5)/10000 AS cos,
+        |       CAST(row_number() OVER (ORDER BY floor((c) * 10000 + 0.5)/10000 DESC, vec_id) AS BIGINT) AS rank
+        |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    "ann_ivf_assign" -> (((spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+      val joined = emb.crossJoin(broadcast(cents))
+        .withColumn("dot", expr("aggregate(zip_with(v, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+        .withColumn("cos", $"dot" /
+          (sqrt(expr("aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")) *
+            sqrt(expr("aggregate(transform(cv, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
+        .filter($"rn" === 1)
+      joined.groupBy($"cid").agg(count(lit(1)).as("n")).orderBy($"cid")
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |sc AS (SELECT e.vec_id, c.cid,
+        |  list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+        |  FROM e, c),
+        |best AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n FROM best WHERE rn = 1
+        |GROUP BY cid ORDER BY cid""".stripMargin))),
+
+    "lang_id_heuristic" -> (((spark, dir) => {
+      import spark.implicits._
+      val stop = Seq("the", "a", "of", "to", "and")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+        .withColumn("n", size($"ts"))
+        .withColumn("hits", expr(
+          s"size(filter(ts, t -> t IN (${stop.map(s => s"'$s'").mkString(",")})))"))
+        .withColumn("pred", when($"hits" / $"n" > 0.05, lit("en")).otherwise(lit("other")))
+        .select($"doc_id", $"pred")
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM documents),
+        |r AS (SELECT doc_id, count(*) AS n,
+        |             sum(CASE WHEN term IN ('the','a','of','to','and') THEN 1 ELSE 0 END) AS hits
+        |      FROM t GROUP BY doc_id)
+        |SELECT doc_id, CASE WHEN hits / CAST(n AS DOUBLE) > 0.05 THEN 'en' ELSE 'other' END AS pred
+        |FROM r ORDER BY doc_id""".stripMargin))),
+
+    "quality_score" -> (((spark, dir) => {
+      import spark.implicits._
+      val stop = Seq("the", "a", "of", "to", "and")
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+        .withColumn("n", size($"ts").cast("double"))
+        .withColumn("nd", size(array_distinct($"ts")).cast("double"))
+        .withColumn("hits", expr(
+          s"CAST(size(filter(ts, t -> t IN (${stop.map(s => s"'$s'").mkString(",")}))) AS DOUBLE)"))
+        .withColumn("qs", r4(
+          lit(0.4) * least(lit(1.0), $"n" / 200.0) +
+            lit(0.3) * ($"hits" / $"n") + lit(0.3) * ($"nd" / $"n")))
+        .select($"doc_id", $"qs")
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM documents),
+        |r AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n,
+        |             CAST(count(DISTINCT term) AS DOUBLE) AS nd,
+        |             CAST(sum(CASE WHEN term IN ('the','a','of','to','and') THEN 1 ELSE 0 END) AS DOUBLE) AS hits
+        |      FROM t GROUP BY doc_id)
+        |SELECT doc_id, floor((0.4 * least(1.0, n / 200.0) + 0.3 * (hits / n) + 0.3 * (nd / n)) * 10000 + 0.5)/10000 AS qs
+        |FROM r ORDER BY doc_id""".stripMargin))),
+
+    "token_count" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+        .select($"doc_id", size($"ts").cast("long").as("n_tokens"),
+          size(array_distinct($"ts")).cast("long").as("n_distinct"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin))),
+
+    "doc_fingerprint" -> (((spark, dir) => {
+      import spark.implicits._
+      // winnowing-style fingerprint: min md5 over 5-token shingles
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+        .withColumn("sh", expr(
+          "transform(sequence(1, greatest(size(ts) - 4, 1)), i -> " +
+            "concat_ws(' ', slice(ts, i, 5)))"))
+        .select($"doc_id", expr("array_min(transform(sh, s -> md5(s)))").as("fp"))
+        .orderBy($"doc_id")
+    }, Some(
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
+        |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
+        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS i FROM toks))
+        |SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    "multimodal_stub" -> (((spark, dir) => {
+      import spark.implicits._
+      // binary-column plumbing: opaque bytes + typed metadata, decode stubbed
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("blob", unhex(md5($"text"))) // deterministic fake payload
+        .select($"doc_id",
+          length($"blob").cast("long").as("blob_len"),
+          substring(md5($"text"), 1, 2).as("header"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(octet_length(unhex(md5(text))) AS BIGINT) AS blob_len,
+        |       substr(md5(text), 1, 2) AS header
+        |FROM documents ORDER BY doc_id""".stripMargin)))
+  )
+
+  val all: Map[String, (QFn, Option[String])] = fulltext ++ relational ++ pipeline
+}

@@ -72,12 +72,15 @@ object BM25 {
     def globalMaxScore: Double = weight
   }
 
+  /** Double mode uses the exact decimal constants 1.2 / 0.75 (not the
+    * float-widened values) so a SQL oracle can reproduce it literally.
+    */
   def termScorerD(stats: TermStats, field: FieldStats, boost: Double = 1d): TermScorerD = {
     val avgdl = field.avgdlDouble
     val cache = new Array[Double](256)
     var i = 0
     while (i < 256) {
-      cache(i) = 1d / (K1.toDouble * ((1d - B.toDouble) + B.toDouble * SmallFloat.byte4ToInt(i.toByte) / avgdl))
+      cache(i) = 1d / (1.2d * (0.25d + 0.75d * SmallFloat.byte4ToInt(i.toByte) / avgdl))
       i += 1
     }
     new TermScorerD(boost * idfDouble(stats.df, field.docCount), cache)

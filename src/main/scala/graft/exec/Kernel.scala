@@ -49,9 +49,18 @@ object Kernel {
     * score and A.doc > B.doc.
     */
   final class HitHeap(k: Int) {
-    private val scores = new Array[Double](k)
-    private val docs = new Array[Long](k)
+    // lazily grown up to k — callers may pass k >> matches (match-all counts)
+    private var scores = new Array[Double](math.min(k, 1024))
+    private var docs = new Array[Long](math.min(k, 1024))
     var size = 0
+
+    private def ensureCapacity(): Unit = {
+      if (size == scores.length && size < k) {
+        val cap = math.min(k.toLong, scores.length * 2L).toInt
+        scores = java.util.Arrays.copyOf(scores, cap)
+        docs = java.util.Arrays.copyOf(docs, cap)
+      }
+    }
 
     @inline private def less(s1: Double, d1: Long, s2: Double, d2: Long): Boolean =
       s1 < s2 || (s1 == s2 && d1 > d2)
@@ -61,6 +70,7 @@ object Kernel {
 
     /** true if (score, doc) was inserted. */
     def insert(score: Double, doc: Long): Boolean = {
+      ensureCapacity()
       if (size < k) {
         var i = size
         scores(i) = score; docs(i) = doc; size += 1

@@ -140,8 +140,7 @@ object Searcher {
   private def cacheOfD(fs: FieldStats): Array[Double] = {
     val avgdl = fs.avgdlDouble
     Array.tabulate(256)(i =>
-      1d / (BM25.K1.toDouble * ((1d - BM25.B.toDouble) +
-        BM25.B.toDouble * graft.util.SmallFloat.byte4ToInt(i.toByte) / avgdl)))
+      1d / (1.2d * (0.25d + 0.75d * graft.util.SmallFloat.byte4ToInt(i.toByte) / avgdl)))
   }
 
   private def emptyResult(spark: SparkSession, doubleMode: Boolean): DataFrame = {
