@@ -38,8 +38,18 @@ object Cli {
           val ms = (System.nanoTime() - t0) / 1e6
           println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
           hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+        case "explain" :: dir :: Nil =>
+          // plan audit: verify pushdown/pruning/broadcast on the hot paths
+          import org.apache.spark.sql.functions._
+          val index = IndexBuilder.open(spark, dir)
+          println("=== postings scan for a 2-term query (expect PushedFilters on term/kind) ===")
+          index.postings.filter(col("term").isin("def", "class")).explain("formatted")
+          println("=== top-k reduce (expect TakeOrderedAndProject) ===")
+          Searcher.topK(index, "def AND class", 10).explain("formatted")
+          println("=== docmeta projection (expect ReadSchema with 2 cols) ===")
+          index.docmeta.select("docId", "norm").explain("formatted")
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | explain <dir>")
           sys.exit(2)
       }
     } finally spark.stop()

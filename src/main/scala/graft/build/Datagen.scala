@@ -78,11 +78,16 @@ object Datagen {
     )
   }
 
-  /** Distributed generation — deterministic, partition-count independent. */
+  /** Distributed generation — deterministic, partition-count independent.
+    * `numPartitions > 0` fixes the partitioning (contiguous idx ranges),
+    * which the shuffle-free partition-local build maps 1:1 to segments.
+    */
   def corpus(spark: SparkSession, n: Long, seed: Long = 42L,
-             numRepos: Int = 100, vocabSize: Int = 5000): Dataset[SourceRow] = {
+             numRepos: Int = 100, vocabSize: Int = 5000,
+             numPartitions: Int = 0): Dataset[SourceRow] = {
     import spark.implicits._
-    spark.range(n).map(idx => row(seed, idx, numRepos, vocabSize))
+    val rng = if (numPartitions > 0) spark.range(0, n, 1, numPartitions) else spark.range(n)
+    rng.map(idx => row(seed, idx, numRepos, vocabSize))
   }
 
   /** Route the corpus to build segments: deterministic hash of the

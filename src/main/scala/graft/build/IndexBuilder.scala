@@ -44,11 +44,17 @@ final case class BuildRow(
     sha256: String,
     tokenCount: Int,
     norm: Byte,
-    // posting fields (kind = "p")
+    // posting fields (kind = "p") — flat payload layout, see PostingList
     term: String,
     df: Int,
     ttf: Long,
-    blocks: Array[PostingBlock]
+    counts: Array[Int],
+    baseDocIds: Array[Long],
+    maxDocIds: Array[Long],
+    maxFreqs: Array[Int],
+    minNorms: Array[Byte],
+    offsets: Array[Int],
+    payload: Array[Byte]
 )
 
 /** In-memory (or Parquet-backed) index handle. */
@@ -88,24 +94,56 @@ object IndexBuilder {
   def segOf(docId: Long): Int = (docId >> SegShift).toInt
   def ordOf(docId: Long): Long = docId & DocBits
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
-  /** Invert one segment; emits the meta row then sorted posting rows. */
-  private[build] def buildSegment(seg: Int, docs: Iterator[InputDoc]): Iterator[BuildRow] = {
-    val sorted = docs.toArray.sortBy(_.sortKey)
-    // per-term growable postings (docIds ascending by construction)
-    final class Buf {
-      val docIds = new mutable.ArrayBuffer[Long](4)
-      val freqs = new mutable.ArrayBuffer[Int](4)
-      val norms = new mutable.ArrayBuffer[Byte](4)
-      val positions = new mutable.ArrayBuffer[Array[Int]](4)
-      var ttf = 0L
+  /** Growable primitive postings buffer — avoids boxing in the inversion
+    * hot loop (the byte-slice pools of `core/index/TermsHashPerField.java:35`
+    * play the same role in the reference).
+    */
+  private final class Postings {
+    var docIds = new Array[Long](4)
+    var freqs = new Array[Int](4)
+    var norms = new Array[Byte](4)
+    var positions = new Array[Array[Int]](4)
+    var n = 0
+    var ttf = 0L
+    def add(docId: Long, freq: Int, norm: Byte, pos: Array[Int]): Unit = {
+      if (n == docIds.length) {
+        val cap = n * 2
+        docIds = java.util.Arrays.copyOf(docIds, cap)
+        freqs = java.util.Arrays.copyOf(freqs, cap)
+        norms = java.util.Arrays.copyOf(norms, cap)
+        positions = java.util.Arrays.copyOf(positions, cap)
+      }
+      docIds(n) = docId; freqs(n) = freq; norms(n) = norm; positions(n) = pos
+      n += 1
+      ttf += freq
     }
-    val inv = new java.util.HashMap[String, Buf]()
+    def trimmed: (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = (
+      java.util.Arrays.copyOf(docIds, n), java.util.Arrays.copyOf(freqs, n),
+      java.util.Arrays.copyOf(norms, n), java.util.Arrays.copyOf(positions, n))
+  }
+
+  /** Invert one segment; emits the meta row then sorted posting rows.
+    * One tokenize pass per doc; per-doc term grouping via a stable sort of
+    * the token array (positions stay ascending within each run).
+    */
+  def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false): Iterator[BuildRow] = {
+    val sorted = if (preSorted) docs.toArray else docs.toArray.sortBy(_.sortKey)
+    val inv = new java.util.HashMap[String, Postings]()
     val metas = new mutable.ArrayBuffer[BuildRow](sorted.length)
     var ord = 0L
     sorted.foreach { d =>
@@ -113,39 +151,44 @@ object IndexBuilder {
       ord += 1
       val tokens = CodeAnalyzer.tokenize(d.content)
       val norm = SmallFloat.intToByte4(tokens.length)
-      // per-doc term -> positions
-      val byTerm = new java.util.HashMap[String, mutable.ArrayBuffer[Int]]()
-      tokens.foreach { t =>
-        var ps = byTerm.get(t.term)
-        if (ps == null) { ps = new mutable.ArrayBuffer[Int](2); byTerm.put(t.term, ps) }
-        ps += t.pos
-      }
-      byTerm.forEach { (term, ps) =>
+      // group tokens by term: stable sort keeps positions ascending per run
+      java.util.Arrays.sort(tokens, (a: graft.analysis.Token, b: graft.analysis.Token) =>
+        a.term.compareTo(b.term))
+      var i = 0
+      while (i < tokens.length) {
+        val term = tokens(i).term
+        var j = i
+        while (j < tokens.length && tokens(j).term == term) j += 1
+        val ps = new Array[Int](j - i)
+        var k = i
+        while (k < j) { ps(k - i) = tokens(k).pos; k += 1 }
         var buf = inv.get(term)
-        if (buf == null) { buf = new Buf; inv.put(term, buf) }
-        buf.docIds += docId
-        buf.freqs += ps.length
-        buf.norms += norm
-        buf.positions += ps.toArray
-        buf.ttf += ps.length
+        if (buf == null) { buf = new Postings; inv.put(term, buf) }
+        buf.add(docId, j - i, norm, ps)
+        i = j
       }
       metas += BuildRow(
         kind = "m", seg = seg, docId = docId, repo = d.repo, path = d.path,
         commit = d.commit, lang = d.lang, sha256 = sha256Hex(d.content),
         tokenCount = tokens.length, norm = norm,
-        term = null, df = 0, ttf = 0L, blocks = null
+        term = null, df = 0, ttf = 0L, counts = null, baseDocIds = null,
+        maxDocIds = null, maxFreqs = null, minNorms = null, offsets = null,
+        payload = null
       )
     }
     val terms = inv.keySet().toArray(new Array[String](0))
     java.util.Arrays.sort(terms.asInstanceOf[Array[Object]])
     val posts = terms.iterator.map { term =>
       val buf = inv.get(term)
-      val blocks = PostingCodec.encode(
-        buf.docIds.toArray, buf.freqs.toArray, buf.norms.toArray, buf.positions.toArray)
+      val (ids, freqs, norms, poss) = buf.trimmed
+      val pl = PostingCodec.encode(seg, term, ids, freqs, norms, poss)
       BuildRow(
         kind = "p", seg = seg, docId = -1L, repo = null, path = null, commit = null,
         lang = null, sha256 = null, tokenCount = 0, norm = 0,
-        term = term, df = buf.docIds.length, ttf = buf.ttf, blocks = blocks
+        term = term, df = pl.df, ttf = pl.ttf, counts = pl.counts,
+        baseDocIds = pl.baseDocIds, maxDocIds = pl.maxDocIds,
+        maxFreqs = pl.maxFreqs, minNorms = pl.minNorms, offsets = pl.offsets,
+        payload = pl.payload
       )
     }
     metas.iterator ++ posts
@@ -154,7 +197,8 @@ object IndexBuilder {
   private def toIndex(spark: SparkSession, out: Dataset[BuildRow]): Index = {
     import spark.implicits._
     val postings = out.filter(_.kind == "p")
-      .map(r => PostingList(r.seg, r.term, r.df, r.ttf, r.blocks))
+      .map(r => PostingList(r.seg, r.term, r.df, r.ttf, r.counts, r.baseDocIds,
+        r.maxDocIds, r.maxFreqs, r.minNorms, r.offsets, r.payload))
     val docmeta = out.filter(_.kind == "m")
       .map(r => DocMeta(r.docId, r.repo, r.path, r.commit, r.lang, r.sha256, r.tokenCount, r.norm))
     // global term stats: partial (per-seg df/ttf already aggregated) -> final
@@ -175,11 +219,52 @@ object IndexBuilder {
     toIndex(spark, out)
   }
 
+  /** Shuffle-free build: each INPUT partition becomes a segment — the
+    * distributed restatement of the reference's per-thread DWPT buffers
+    * (`core/index/DocumentsWriterPerThread.java:52`: ingestion parallelism
+    * = private per-worker buffers, no data exchange). Content never moves;
+    * docId order inside a segment is input order. The general hash-routed
+    * path (with its explicit `seg`/`sortKey`) remains for inputs whose
+    * partitioning isn't trusted; consolidation of many mini-segments is
+    * `IndexMerger.forceMerge`'s job.
+    */
+  def buildPartitionLocal(spark: SparkSession, source: Dataset[SourceRow], dir: String): Seq[SegmentManifest] = {
+    import spark.implicits._
+    val acc = new SegMetricsAccumulator
+    spark.sparkContext.register(acc, "segMetrics")
+    val out = source.mapPartitions { it =>
+      val seg = org.apache.spark.TaskContext.getPartitionId()
+      buildSegment(seg, it.map(r =>
+        InputDoc(seg, "", r.repo, r.path, r.commit, r.lang, r.content)), preSorted = true)
+        .map { r => acc.add(r); r }
+    }
+    val gen = nextGen(dir)
+    out.write.mode("overwrite").parquet(s"$dir/segments/$gen")
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[SegmentManifest]
+    acc.value.forEach { (seg, m) =>
+      val man = SegmentManifest(seg, "complete", m(0), m(1), m(2),
+        s"partition-local:${m(0)}", CodeConfigHash, gen)
+      writeManifest(dir, man)
+      manifests += man
+    }
+    writeStats(spark, dir)
+    manifests.toSeq.sortBy(_.seg)
+  }
+
+  /** Next write-once generation dir name — the `segments_N` counter. */
+  private def nextGen(dir: String): String = {
+    val segs = new java.io.File(s"$dir/segments")
+    val existing = if (!segs.exists()) Seq.empty
+      else segs.listFiles().toSeq.map(_.getName)
+        .collect { case g if g.startsWith("gen_") => g.stripPrefix("gen_").toLong }
+    "gen_" + (if (existing.isEmpty) 0L else existing.max + 1L)
+  }
+
   // ---------- persistent, resumable build (north rule: checkpoint + lineage) ----------
 
   /** Config hash for lineage: analyzer + codec + layout version. */
   val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=vbyte-delta-b${PostingCodec.BlockSize};layout=v1"
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=vbyte-delta-b${PostingCodec.BlockSize};layout=v3"
   ).take(16)
 
   /** Order-independent fingerprint of a segment's input slice
@@ -197,6 +282,33 @@ object IndexBuilder {
       .toMap
   }
 
+  /** Per-segment (docs, postings, bytes, sumTokens) tally. */
+  final class SegMetricsAccumulator
+      extends org.apache.spark.util.AccumulatorV2[BuildRow, java.util.HashMap[Int, Array[Long]]] {
+    private var map = new java.util.HashMap[Int, Array[Long]]()
+    def isZero: Boolean = map.isEmpty
+    def copy(): SegMetricsAccumulator = {
+      val c = new SegMetricsAccumulator
+      map.forEach((k, v) => c.map.put(k, v.clone()))
+      c
+    }
+    def reset(): Unit = map = new java.util.HashMap[Int, Array[Long]]()
+    def add(r: BuildRow): Unit = {
+      var slot = map.get(r.seg)
+      if (slot == null) { slot = new Array[Long](4); map.put(r.seg, slot) }
+      if (r.kind == "m") { slot(0) += 1; slot(3) += r.tokenCount }
+      else { slot(1) += r.df; slot(2) += r.payload.length }
+    }
+    def merge(other: org.apache.spark.util.AccumulatorV2[BuildRow, java.util.HashMap[Int, Array[Long]]]): Unit =
+      other.value.forEach { (k, v) =>
+        var slot = map.get(k)
+        if (slot == null) { slot = new Array[Long](4); map.put(k, slot) }
+        var i = 0
+        while (i < 4) { slot(i) += v(i); i += 1 }
+      }
+    def value: java.util.HashMap[Int, Array[Long]] = map
+  }
+
   private def manifestPath(dir: String, seg: Int) = s"$dir/manifest/seg_$seg.json"
 
   private def readManifest(dir: String, seg: Int): Option[SegmentManifest] = {
@@ -210,7 +322,8 @@ object IndexBuilder {
         m.map(_.group(1)).getOrElse("")
       }
       try Some(SegmentManifest(f("seg").toInt, f("status"), f("docs").toLong,
-        f("postings").toLong, f("bytes").toLong, f("inputFingerprint"), f("codeConfigHash")))
+        f("postings").toLong, f("bytes").toLong, f("inputFingerprint"), f("codeConfigHash"),
+        f("dataDir")))
       catch { case _: Exception => None }
     }
   }
@@ -220,7 +333,8 @@ object IndexBuilder {
     java.nio.file.Files.createDirectories(p.getParent)
     val json =
       s"""{"seg":${m.seg},"status":"${m.status}","docs":${m.docs},"postings":${m.postings},""" +
-        s""""bytes":${m.bytes},"inputFingerprint":"${m.inputFingerprint}","codeConfigHash":"${m.codeConfigHash}"}"""
+        s""""bytes":${m.bytes},"inputFingerprint":"${m.inputFingerprint}",""" +
+        s""""codeConfigHash":"${m.codeConfigHash}","dataDir":"${m.dataDir}"}"""
     java.nio.file.Files.writeString(p, json)
   }
 
@@ -249,34 +363,25 @@ object IndexBuilder {
     }.keySet
 
     if (todo.nonEmpty) {
+      // per-segment metrics tallied in-flight (no read-back jobs); local
+      // mode has no task retries — on a cluster, retried write tasks could
+      // double-tally, in which case derive metrics from the read-back path
+      val acc = new SegMetricsAccumulator
+      spark.sparkContext.register(acc, "segMetrics")
       val out = docs.filter($"seg".isin(todo.toSeq: _*))
         .as[InputDoc]
         .groupByKey(_.seg)
-        .flatMapGroups((seg, it) => buildSegment(seg, it))
-      out.write
-        .partitionBy("kind", "seg")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(s"$dir/segments")
+        .flatMapGroups { (seg, it) =>
+          buildSegment(seg, it).map { r => acc.add(r); r }
+        }
+      val gen = nextGen(dir)
+      out.write.mode("overwrite").parquet(s"$dir/segments/$gen")
 
-      // metrics per rebuilt segment (column-pruned scan of what was written)
-      val built = spark.read.parquet(s"$dir/segments")
-        .filter($"kind" === "p" && $"seg".isin(todo.toSeq: _*))
-        .select($"seg", $"df".cast("long").as("df"),
-          (aggregate(transform($"blocks", b =>
-            octet_length(b("docIds")) + octet_length(b("freqs")) +
-              octet_length(b("norms")) + octet_length(b("positions"))),
-            lit(0L), (acc, x) => acc + x)).as("bytes"))
-        .groupBy($"seg").agg(sum($"df").as("postings"), sum($"bytes").as("bytes"))
-        .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-      val docsPerSeg = spark.read.parquet(s"$dir/segments")
-        .filter($"kind" === "m" && $"seg".isin(todo.toSeq: _*))
-        .groupBy($"seg").count().as[(Int, Long)].collect().toMap
-
+      val metrics = acc.value
       todo.foreach { seg =>
-        val (postings, bytes) = built.getOrElse(seg, (0L, 0L))
-        writeManifest(dir, SegmentManifest(seg, "complete", docsPerSeg.getOrElse(seg, 0L),
-          postings, bytes, fps(seg), CodeConfigHash))
+        val m = metrics.getOrDefault(seg, new Array[Long](4))
+        writeManifest(dir, SegmentManifest(seg, "complete", m(0),
+          m(1), m(2), fps(seg), CodeConfigHash, gen))
       }
       // refresh global stats (invalid once any segment changed)
       writeStats(spark, dir)
@@ -286,12 +391,37 @@ object IndexBuilder {
     fps.keys.toSeq.sorted.flatMap(seg => readManifest(dir, seg))
   }
 
+  /** Live file set: manifests pick (gen dir, segs) pairs — write-once
+    * files + manifest selection, the `segments_N` commit-point model.
+    * A seg rebuilt into a newer generation shadows its old files.
+    */
+  private def openRaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val manifests = listManifests(dir)
+    val byGen = manifests.groupBy(_.dataDir)
+    byGen.map { case (gen, ms) =>
+      spark.read.parquet(s"$dir/segments/$gen")
+        .filter($"seg".isin(ms.map(_.seg): _*))
+    }.reduce(_ unionByName _)
+  }
+
+  private def listManifests(dir: String): Seq[SegmentManifest] = {
+    val d = new java.io.File(s"$dir/manifest")
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .collect { case n if n.startsWith("seg_") && n.endsWith(".json") =>
+        n.stripPrefix("seg_").stripSuffix(".json").toInt }
+      .sorted.flatMap(seg => readManifest(dir, seg))
+  }
+
   private def writeStats(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
-    val posts = spark.read.parquet(s"$dir/segments").filter($"kind" === "p")
+    val raw = openRaw(spark, dir)
+    val posts = raw.filter($"kind" === "p")
     posts.groupBy($"term").agg(sum($"df").as("df"), sum($"ttf").as("ttf"))
+      .coalesce(8) // few write tasks: per-task Hadoop-conf deser is costly
       .write.mode("overwrite").parquet(s"$dir/stats/terms")
-    val metas = spark.read.parquet(s"$dir/segments").filter($"kind" === "m")
+    val metas = raw.filter($"kind" === "m")
     val (n, sttf) = metas.agg(count(lit(1)), coalesce(sum($"tokenCount".cast("long")), lit(0L)))
       .as[(Long, Long)].head()
     java.nio.file.Files.writeString(
@@ -302,9 +432,11 @@ object IndexBuilder {
   /** Open a persistent index. */
   def open(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
-    val seg = spark.read.parquet(s"$dir/segments")
+    val seg = openRaw(spark, dir)
     val postings = seg.filter($"kind" === "p")
-      .select($"seg", $"term", $"df", $"ttf", $"blocks").as[PostingList]
+      .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
+        $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
+      .as[PostingList]
     val docmeta = seg.filter($"kind" === "m")
       .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256", $"tokenCount", $"norm")
       .as[DocMeta]

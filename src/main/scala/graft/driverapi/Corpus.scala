@@ -16,9 +16,11 @@ object Corpus {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, (Index, DataFrame)]
 
-  /** (engine index, docId->doc_id mapping) for `dir`'s documents table. */
+  /** (engine index, docId->doc_id mapping) for `dir`'s documents table.
+    * Keyed by (session, dir) — cached Datasets die with their session.
+    */
   def get(spark: SparkSession, dir: String): (Index, DataFrame) =
-    cache.getOrElseUpdate(dir, {
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
       import spark.implicits._
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val maxId = docs.agg(max($"doc_id")).head().getLong(0)

@@ -44,19 +44,26 @@ object Queries {
     * double precision, quantised norms, identical formula to
     * BM25.TermScorerD: score = sum_t [ idf_t - idf_t/(1 + tf*normInv) ].
     */
-  private def bm25Sql(terms: Seq[String], requireAll: Boolean, k: Int): String = {
-    val inList = terms.map(t => s"'$t'").mkString(", ")
-    val having = if (requireAll) s"HAVING count(DISTINCT tf.term) = ${terms.length}" else ""
+  private def bm25Sql(terms: Seq[String], requireAll: Boolean, k: Int): String =
+    bm25SqlPred(s"term IN (${terms.map(t => s"'$t'").mkString(", ")})",
+      if (requireAll) terms.length else 0, "sum", k)
+
+  /** Generalised BM25 oracle: term predicate (IN / levenshtein / range),
+    * required distinct-match count (0 = any), and score combiner
+    * (sum = boolean SHOULD, max = DisjunctionMax with tieBreak 0).
+    */
+  private def bm25SqlPred(termPred: String, requireDistinct: Int, agg: String, k: Int): String = {
+    val having = if (requireDistinct > 0) s"HAVING count(DISTINCT tf.term) = $requireDistinct" else ""
     s"""WITH $tokCte,
        |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
        |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
        |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ($inList) GROUP BY doc_id, term),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE $termPred GROUP BY doc_id, term),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
        |sc AS (SELECT tf.doc_id,
-       |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+       |              $agg(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
        |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
        |       GROUP BY tf.doc_id $having)
        |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
@@ -65,10 +72,13 @@ object Queries {
   }
 
   /** Engine-side BM25 top-k with the same rounded re-rank. */
-  private def ftScored(q: String, k: Int): QFn = (spark, dir) => {
+  private def ftScored(q: String, k: Int): QFn = (spark, dir) =>
+    ftScoredQ(graft.query.QueryParser.parse(q), k)(spark, dir)
+
+  private def ftScoredQ(q0: graft.query.Query, k: Int): QFn = (spark, dir) => {
     import spark.implicits._
     val (index, mapping) = Corpus.get(spark, dir)
-    val hits = Searcher.topK(index, q, k + 40, doubleMode = true)
+    val hits = Searcher.topKQ(index, q0, k + 40, doubleMode = true)
     hits.join(mapping, "docId")
       .select($"doc_id", r4($"score").as("score"))
       .withColumn("rank",
@@ -89,6 +99,20 @@ object Queries {
 
     "ft_or_topk" -> ((ftScored("merge OR stream OR vector", 10),
       Some(bm25Sql(Seq("merge", "stream", "vector"), requireAll = false, 10)))),
+
+    "ft_fuzzy_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.FuzzyQ("merg", 1), 10)(spark, dir)
+    }, Some(bm25SqlPred(
+      "abs(length(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1", 0, "sum", 10)))),
+
+    "ft_range_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.TermRangeQ("va", "var"), 10)(spark, dir)
+    }, Some(bm25SqlPred("term >= 'va' AND term <= 'var'", 0, "sum", 10)))),
+
+    "ft_dismax_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.DisMaxQ(Seq(
+        graft.query.TermQ("merge"), graft.query.TermQ("stream")), 0d), 10)(spark, dir)
+    }, Some(bm25SqlPred("term IN ('merge', 'stream')", 0, "max", 10)))),
 
     "ft_not_count" -> (((spark, dir) => {
       import spark.implicits._
@@ -616,6 +640,17 @@ object Queries {
         |sh AS (SELECT doc_id, md5(array_to_string(ts[i:i+4], ' ')) AS h
         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS i FROM toks))
         |SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
+    // batched binary decode (mapPartitions): stubbed codec, real plumbing —
+    // no SQL oracle (rows-only check) since the stub hash isn't ANSI-SQL
+    "multimodal_decode" -> (((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Multimodal.decodeFeatures(
+          graft.pipeline.Multimodal.fromDocuments(spark, dir))
+        .toDF()
+        .select($"doc_id", $"mediaType", $"byteLen", $"width", $"height")
+        .orderBy($"doc_id")
+    }, None)),
 
     "multimodal_stub" -> (((spark, dir) => {
       import spark.implicits._

@@ -1,7 +1,7 @@
 package graft.exec
 
 import graft.codec.PostingCodec
-import graft.model.{PostingBlock, ScoredDoc}
+import graft.model.PostingList
 
 /** Per-segment scoring kernels.
   *
@@ -136,8 +136,9 @@ object Kernel {
   /** Posting-list cursor with lazy block decode and block-skip on
     * advance (skip data analogue, `Lucene103PostingsFormat.java:343-353`).
     */
-  final class TermCursor(blocks: Array[PostingBlock], val scorer: AnyScorer, needPositions: Boolean = false)
+  final class TermCursor(pl: PostingList, val scorer: AnyScorer, needPositions: Boolean = false)
       extends DocCursor {
+    private val numBlocks = pl.numBlocks
     private var blockIdx = -1
     private var decoded: PostingCodec.Decoded = _
     private var i = 0
@@ -148,32 +149,29 @@ object Kernel {
     val maxScoreBound: Double = {
       var m = 0d
       var b = 0
-      while (b < blocks.length) {
-        val ub = scorer.maxScore(blocks(b).maxFreq, blocks(b).minNorm)
+      while (b < numBlocks) {
+        val ub = scorer.maxScore(pl.maxFreqs(b), pl.minNorms(b))
         if (ub > m) m = ub
         b += 1
       }
       m
     }
 
-    @inline private def prevBlockLast(bi: Int): Long =
-      if (bi == 0) -1L else blocks(bi - 1).maxDocId
-
     private def loadBlock(bi: Int): Unit = {
       blockIdx = bi
-      decoded = PostingCodec.decodeBlock(blocks(bi), prevBlockLast(bi), needPositions)
+      decoded = PostingCodec.decodeBlock(pl, bi, needPositions)
       i = 0
       n = decoded.docIds.length
     }
 
     def nextDoc(): Long = {
       if (blockIdx < 0) {
-        if (blocks.isEmpty) { doc = NoMoreDocs; return doc }
+        if (numBlocks == 0) { doc = NoMoreDocs; return doc }
         loadBlock(0)
       } else {
         i += 1
         if (i >= n) {
-          if (blockIdx + 1 >= blocks.length) { doc = NoMoreDocs; return doc }
+          if (blockIdx + 1 >= numBlocks) { doc = NoMoreDocs; return doc }
           loadBlock(blockIdx + 1)
         }
       }
@@ -183,11 +181,11 @@ object Kernel {
 
     def advance(target: Long): Long = {
       if (doc == NoMoreDocs) return doc
-      // block skip without decoding
+      // block skip without decoding (metadata-only scan)
       var bi = math.max(blockIdx, 0)
-      if (blockIdx < 0 || target > blocks(blockIdx).maxDocId) {
-        while (bi < blocks.length && blocks(bi).maxDocId < target) bi += 1
-        if (bi >= blocks.length) { doc = NoMoreDocs; return doc }
+      if (blockIdx < 0 || target > pl.maxDocIds(blockIdx)) {
+        while (bi < numBlocks && pl.maxDocIds(bi) < target) bi += 1
+        if (bi >= numBlocks) { doc = NoMoreDocs; return doc }
         if (bi != blockIdx) loadBlock(bi)
       }
       while (i < n && decoded.docIds(i) < target) i += 1
@@ -197,7 +195,7 @@ object Kernel {
     }
 
     private def nextDocFromBlockEnd(): Long = {
-      if (blockIdx + 1 >= blocks.length) { doc = NoMoreDocs; doc }
+      if (blockIdx + 1 >= numBlocks) { doc = NoMoreDocs; doc }
       else { loadBlock(blockIdx + 1); doc = decoded.docIds(0); doc }
     }
 
@@ -208,10 +206,10 @@ object Kernel {
 
     /** Upper bound of the current block (for BMW); call only when on a doc. */
     def blockMaxScore: Double =
-      scorer.maxScore(blocks(blockIdx).maxFreq, blocks(blockIdx).minNorm)
+      scorer.maxScore(pl.maxFreqs(blockIdx), pl.minNorms(blockIdx))
 
     /** Last doc of the current block. */
-    def blockLastDoc: Long = blocks(blockIdx).maxDocId
+    def blockLastDoc: Long = pl.maxDocIds(blockIdx)
   }
 
   /** Leapfrog conjunction — `core/search/ConjunctionScorer.java:24`,
@@ -303,6 +301,32 @@ object Kernel {
       var j = 0
       while (j < subs.length) { if (subs(j).doc == doc) s += subs(j).score(); j += 1 }
       s
+    }
+  }
+
+  /** Disjunction scored with max + tieBreak*(sum-max) —
+    * `core/search/DisjunctionMaxScorer.java`.
+    */
+  final class DisMaxCursor(subs: Array[DocCursor], tieBreak: Double) extends DocCursor {
+    private val disj = new DisjunctionCursor(subs, 1)
+    def doc: Long = disj.doc
+    val maxScoreBound: Double =
+      subs.map(_.maxScoreBound).max + tieBreak * subs.map(_.maxScoreBound).sum
+    def nextDoc(): Long = disj.nextDoc()
+    def advance(target: Long): Long = disj.advance(target)
+    def score(): Double = {
+      var mx = 0d
+      var sum = 0d
+      var j = 0
+      while (j < subs.length) {
+        if (subs(j).doc == doc) {
+          val s = subs(j).score()
+          if (s > mx) mx = s
+          sum += s
+        }
+        j += 1
+      }
+      mx + tieBreak * (sum - mx)
     }
   }
 

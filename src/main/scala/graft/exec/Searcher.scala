@@ -43,21 +43,50 @@ object Searcher {
       .as[String].collect().toSeq
   }
 
-  private def substitutePrefixes(q: Query, exp: Map[String, Seq[String]]): Query = q match {
-    case PrefixQ(p) =>
-      exp.getOrElse(p, Nil) match {
+  /** Fuzzy expansion: dictionary terms within `maxEdits` Levenshtein
+    * (`core/search/FuzzyQuery.java:52`) — Spark's codegen'd `levenshtein`
+    * plays the Lev-automaton's role over the sorted term dictionary.
+    */
+  def expandFuzzy(index: Index, term: String, maxEdits: Int): Seq[String] = {
+    import index.postings.sparkSession.implicits._
+    index.termStats
+      .filter(length($"term") >= length(lit(term)) - maxEdits &&
+        length($"term") <= length(lit(term)) + maxEdits)
+      .filter(levenshtein($"term", lit(term)) <= maxEdits)
+      .select($"term").orderBy($"term")
+      .limit(Query.MaxClauseCount)
+      .as[String].collect().toSeq
+  }
+
+  /** Lexicographic range expansion (`core/search/TermRangeQuery.java:37`);
+    * sorted term column gives parquet min/max pruning for free.
+    */
+  def expandRange(index: Index, lo: String, hi: String): Seq[String] = {
+    import index.postings.sparkSession.implicits._
+    index.termStats
+      .filter($"term" >= lo && $"term" <= hi)
+      .select($"term").orderBy($"term")
+      .limit(Query.MaxClauseCount)
+      .as[String].collect().toSeq
+  }
+
+  private def substitutePrefixes(q: Query, exp: Map[Query, Seq[String]]): Query = q match {
+    case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) =>
+      exp.getOrElse(q, Nil) match {
         case Nil => MatchNone
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
     case BoolQ(m, s, n, msm) =>
       BoolQ(m.map(substitutePrefixes(_, exp)), s.map(substitutePrefixes(_, exp)),
         n.map(substitutePrefixes(_, exp)), msm)
+    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(substitutePrefixes(_, exp)), tb)
     case other => other
   }
 
   private def phrases(q: Query): Set[Seq[String]] = q match {
     case PhraseQ(ts) => Set(ts)
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(phrases).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(phrases).toSet
     case _ => Set.empty
   }
 
@@ -73,9 +102,15 @@ object Searcher {
     val spark = index.postings.sparkSession
     import spark.implicits._
 
-    // 1. rewrite + multi-term expansion
+    // 1. rewrite + multi-term expansion (prefix / fuzzy / range)
     val pre = Query.rewrite(query0)
-    val exp = Query.prefixes(pre).map(p => p -> expandPrefix(index, p)).toMap
+    val exp: Map[Query, Seq[String]] =
+      Query.prefixes(pre).map(p => (PrefixQ(p): Query) -> expandPrefix(index, p)).toMap ++
+        Query.expansions(pre).map {
+          case f @ FuzzyQ(t, e) => (f: Query) -> expandFuzzy(index, t, e)
+          case r @ TermRangeQ(lo, hi) => (r: Query) -> expandRange(index, lo, hi)
+          case other => (other, Nil)
+        }.toMap
     val query = Query.rewrite(substitutePrefixes(pre, exp))
 
     if (query == MatchNone) return emptyResult(spark, doubleMode)
@@ -119,7 +154,12 @@ object Searcher {
       .as[PostingList]
       .groupByKey(_.seg)
       .flatMapGroups { (_, rows) =>
-        val byTerm = rows.map(r => r.term -> r).toMap
+        // a term may span multiple rows (mega-term salt split / merge output);
+        // blocks are self-contained, so concat in docId order
+        val byTerm = rows.toSeq.groupBy(_.term).map { case (t, rs) =>
+          if (rs.size == 1) t -> rs.head
+          else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
+        }
         SegmentKernel.run(q, byTerm, scorers.term, scorers.phrase, kk)
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
@@ -165,7 +205,7 @@ object SegmentKernel {
   ): Array[(Long, Double)] = {
 
     def termCursor(t: String, needPos: Boolean): Option[TermCursor] =
-      byTerm.get(t).map(pl => new TermCursor(pl.blocks, termScorers(t), needPos))
+      byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t), needPos))
 
     // physical strategy selection on the rewritten root
     q match {
@@ -181,7 +221,7 @@ object SegmentKernel {
           // rarest-first lead order (cost = segment-local df),
           // `ConjunctionDISI` cost ordering
           val sorted = ts.sortBy(t => byTerm(t).df)
-            .map(t => new TermCursor(byTerm(t).blocks, termScorers(t))).toArray
+            .map(t => new TermCursor(byTerm(t), termScorers(t))).toArray
           conjunctionTopK(sorted, k)
         }
       case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty &&
@@ -214,13 +254,18 @@ object SegmentKernel {
   ): Option[DocCursor] = q match {
     case MatchNone | MatchAll => None // MatchAll only survives in pure-negation -> empty
     case TermQ(t) =>
-      byTerm.get(t).map(pl => new TermCursor(pl.blocks, termScorers(t)))
+      byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t)))
     case PhraseQ(ts) =>
       val cs = ts.map(t => byTerm.get(t).map(pl =>
-        new TermCursor(pl.blocks, termScorers(t), needPositions = true)))
+        new TermCursor(pl, termScorers(t), needPositions = true)))
       if (cs.exists(_.isEmpty)) None
       else Some(new PhraseCursor(cs.flatten.toArray, phraseScorers(ts)))
-    case PrefixQ(_) => None // expanded before kernel
+    case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded before kernel
+    case DisMaxQ(cs, tb) =>
+      val sub = cs.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers))
+      if (sub.isEmpty) None
+      else if (sub.size == 1) Some(sub.head)
+      else Some(new DisMaxCursor(sub.toArray, tb))
     case BoolQ(must0, should, mustNot, msm) =>
       val must = must0.filterNot(_ == MatchAll)
       val mc = must.map(buildCursor(_, byTerm, termScorers, phraseScorers))

@@ -59,23 +59,39 @@ final case class DocMeta(
   * (`core/codecs/lucene103/ForUtil.java:32` BLOCK_SIZE=128) with
   * block-max skip metadata (`Lucene103PostingsFormat.java:343-353`).
   */
-final case class PostingBlock(
-    maxDocId: Long, // last docId in block (skip key)
-    maxFreq: Int, // block-max impact: max term freq in block
-    minNorm: Byte, // block-max impact: norm byte of the *shortest* doc in block
-    docIds: Array[Byte], // delta-varint encoded docIds (ascending)
-    freqs: Array[Byte], // varint encoded freqs, aligned with docIds
-    norms: Array[Byte], // raw norm byte per posting, aligned with docIds
-    positions: Array[Byte] // delta-varint positions, freq(i) entries per posting i
-)
-
+/** Posting list layout: flat primitive metadata arrays (one entry per
+  * 128-doc block) + ONE binary payload. Chosen over an
+  * array-of-block-structs because Tungsten encodes primitive arrays and a
+  * single binary orders of magnitude faster than nested structs — the
+  * layout is shuffled at merge time and written/read at build/query time,
+  * so its encoding cost IS the build cost.
+  *
+  * Skip/impact metadata (`maxDocIds`, `maxFreqs`, `minNorms` — the
+  * reference's inlined skip data + impacts,
+  * `Lucene103PostingsFormat.java:343-353`) is readable without touching
+  * the payload; `baseDocIds(i)` is the docId block i's first delta is
+  * relative to (-1 = absolute), making every block self-contained so
+  * rows can be split (mega-term salting) and concatenated (merge,
+  * query-time) freely.
+  *
+  * Payload per block at `offsets(i)..offsets(i+1)`:
+  * [docId-delta varints][freq-1 varints][norm bytes][position-delta varints].
+  */
 final case class PostingList(
     seg: Int, // segment id = docId-range partition
     term: String,
     df: Int, // segment-local doc freq
     ttf: Long, // segment-local total term freq
-    blocks: Array[PostingBlock]
-)
+    counts: Array[Int], // postings per block
+    baseDocIds: Array[Long],
+    maxDocIds: Array[Long],
+    maxFreqs: Array[Int],
+    minNorms: Array[Byte],
+    offsets: Array[Int], // numBlocks + 1 entries into payload
+    payload: Array[Byte]
+) {
+  def numBlocks: Int = counts.length
+}
 
 /** Global per-term statistics (BM25 idf inputs) — Lucene's
   * `TermStatistics` (`core/search/TermStatistics.java`).
@@ -101,7 +117,8 @@ final case class SegmentManifest(
     postings: Long, // number of (term, doc) pairs in the segment
     bytes: Long, // encoded posting payload bytes
     inputFingerprint: String, // fingerprint of the input slice this seg was built from
-    codeConfigHash: String // analyzer/codec config hash (lineage)
+    codeConfigHash: String, // analyzer/codec config hash (lineage)
+    dataDir: String // generation dir under segments/ holding this seg's files
 )
 
 /** A scored hit. Tie-break contract: score desc, then docId asc —

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline.
+  *
+  * Media (image/audio/video) ride as opaque `binary` columns with typed
+  * metadata. The expensive decode/feature step runs batched per
+  * partition (`mapPartitions` — the Scala analogue of `mapInPandas`
+  * batch UDFs): partition-sized batches amortise model/codec
+  * initialisation, and the schema contract keeps Catalyst planning the
+  * scan/shuffle around the opaque payload. The actual codec is STUBBED
+  * (no image/audio libraries in this environment) with a deterministic
+  * fake — the Spark-side plumbing (schema, batching, partitioning) is
+  * real and tested.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, mediaType: String, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long,
+      mediaType: String,
+      byteLen: Int,
+      // stubbed "decoded" metadata a real codec would produce:
+      width: Int,
+      height: Int,
+      embedding: Array[Float] // stubbed feature vector (deterministic)
+  )
+
+  /** Deterministic fake decode: a real implementation would hand
+    * `payload` to an image/audio codec here (???-equivalent boundary).
+    */
+  private def stubDecode(r: MediaRow): MediaFeatures = {
+    val h = java.util.Arrays.hashCode(r.payload)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      mediaType = r.mediaType,
+      byteLen = r.payload.length,
+      width = 16 + math.floorMod(h, 64),
+      height = 16 + math.floorMod(h >> 8, 64),
+      embedding = Array.tabulate(8)(i => math.floorMod(h >> i, 251) / 251.0f)
+    )
+  }
+
+  /** Batched decode/feature-extract over the opaque payload column. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition init happens here in a real codec (load model, ...)
+      batch.map(stubDecode)
+    }
+  }
+
+  /** Build a deterministic media table from the documents table (fake
+    * payloads derived from text) — test/driver harness input.
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, "image").when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("mediaType"),
+        unhex(md5($"text")).as("payload"))
+      .as[MediaRow]
+  }
+}

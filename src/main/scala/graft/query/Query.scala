@@ -16,6 +16,20 @@ case object MatchNone extends Query
 final case class TermQ(term: String) extends Query
 final case class PhraseQ(terms: Seq[String]) extends Query
 final case class PrefixQ(prefix: String) extends Query
+
+/** Levenshtein expansion against the term dictionary —
+  * `core/search/FuzzyQuery.java:52` (SCORING_BOOLEAN rewrite).
+  */
+final case class FuzzyQ(term: String, maxEdits: Int = 1) extends Query
+
+/** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
+final case class TermRangeQ(lo: String, hi: String) extends Query
+
+/** Union scored with max (+ tieBreak * (sum - max)) —
+  * `core/search/DisjunctionMaxQuery.java:44`.
+  */
+final case class DisMaxQ(clauses: Seq[Query], tieBreak: Double = 0d) extends Query
+
 final case class BoolQ(
     must: Seq[Query] = Nil,
     should: Seq[Query] = Nil,
@@ -73,6 +87,11 @@ object Query {
       }
     case PhraseQ(Seq(t)) => TermQ(t)
     case PhraseQ(Nil) => MatchNone
+    case DisMaxQ(Nil, _) => MatchNone
+    case DisMaxQ(Seq(c), _) => rewriteOnce(c)
+    case DisMaxQ(cs, tb) =>
+      val r = cs.map(rewriteOnce).filterNot(_ == MatchNone)
+      if (r.isEmpty) MatchNone else DisMaxQ(r, tb)
     case other => other
   }
 
@@ -83,12 +102,23 @@ object Query {
     case TermQ(t) => Set(t)
     case PhraseQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(literalTerms).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case _ => Set.empty
   }
 
   def prefixes(q: Query): Set[String] = q match {
     case PrefixQ(p) => Set(p)
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(prefixes).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(prefixes).toSet
+    case _ => Set.empty
+  }
+
+  /** Multi-term queries needing dictionary expansion (fuzzy/range). */
+  def expansions(q: Query): Set[Query] = q match {
+    case f: FuzzyQ => Set(f)
+    case r: TermRangeQ => Set(r)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(expansions).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(expansions).toSet
     case _ => Set.empty
   }
 }
@@ -122,11 +152,14 @@ object QueryParser {
         while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
         val w = s.substring(i, j)
         i = j
+        val fuzzy = "^(.+)~([012])$".r
         w match {
           case "AND" => out += Tok("AND", w)
           case "OR" => out += Tok("OR", w)
           case "NOT" => out += Tok("NOT", w)
           case _ if w.endsWith("*") && w.length > 1 => out += Tok("prefix", w.dropRight(1))
+          case fuzzy(base, edits) => out += Tok("fuzzy", s"$edits:$base")
+          case _ if w.endsWith("~") && w.length > 1 => out += Tok("fuzzy", s"2:${w.dropRight(1)}")
           case _ => out += Tok("term", w)
         }
       }
@@ -149,6 +182,10 @@ object QueryParser {
         PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq)
       case Some(Tok("prefix", p)) =>
         pop(); PrefixQ(p.toLowerCase(java.util.Locale.ROOT))
+      case Some(Tok("fuzzy", v)) =>
+        pop()
+        val Array(e, base) = v.split(":", 2)
+        FuzzyQ(base.toLowerCase(java.util.Locale.ROOT), e.toInt)
       case Some(Tok("term", w)) =>
         pop()
         graft.analysis.CodeAnalyzer.terms(w) match {
@@ -191,8 +228,8 @@ object QueryParser {
       var clauses = Seq(and())
       // explicit OR, or implicit OR between adjacent atoms (the classic
       // QueryParser default operator)
-      while (peek.exists(t => t.kind == "OR" ||
-          t.kind == "term" || t.kind == "phrase" || t.kind == "prefix" || t.kind == "(")) {
+      while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
+          t.kind == "phrase" || t.kind == "prefix" || t.kind == "fuzzy" || t.kind == "(")) {
         if (peek.exists(_.kind == "OR")) pop()
         clauses = clauses :+ and()
       }

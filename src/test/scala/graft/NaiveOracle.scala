@@ -31,12 +31,28 @@ object NaiveOracle {
       docs.flatMap(_.tf.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val vocabSorted = vocabDf.keys.toSeq.sorted
 
-    // expand prefixes like the engine (sorted, capped)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+
+    // expand multi-term queries like the engine (sorted, capped)
     def expand(q: Query): Query = q match {
       case PrefixQ(p) =>
         val ts = vocabSorted.filter(_.startsWith(p)).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+      case FuzzyQ(t, e) =>
+        val ts = vocabSorted.filter(v => math.abs(v.length - t.length) <= e && lev(v, t) <= e)
+          .take(Query.MaxClauseCount)
+        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+      case TermRangeQ(lo, hi) =>
+        val ts = vocabSorted.filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
+        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       case BoolQ(m, s, n, msm) => BoolQ(m.map(expand), s.map(expand), n.map(expand), msm)
+      case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand), tb)
       case other => other
     }
     val q = Query.rewrite(expand(Query.rewrite(q0)))
@@ -71,7 +87,11 @@ object NaiveOracle {
             Some(sc.score(count, d.norm).toDouble)
           }
         }
-      case PrefixQ(_) => None // expanded above
+      case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded above
+      case DisMaxQ(cs, tb) =>
+        val ss = cs.map(eval(_, d)).flatten
+        if (ss.isEmpty) None
+        else Some(ss.max + tb * (ss.sum - ss.max))
       case BoolQ(must0, should, mustNot, msm) =>
         val must = must0
         if (mustNot.exists(n => eval(n, d).isDefined)) None

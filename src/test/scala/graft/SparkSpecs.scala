@@ -84,6 +84,26 @@ class SearchDifferentialSpec extends SparkTest {
     }
   }
 
+  test("fuzzy / term-range / dismax == oracle") {
+    import graft.query._
+    val docs = inputDocs(3)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val oracle = NaiveOracle.fromContents(docIdsOf(docs))
+    val shapes: Seq[Query] = Seq(
+      FuzzyQ("clasz", 1), // ~ class
+      FuzzyQ("ident_17", 2),
+      TermRangeQ("va", "var"), // val, var
+      DisMaxQ(Seq(TermQ("def"), TermQ("class")), 0d),
+      DisMaxQ(Seq(TermQ("def"), TermQ("class"), TermQ("return")), 0.3d),
+      BoolQ(must = Seq(DisMaxQ(Seq(TermQ("val"), TermQ("var")), 0d)), mustNot = Seq(TermQ("needle_0")))
+    )
+    shapes.foreach { q =>
+      val expected = NaiveOracle.search(oracle, q, 10)
+      val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"query [$q]:\n got=$got\n exp=$expected")
+    }
+  }
+
   test("k larger than hit count and k=1 behave") {
     val docs = inputDocs(2)
     val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
@@ -124,7 +144,7 @@ class InvariantSpec extends SparkTest {
     val index = IndexBuilder.buildInMemory(spark, Datagen.toInputDocs(src, 4))
     val posts = index.postings.collect()
     posts.foreach { pl =>
-      val d = graft.codec.PostingCodec.decodeAll(pl.blocks)
+      val d = graft.codec.PostingCodec.decodeAll(pl)
       assert(d.docIds.length == pl.df)
       assert(d.freqs.map(_.toLong).sum == pl.ttf)
       assert(d.docIds.toSeq == d.docIds.toSeq.sorted)
@@ -139,6 +159,38 @@ class InvariantSpec extends SparkTest {
     val fs = index.fieldStats
     assert(fs.docCount == 400)
     assert(fs.sumTotalTermFreq == index.docmeta.agg(org.apache.spark.sql.functions.sum($"tokenCount")).as[Long].head())
+  }
+}
+
+/** Shuffle-free partition-local build (input partition = segment, the
+  * DWPT analogue) produces a searchable, invariant-clean index equal in
+  * results to the hash-routed build.
+  */
+class PartitionLocalBuildSpec extends SparkTest {
+  import spark.implicits._
+
+  test("partition-local build: searchable, CheckIndex clean, manifests complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graftplocal").toString
+    val src = Datagen.corpus(spark, 800, seed = 9L, numPartitions = 4)
+    val manifests = IndexBuilder.buildPartitionLocal(spark, src, dir)
+    assert(manifests.size == 4 && manifests.map(_.docs).sum == 800)
+    assert(manifests.forall(m => m.postings > 0 && m.bytes > 0))
+    val index = IndexBuilder.open(spark, dir)
+    assert(graft.build.CheckIndex.run(index).isEmpty)
+    assert(index.fieldStats.docCount == 800)
+    // differential vs oracle with the same docId assignment (partition order)
+    val perPart = src.mapPartitions { it =>
+      val seg = org.apache.spark.TaskContext.getPartitionId()
+      it.zipWithIndex.map { case (r, i) =>
+        ((seg.toLong << IndexBuilder.SegShift) | i.toLong, r.content)
+      }
+    }.collect().toSeq
+    val oracle = NaiveOracle.fromContents(perPart)
+    Seq("def AND class", "needle_0", "val OR needle_0", "\"class camelCaseName7\"").foreach { qs =>
+      val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), 10)
+      val got = Searcher.topK(index, qs, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"query [$qs]")
+    }
   }
 }
 

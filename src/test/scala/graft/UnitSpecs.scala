@@ -77,24 +77,36 @@ class CodecSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     (1 to 100).foreach { _ =>
       val (ids, freqs, norms, ps) = gen(rnd)
-      val blocks = PostingCodec.encode(ids, freqs, norms, ps)
+      val pl = PostingCodec.encode(7, "t", ids, freqs, norms, ps)
       // block structure
-      assert(blocks.map(_.norms.length).sum == ids.length)
-      blocks.foreach(b => assert(b.norms.length <= PostingCodec.BlockSize))
-      val d = PostingCodec.decodeAll(blocks, withPositions = true)
+      assert(pl.counts.sum == ids.length)
+      assert(pl.df == ids.length)
+      assert(pl.ttf == freqs.map(_.toLong).sum)
+      pl.counts.foreach(c => assert(c <= PostingCodec.BlockSize))
+      val d = PostingCodec.decodeAll(pl, withPositions = true)
       assert(d.docIds.toSeq == ids.toSeq)
       assert(d.freqs.toSeq == freqs.toSeq)
       assert(d.norms.toSeq == norms.toSeq)
       assert(d.positions.map(_.toSeq).toSeq == ps.map(_.toSeq).toSeq)
       // impacts: per-block maxima are true maxima
       var off = 0
-      blocks.foreach { b =>
-        val n = b.norms.length
-        assert(b.maxDocId == ids(off + n - 1))
-        assert(b.maxFreq == freqs.slice(off, off + n).max)
+      (0 until pl.numBlocks).foreach { b =>
+        val n = pl.counts(b)
+        assert(pl.maxDocIds(b) == ids(off + n - 1))
+        assert(pl.maxFreqs(b) == freqs.slice(off, off + n).max)
         val minLen = norms.slice(off, off + n).map(SmallFloat.byte4ToInt).min
-        assert(SmallFloat.byte4ToInt(b.minNorm) == minLen)
+        assert(SmallFloat.byte4ToInt(pl.minNorms(b)) == minLen)
         off += n
+      }
+      // concat of split halves round-trips identically
+      if (pl.numBlocks >= 2) {
+        val mid = ids.length / 2
+        val a = PostingCodec.encode(7, "t", ids.take(mid), freqs.take(mid), norms.take(mid), ps.take(mid))
+        val b2 = PostingCodec.encode(7, "t", ids.drop(mid), freqs.drop(mid), norms.drop(mid), ps.drop(mid))
+        val cat = PostingCodec.concat(Seq(a, b2))
+        val dc = PostingCodec.decodeAll(cat, withPositions = true)
+        assert(dc.docIds.toSeq == ids.toSeq)
+        assert(dc.freqs.toSeq == freqs.toSeq)
       }
     }
   }
@@ -142,6 +154,10 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("\"class camelCaseName7\"") ==
       PhraseQ(Seq("class", "camelcasename7")))
     assert(QueryParser.parse("ident_1*") == PrefixQ("ident_1"))
+    assert(QueryParser.parse("merge~1") == FuzzyQ("merge", 1))
+    assert(QueryParser.parse("merge~") == FuzzyQ("merge", 2))
+    assert(QueryParser.parse("def class") ==
+      BoolQ(should = Seq(TermQ("def"), TermQ("class")), minShouldMatch = 1))
   }
   test("rewrites: empty, single-clause unwrap, must-not-all") {
     assert(Query.rewrite(BoolQ()) == MatchNone)
