@@ -114,6 +114,29 @@ object Queries {
         graft.query.TermQ("merge"), graft.query.TermQ("stream")), 0d), 10)(spark, dir)
     }, Some(bm25SqlPred("term IN ('merge', 'stream')", 0, "max", 10)))),
 
+    // synonym pseudo-term: freq = sum over members, df = max of member dfs
+    "ft_synonym_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.SynonymQ(Seq("fast", "slow")), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, sum(CASE WHEN term IN ('fast','slow') THEN 1 ELSE 0 END) AS tf
+         |       FROM tok GROUP BY doc_id HAVING tf > 0),
+         |df AS (SELECT greatest(
+         |         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'fast'),
+         |         (SELECT count(DISTINCT doc_id) FROM tok WHERE term = 'slow')) AS df),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     "ft_not_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
@@ -364,6 +387,35 @@ object Queries {
     }, Some(
       """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
         |GROUP BY lang ORDER BY n DESC, lang""".stripMargin))),
+
+    // drill-sideways flavour: rollup over two facet dimensions
+    // (grouping-sets analogue of `lucene/facet/.../DrillSideways.java`)
+    "facet_rollup" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .rollup($"lang", $"source")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce($"lang", lit("ALL")).as("lang"),
+          coalesce($"source", lit("ALL")).as("source"), $"n")
+        .orderBy($"lang", $"source")
+    }, Some(
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin))),
+
+    // sampled facet counts (RandomSamplingFacetsCollector analogue) with a
+    // DETERMINISTIC pseudo-sample both engines compute identically
+    "facet_sampled" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(substring(md5($"text"), 1, 1).isin("0", "1", "2", "3"))
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .orderBy($"lang")
+    }, Some(
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+        |WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')
+        |GROUP BY lang ORDER BY lang""".stripMargin))),
 
     "facet_range_histogram" -> (((spark, dir) => {
       import spark.implicits._

@@ -330,6 +330,28 @@ object Kernel {
     }
   }
 
+  /** Terms scored as one pseudo-term (freq = sum at doc) —
+    * `core/search/SynonymQuery.java` (blended df handled by the scorer
+    * the caller provides).
+    */
+  final class SynonymCursor(subs: Array[TermCursor], scorer: AnyScorer) extends DocCursor {
+    private val disj = new DisjunctionCursor(subs.map(x => x: DocCursor), 1)
+    def doc: Long = disj.doc
+    val maxScoreBound: Double = scorer.globalMax
+    def nextDoc(): Long = disj.nextDoc()
+    def advance(target: Long): Long = disj.advance(target)
+    def score(): Double = {
+      var f = 0
+      var norm: Byte = 0
+      var j = 0
+      while (j < subs.length) {
+        if (subs(j).doc == doc) { f += subs(j).freq; norm = subs(j).norm }
+        j += 1
+      }
+      scorer.score(f, norm)
+    }
+  }
+
   /** Required minus excluded — `core/search/ReqExclScorer.java:26`. */
   final class ExclusionCursor(req: DocCursor, excl: DocCursor) extends DocCursor {
     var doc: Long = -1

@@ -29,7 +29,8 @@ object Searcher {
   /** Plan-time scorer table shipped to executors. */
   private final case class Scorers(
       term: Map[String, Kernel.AnyScorer],
-      phrase: Map[Seq[String], Kernel.AnyScorer]
+      phrase: Map[Seq[String], Kernel.AnyScorer],
+      synonym: Map[Seq[String], Kernel.AnyScorer]
   ) extends Serializable
 
   /** Expand prefixes against the term dictionary (bounded). */
@@ -90,6 +91,13 @@ object Searcher {
     case _ => Set.empty
   }
 
+  private def synonyms(q: Query): Set[Seq[String]] = q match {
+    case SynonymQ(ts) => Set(ts)
+    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(synonyms).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(synonyms).toSet
+    case _ => Set.empty
+  }
+
   /** Execute `query` returning the global top-k as (docId, score).
     * `doubleMode = false` reproduces the reference's float op order
     * (rank-identity contract); `true` computes the same quantised-norm
@@ -141,9 +149,14 @@ object Searcher {
       }
     }
 
+    // synonym pseudo-term: df = max of member dfs (SynonymQuery.java:223)
+    def synonymScorer(ts: Seq[String]): Kernel.AnyScorer =
+      anyScorer(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)).max)
+
     val scorers = Scorers(
       terms.map(t => t -> anyScorer(statsMap.get(t).map(_.df).getOrElse(0L))).toMap,
-      phrases(query).map(ts => ts -> phraseScorer(ts)).toMap
+      phrases(query).map(ts => ts -> phraseScorer(ts)).toMap,
+      synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap
     )
 
     // 3. per-segment kernels over the pruned postings scan
@@ -160,7 +173,7 @@ object Searcher {
           if (rs.size == 1) t -> rs.head
           else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
         }
-        SegmentKernel.run(q, byTerm, scorers.term, scorers.phrase, kk)
+        SegmentKernel.run(q, byTerm, scorers.term, scorers.phrase, scorers.synonym, kk)
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
 
@@ -201,6 +214,7 @@ object SegmentKernel {
       byTerm: Map[String, PostingList],
       termScorers: Map[String, AnyScorer],
       phraseScorers: Map[Seq[String], AnyScorer],
+      synonymScorers: Map[Seq[String], AnyScorer],
       k: Int
   ): Array[(Long, Double)] = {
 
@@ -238,7 +252,7 @@ object SegmentKernel {
         val cs = should.collect { case TermQ(t) => termCursor(t, needPos = false) }.flatten
         if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm)
       case other =>
-        buildCursor(other, byTerm, termScorers, phraseScorers) match {
+        buildCursor(other, byTerm, termScorers, phraseScorers, synonymScorers) match {
           case Some(c) => collectAll(c, k)
           case None => Array.empty
         }
@@ -250,7 +264,8 @@ object SegmentKernel {
       q: Query,
       byTerm: Map[String, PostingList],
       termScorers: Map[String, AnyScorer],
-      phraseScorers: Map[Seq[String], AnyScorer]
+      phraseScorers: Map[Seq[String], AnyScorer],
+      synonymScorers: Map[Seq[String], AnyScorer] = Map.empty
   ): Option[DocCursor] = q match {
     case MatchNone | MatchAll => None // MatchAll only survives in pure-negation -> empty
     case TermQ(t) =>
@@ -260,18 +275,22 @@ object SegmentKernel {
         new TermCursor(pl, termScorers(t), needPositions = true)))
       if (cs.exists(_.isEmpty)) None
       else Some(new PhraseCursor(cs.flatten.toArray, phraseScorers(ts)))
+    case SynonymQ(ts) =>
+      val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t))))
+      if (cs.isEmpty) None
+      else Some(new SynonymCursor(cs.toArray, synonymScorers(ts)))
     case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded before kernel
     case DisMaxQ(cs, tb) =>
-      val sub = cs.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers))
+      val sub = cs.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
       if (sub.isEmpty) None
       else if (sub.size == 1) Some(sub.head)
       else Some(new DisMaxCursor(sub.toArray, tb))
     case BoolQ(must0, should, mustNot, msm) =>
       val must = must0.filterNot(_ == MatchAll)
-      val mc = must.map(buildCursor(_, byTerm, termScorers, phraseScorers))
+      val mc = must.map(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
       if (mc.exists(_.isEmpty)) return None // a required clause can't match here
-      val sc = should.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers))
-      val nc = mustNot.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers))
+      val sc = should.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
+      val nc = mustNot.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
 
       val positive: Option[DocCursor] =
         if (must.nonEmpty) {

@@ -30,6 +30,11 @@ final case class TermRangeQ(lo: String, hi: String) extends Query
   */
 final case class DisMaxQ(clauses: Seq[Query], tieBreak: Double = 0d) extends Query
 
+/** Several terms scored as ONE pseudo-term: freq = sum of member freqs,
+  * df = max of member dfs, ttf = sum — `core/search/SynonymQuery.java:213-230`.
+  */
+final case class SynonymQ(terms: Seq[String]) extends Query
+
 final case class BoolQ(
     must: Seq[Query] = Nil,
     should: Seq[Query] = Nil,
@@ -87,6 +92,8 @@ object Query {
       }
     case PhraseQ(Seq(t)) => TermQ(t)
     case PhraseQ(Nil) => MatchNone
+    case SynonymQ(Nil) => MatchNone
+    case SynonymQ(Seq(t)) => TermQ(t)
     case DisMaxQ(Nil, _) => MatchNone
     case DisMaxQ(Seq(c), _) => rewriteOnce(c)
     case DisMaxQ(cs, tb) =>
@@ -101,6 +108,7 @@ object Query {
   def literalTerms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
     case PhraseQ(ts) => ts.toSet
+    case SynonymQ(ts) => ts.toSet
     case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case _ => Set.empty

@@ -42,10 +42,7 @@ object ScalingProbe {
     timed("metrics-readback") {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/segments").filter($"kind" === "p")
-        .select($"seg", aggregate(transform($"blocks", b =>
-          octet_length(b("docIds")) + octet_length(b("freqs")) +
-            octet_length(b("norms")) + octet_length(b("positions"))),
-          lit(0L), (acc, x) => acc + x).as("bytes"))
+        .select($"seg", octet_length($"payload").cast("long").as("bytes"))
         .groupBy($"seg").agg(sum($"bytes")).collect()
     }
     spark.stop()

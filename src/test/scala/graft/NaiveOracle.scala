@@ -87,6 +87,13 @@ object NaiveOracle {
             Some(sc.score(count, d.norm).toDouble)
           }
         }
+      case SynonymQ(ts) =>
+        val f = ts.map(t => d.tf.getOrElse(t, 0)).sum
+        if (f == 0) None
+        else {
+          val dfMax = ts.map(t => vocabDf.getOrElse(t, 0L)).max
+          Some(BM25.termScorer(TermStats("", dfMax, 0L), fs).score(f, d.norm).toDouble)
+        }
       case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded above
       case DisMaxQ(cs, tb) =>
         val ss = cs.map(eval(_, d)).flatten

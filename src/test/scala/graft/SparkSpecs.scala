@@ -95,7 +95,10 @@ class SearchDifferentialSpec extends SparkTest {
       TermRangeQ("va", "var"), // val, var
       DisMaxQ(Seq(TermQ("def"), TermQ("class")), 0d),
       DisMaxQ(Seq(TermQ("def"), TermQ("class"), TermQ("return")), 0.3d),
-      BoolQ(must = Seq(DisMaxQ(Seq(TermQ("val"), TermQ("var")), 0d)), mustNot = Seq(TermQ("needle_0")))
+      BoolQ(must = Seq(DisMaxQ(Seq(TermQ("val"), TermQ("var")), 0d)), mustNot = Seq(TermQ("needle_0"))),
+      SynonymQ(Seq("val", "var")),
+      SynonymQ(Seq("def", "nonexistent_xyz")),
+      BoolQ(must = Seq(SynonymQ(Seq("if", "else")), TermQ("class")))
     )
     shapes.foreach { q =>
       val expected = NaiveOracle.search(oracle, q, 10)
