@@ -1,0 +1,66 @@
+package graft
+
+import graft.build.{Datagen, IndexBuilder, InputDoc}
+import graft.exec.Searcher
+import graft.query._
+
+/** Randomized differential testing — the reference's core test strategy
+  * (`tf/util/LuceneTestCase.java:269` seeded randomness;
+  * `tf/search/CheckHits.java` brute-force oracle): generate random query
+  * trees over the fixture vocabulary and assert the engine's top-k
+  * (docIds AND float scores) equals the exhaustive oracle, across
+  * segment counts. Seed is fixed for reproducibility.
+  */
+class RandomQuerySpec extends SparkTest {
+  import spark.implicits._
+
+  private val vocab = Datagen.Keywords ++
+    (0 until 40).map(i => s"ident_$i") ++
+    (0 until 10).map(i => s"camelcasename$i") ++
+    Seq("needle_0", "needle_1", "nonexistent_a", "nonexistent_b")
+
+  private def randomQuery(rnd: scala.util.Random, depth: Int): Query = {
+    def term() = TermQ(vocab(rnd.nextInt(vocab.length)))
+    if (depth == 0) term()
+    else rnd.nextInt(8) match {
+      case 0 => term()
+      case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
+      case 2 => PrefixQ(Seq("ident_1", "camel", "nee", "zzz")(rnd.nextInt(4)))
+      case 3 => SynonymQ(Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))))
+      case 4 => DisMaxQ(Seq.fill(1 + rnd.nextInt(3))(randomQuery(rnd, depth - 1)),
+        Seq(0d, 0.5d)(rnd.nextInt(2)))
+      case 5 => FuzzyQ(vocab(rnd.nextInt(vocab.length)).dropRight(rnd.nextInt(2)), 1 + rnd.nextInt(2))
+      case _ =>
+        val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
+        val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
+        val mustNot = Seq.fill(rnd.nextInt(2))(term())
+        val msm = if (must.isEmpty && should.nonEmpty) 1 + rnd.nextInt(should.size) else 0
+        BoolQ(must, should, mustNot, msm)
+    }
+  }
+
+  for (numSegments <- Seq(1, 3)) {
+    test(s"60 random query trees == oracle ($numSegments segment(s))") {
+      val rows = (0L until 800L).map(i => Datagen.row(13L, i, 15, 200))
+      val docs = rows.map { r =>
+        val key = s"${r.repo}/${r.path}@${r.commit}"
+        val seg = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
+        InputDoc(seg, key, r.repo, r.path, r.commit, r.lang, r.content)
+      }
+      val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+      val oracleDocs = NaiveOracle.fromContents(
+        docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+          ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+            ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content)
+          }
+        })
+      val rnd = new scala.util.Random(4242 + numSegments)
+      (1 to 60).foreach { i =>
+        val q = randomQuery(rnd, 2)
+        val expected = NaiveOracle.search(oracleDocs, q, 10)
+        val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+        assert(got == expected, s"random #$i query [$q]:\n got=$got\n exp=$expected")
+      }
+    }
+  }
+}
