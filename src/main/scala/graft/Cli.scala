@@ -38,6 +38,11 @@ object Cli {
           val ms = (System.nanoTime() - t0) / 1e6
           println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
           hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+        case "check" :: dir :: Nil =>
+          // CheckIndex analogue: structural invariants over the whole index
+          val violations = graft.build.CheckIndex.run(IndexBuilder.open(spark, dir))
+          if (violations.isEmpty) println("CheckIndex: OK (no violations)")
+          else { violations.foreach(v => println(s"VIOLATION: $v")); sys.exit(1) }
         case "explain" :: dir :: Nil =>
           // plan audit: verify pushdown/pruning/broadcast on the hot paths
           import org.apache.spark.sql.functions._
@@ -49,7 +54,7 @@ object Cli {
           println("=== docmeta projection (expect ReadSchema with 2 cols) ===")
           index.docmeta.select("docId", "norm").explain("formatted")
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | explain <dir>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | check <dir> | explain <dir>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -385,7 +385,8 @@ object IndexBuilder {
       }
       // refresh global stats (invalid once any segment changed)
       writeStats(spark, dir)
-    } else if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/stats/field.json"))) {
+    } else if (!statsFresh(dir)) {
+      // covers a crash between manifest writes and the stats refresh
       writeStats(spark, dir)
     }
     fps.keys.toSeq.sorted.flatMap(seg => readManifest(dir, seg))
@@ -414,6 +415,23 @@ object IndexBuilder {
       .sorted.flatMap(seg => readManifest(dir, seg))
   }
 
+  /** Fingerprint of the live manifest set — stats are only trusted if
+    * they were computed for exactly this set (a crash between manifest
+    * writes and the stats refresh must not leave stale stats behind).
+    */
+  private def manifestSetHash(dir: String): String =
+    sha256Hex(listManifests(dir)
+      .map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}").sorted.mkString("|")).take(16)
+
+  private def statsFresh(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(s"$dir/stats/field.json")
+    java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.readString(p)
+      ("\"manifestSetHash\"\\s*:\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s)
+        .exists(_.group(1) == manifestSetHash(dir))
+    }
+  }
+
   private def writeStats(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val raw = openRaw(spark, dir)
@@ -426,7 +444,7 @@ object IndexBuilder {
       .as[(Long, Long)].head()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/stats/field.json"),
-      s"""{"docCount":$n,"sumTotalTermFreq":$sttf}""")
+      s"""{"docCount":$n,"sumTotalTermFreq":$sttf,"manifestSetHash":"${manifestSetHash(dir)}"}""")
   }
 
   /** Open a persistent index. */

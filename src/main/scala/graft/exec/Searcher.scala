@@ -33,12 +33,16 @@ object Searcher {
       synonym: Map[Seq[String], Kernel.AnyScorer]
   ) extends Serializable
 
-  /** Expand prefixes against the term dictionary (bounded). */
+  /** Expand prefixes against the term dictionary (bounded). The global
+    * term-stats table IS the term dictionary (one row per term) — far
+    * cheaper to scan than per-segment postings, range-prunable on the
+    * sorted term column.
+    */
   def expandPrefix(index: Index, prefix: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
-    index.postings
-      .filter($"term" >= prefix && $"term" < prefix + "￿" && $"term".startsWith(prefix))
-      .select($"term").distinct()
+    index.termStats
+      .filter($"term" >= prefix && $"term".startsWith(prefix))
+      .select($"term")
       .orderBy($"term")
       .limit(Query.MaxClauseCount)
       .as[String].collect().toSeq
