@@ -40,18 +40,22 @@ object Bench {
     s
   }
 
-  /** Build the same persistent index at a given parallelism in a FRESH
-    * JVM; returns (seconds, docs/sec). A reused JVM degrades successive
-    * SparkSessions (codegen class accumulation, GC debt), which would
-    * corrupt the N-vs-4N comparison — each level must start cold.
-    */
-  /** Best of two child runs — multi-JVM timings on a shared box vary
-    * +-35%; the minimum is the least-interfered measurement.
+  /** Build the same persistent index at a given executor count, each
+    * attempt in a FRESH driver JVM (a reused JVM degrades successive
+    * SparkSessions — codegen class accumulation, GC debt).
+    * Best of two child runs — multi-JVM timings on a shared box vary
+    * +-35%; the minimum is the least-interfered measurement. A sync +
+    * settle between runs keeps the previous run's dirty-page writeback
+    * (~700 MB of parquet) from bleeding into the next measurement.
     */
   private def indexBench(cpus: Int, docs: Long = ScalingDocs): (Double, Double) = {
-    val a = indexBenchOnce(cpus, docs)
-    val b = indexBenchOnce(cpus, docs)
-    if (a._1 <= b._1) a else b
+    val runs = (1 to 2).map { _ =>
+      val r = indexBenchOnce(cpus, docs)
+      try { new ProcessBuilder("sync").start().waitFor() } catch { case _: Exception => () }
+      Thread.sleep(3000)
+      r
+    }
+    runs.minBy(_._1)
   }
 
   private def indexBenchOnce(cpus: Int, docs: Long): (Double, Double) = {
@@ -107,10 +111,14 @@ object Bench {
     // -- phase 1: scaling. N vs 4N separate executor JVMs (local-cluster,
     // the honest in-sandbox proxy for cluster sizes), steady-state
     // (executors registered + JIT-warmed before the clock starts).
-    //   strong: same 1.2M docs at 2 and 8 executors;
-    //   weak:   same docs PER EXECUTOR (300k@2 vs 1.2M@8) — the number
-    //           that predicts 100 TB behaviour, immune to the single-box
-    //           all-core clock/bandwidth droop that caps strong scaling.
+    // Primary pair 1 -> 4 executors: with <=4 of 32 cores busy the box
+    // does not clock/bandwidth-throttle, so this reflects what adding
+    // executor NODES gives. Secondary pair 2 -> 8 is throttle-affected
+    // (BASELINE.md quantifies the attribution). Weak scaling: same docs
+    // PER EXECUTOR (300k@2 vs 1.2M@8) — the 100 TB-relevant number.
+    val (secs1, thru1) = indexBench(1)
+    val (secs4, thru4) = indexBench(4)
+    val eff1to4 = (thru4 / thru1) / 4.0
     val (secs2, thru2) = indexBench(2)
     val (secs8, thru8) = indexBench(8)
     val efficiency = (thru8 / thru2) / 4.0
@@ -147,10 +155,10 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum + secs2 + secs8
+    val total = results.values.sum + secs1 + secs4 + secs2 + secs8
 
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":{"docs":$ScalingDocs,"mode":"local-cluster N executor JVMs x 1 core","n2_sec":$secs2%.2f,"n2_docs_per_sec":$thru2%.0f,"n8_sec":$secs8%.2f,"n8_docs_per_sec":$thru8%.0f,"strong_scaling_efficiency_2_to_8":$efficiency%.3f,"weak_scaling_sec_2exec_quarter_docs":$secsWeak2%.2f,"weak_scaling_efficiency":$effWeak%.3f},"query_p50_sec":$p50%.4f,"query_p90_sec":$p90%.4f}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":{"docs":$ScalingDocs,"mode":"local-cluster N executor JVMs x 1 core","n1_docs_per_sec":$thru1%.0f,"n4_docs_per_sec":$thru4%.0f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"n2_docs_per_sec":$thru2%.0f,"n8_sec":$secs8%.2f,"n8_docs_per_sec":$thru8%.0f,"scaling_efficiency_2_to_8":$efficiency%.3f,"weak_scaling_sec_2exec_quarter_docs":$secsWeak2%.2f,"weak_scaling_efficiency":$effWeak%.3f},"query_p50_sec":$p50%.4f,"query_p90_sec":$p90%.4f}""")
     spark.stop()
   }
 }
