@@ -57,12 +57,20 @@ final case class BuildRow(
     payload: Array[Byte]
 )
 
-/** In-memory (or Parquet-backed) index handle. */
+/** In-memory (or Parquet-backed) index handle.
+  *
+  * `liveFilter` is the per-segment tombstone view: seg -> sorted deleted
+  * docIds (the liveDocs analogue,
+  * `core/codecs/lucene90/Lucene90LiveDocsFormat.java:49`); empty = no
+  * deletes. Kernels exclude these docs; `docmeta` is already tombstone-
+  * filtered by [[IndexBuilder.open]].
+  */
 final class Index(
     val postings: Dataset[PostingList],
     val docmeta: Dataset[DocMeta],
     val termStats: Dataset[TermStats],
-    val fieldStats: FieldStats
+    val fieldStats: FieldStats,
+    val liveFilter: Map[Int, Array[Long]] = Map.empty
 ) extends Serializable
 
 /** Inverted-index builder: one shuffle, one tokenize pass, per-segment

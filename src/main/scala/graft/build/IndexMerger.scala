@@ -36,8 +36,10 @@ object IndexMerger {
     import spark.implicits._
 
     // doc-base offsets per old segment (tiny; driver + closure broadcast)
+    // integer shift (not SQL division, which promotes to double and loses
+    // precision for docIds >= 2^53) — must match segOf exactly
     val perSeg = index.docmeta
-      .select((col("docId") / lit(1L << IndexBuilder.SegShift)).cast("int").as("seg"))
+      .select(shiftright(col("docId"), IndexBuilder.SegShift).cast("int").as("seg"))
       .groupBy($"seg").count().as[(Int, Long)].collect().sortBy(_._1)
     val bases: Map[Int, Long] = {
       var acc = 0L

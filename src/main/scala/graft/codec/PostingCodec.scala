@@ -125,17 +125,6 @@ object PostingCodec {
       offsets, buf.toArray)
   }
 
-  /** Whether the payload includes positions (build always writes them;
-    * this guards against hand-built lists without).
-    */
-  def hasPositions(pl: PostingList): Boolean = {
-    if (pl.numBlocks == 0) return false
-    // a block without positions ends exactly after norms; cheapest check:
-    // decode block 0 lazily and compare consumed bytes — instead we store
-    // positions always in this engine, so simply:
-    true
-  }
-
   /** Decoded postings of one block. `positions` null unless requested. */
   final case class Decoded(
       docIds: Array[Long],

@@ -100,10 +100,40 @@ object Queries {
     "ft_or_topk" -> ((ftScored("merge OR stream OR vector", 10),
       Some(bm25Sql(Seq("merge", "stream", "vector"), requireAll = false, 10)))),
 
+    // blended top-n fuzzy (FuzzyQuery default rewrite): Damerau-Levenshtein
+    // candidates, boost = 1 - ed/min(len), top-50 by (float boost desc,
+    // term asc), scored with df blended to the max over picked terms
     "ft_fuzzy_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.FuzzyQ("merg", 1), 10)(spark, dir)
-    }, Some(bm25SqlPred(
-      "abs(length(term) - 4) <= 1 AND levenshtein(term, 'merg') <= 1", 0, "sum", 10)))),
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |cand AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |                damerau_levenshtein(term, 'merg') AS ed
+         |         FROM tok WHERE abs(length(term) - 4) <= 1 GROUP BY term
+         |         HAVING damerau_levenshtein(term, 'merg') <= 1),
+         |top AS (SELECT term, df,
+         |          CASE WHEN ed = 0 THEN 1.0 ELSE 1.0 - ed / CAST(least(length(term), 4) AS DOUBLE) END AS boost
+         |        FROM cand
+         |        ORDER BY CASE WHEN ed = 0 THEN CAST(1.0 AS FLOAT)
+         |                      ELSE CAST(1.0 - CAST(ed AS FLOAT) / CAST(least(length(term), 4) AS FLOAT) AS FLOAT) END DESC,
+         |                 term LIMIT 50),
+         |bdf AS (SELECT max(df) AS df FROM top),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM top) GROUP BY doc_id, term),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(top.boost * (ln(1 + (st.n - bdf.df + 0.5)/(bdf.df + 0.5))
+         |             - ln(1 + (st.n - bdf.df + 0.5)/(bdf.df + 0.5))
+         |               /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n))))))) AS s
+         |       FROM tf JOIN top ON tf.term = top.term
+         |            JOIN qd ON tf.doc_id = qd.doc_id, st, bdf
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
     "ft_range_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.TermRangeQ("va", "var"), 10)(spark, dir)
@@ -137,11 +167,12 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // kernel count path: one partial count per segment, partial/final agg —
+    // no heap, no scoring, no global sort (TotalHitCountCollector analogue)
     "ft_not_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
-      Searcher.topK(index, "table AND NOT vector", Int.MaxValue / 2, doubleMode = true)
-        .agg(count(lit(1)).as("n"))
+      Seq(Searcher.count(index, "table AND NOT vector")).toDF("n")
     }, Some(
       s"""WITH $tokCte
          |SELECT CAST(count(*) AS BIGINT) AS n FROM (
@@ -149,10 +180,13 @@ object Queries {
          |  HAVING sum(CASE WHEN term = 'table' THEN 1 ELSE 0 END) > 0
          |     AND sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) = 0)""".stripMargin))),
 
+    // kernel docs path: matching docIds stream out unscored, the only
+    // sort is the tiny result's output ordering
     "ft_phrase_docs" -> (((spark, dir) => {
       import spark.implicits._
       val (index, mapping) = Corpus.get(spark, dir)
-      Searcher.topK(index, "\"fast table\"", Int.MaxValue / 2, doubleMode = true)
+      Searcher.matchingDocs(index, graft.query.QueryParser.parse("\"fast table\""))
+        .toDF("docId")
         .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
     }, Some(
       s"""WITH $posCte
@@ -202,8 +236,7 @@ object Queries {
       val q = graft.query.BoolQ(
         should = Seq(graft.query.TermQ("spark"), graft.query.TermQ("window"), graft.query.TermQ("merge")),
         minShouldMatch = 2)
-      Searcher.topKQ(index, q, Int.MaxValue / 2, doubleMode = true)
-        .agg(count(lit(1)).as("n"))
+      Seq(Searcher.countQ(index, q)).toDF("n")
     }, Some(
       s"""WITH $tokCte
          |SELECT CAST(count(*) AS BIGINT) AS n FROM (

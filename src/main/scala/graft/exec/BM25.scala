@@ -36,6 +36,14 @@ object BM25 {
       weight - weight / (1f + freq * normInverse)
     }
 
+    /** Float-freq variant — sloppy phrase freq is a float sum of match
+      * weights (`SloppyPhraseMatcher.sloppyWeight`, `PhraseScorer`).
+      */
+    @inline def scoreF(freq: Float, norm: Byte): Float = {
+      val normInverse = cache(norm & 0xff)
+      weight - weight / (1f + freq * normInverse)
+    }
+
     /** Upper bound of the score for any posting with freq <= maxFreq and
       * doc length >= length(minNorm) — block-max pruning bound
       * (reference: impacts, `core/index/ImpactsEnum.java`,
@@ -65,6 +73,10 @@ object BM25 {
     */
   final class TermScorerD(val weight: Double, cache: Array[Double]) extends Serializable {
     @inline def score(freq: Int, norm: Byte): Double = {
+      val normInverse = cache(norm & 0xff)
+      weight - weight / (1d + freq * normInverse)
+    }
+    @inline def scoreF(freq: Double, norm: Byte): Double = {
       val normInverse = cache(norm & 0xff)
       weight - weight / (1d + freq * normInverse)
     }

@@ -28,16 +28,21 @@ object Kernel {
   /** Unified scorer handle: float-parity mode or double-oracle mode. */
   sealed trait AnyScorer extends Serializable {
     def score(freq: Int, norm: Byte): Double
+
+    /** Fractional-freq variant (sloppy phrase freq is a float sum). */
+    def scoreF(freq: Double, norm: Byte): Double
     def maxScore(maxFreq: Int, minNorm: Byte): Double
     def globalMax: Double
   }
   final case class FloatScorer(s: BM25.TermScorer) extends AnyScorer {
     def score(freq: Int, norm: Byte): Double = s.score(freq, norm).toDouble
+    def scoreF(freq: Double, norm: Byte): Double = s.scoreF(freq.toFloat, norm).toDouble
     def maxScore(maxFreq: Int, minNorm: Byte): Double = s.maxScore(maxFreq, minNorm).toDouble
     def globalMax: Double = s.globalMaxScore.toDouble
   }
   final case class DoubleScorer(s: BM25.TermScorerD) extends AnyScorer {
     def score(freq: Int, norm: Byte): Double = s.score(freq, norm)
+    def scoreF(freq: Double, norm: Byte): Double = s.scoreF(freq, norm)
     def maxScore(maxFreq: Int, minNorm: Byte): Double = s.maxScore(maxFreq, minNorm)
     def globalMax: Double = s.globalMaxScore
   }
@@ -432,17 +437,193 @@ object Kernel {
     def score(): Double = scorer.score(phraseFreq, terms(0).norm)
   }
 
+  /** Sloppy phrase: conjunction approximation + the reference's greedy
+    * match-length minimisation over a position priority queue
+    * (`core/search/SloppyPhraseMatcher.java:54,185-220`). A match's weight
+    * is 1/(1+matchLength); the doc's sloppy freq is the float sum of match
+    * weights (`PhraseScorer`), scored like a phrase pseudo-term.
+    *
+    * Limitation (documented divergence): repeated terms in a sloppy phrase
+    * are rejected — the reference's repeat-collision handling
+    * (`SloppyPhraseMatcher` rptGroups) is explicitly heuristic
+    * (`SloppyPhraseMatcher.java:46-52`) and out of scope.
+    */
+  final class SloppyPhraseCursor(terms: Array[TermCursor], slop: Int, scorer: AnyScorer)
+      extends DocCursor {
+    private val conj = new ConjunctionCursor(terms.map(x => x: DocCursor))
+    var doc: Long = -1
+    var sloppyFreq: Double = 0d
+    val maxScoreBound: Double = scorer.globalMax
+
+    /** Greedy PQ walk over offset-adjusted positions; returns the summed
+      * match weights (0 = no match with span <= slop). Only one cursor is
+      * ever "popped" at a time, so the priority queue is modelled
+      * implicitly: the popped index `pp` advances until its position
+      * exceeds the min of the others (`next`), exactly the loop of
+      * `SloppyPhraseMatcher.nextMatch` (`:190-220`).
+      */
+    private def computeFreq(): Double = {
+      val n = terms.length
+      // adjusted position streams: pos - queryOffset
+      val streams = new Array[Array[Int]](n)
+      val idx = new Array[Int](n)
+      val cur = new Array[Int](n)
+      var end = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val ps = terms(i).positions
+        val adj = new Array[Int](ps.length)
+        var j = 0
+        while (j < ps.length) { adj(j) = ps(j) - i; j += 1 }
+        streams(i) = adj
+        idx(i) = 0
+        cur(i) = adj(0)
+        if (cur(i) > end) end = cur(i)
+        i += 1
+      }
+      // argmin by (position, queryOffset); optionally excluding one index
+      def argMin(exclude: Int): Int = {
+        var best = -1
+        var j = 0
+        while (j < n) {
+          if (j != exclude && (best < 0 || cur(j) < cur(best))) best = j
+          j += 1
+        }
+        best
+      }
+      var freq = 0d
+      var pp = argMin(-1)
+      var matchLength = end - cur(pp)
+      var next = cur(argMin(pp))
+      var live = true
+      while (live) {
+        if (idx(pp) + 1 >= streams(pp).length) {
+          // pp exhausted: the final candidate match
+          if (matchLength <= slop) freq += 1d / (1d + matchLength)
+          live = false
+        } else {
+          idx(pp) += 1
+          cur(pp) = streams(pp)(idx(pp))
+          if (cur(pp) > end) end = cur(pp)
+          if (cur(pp) > next) { // done minimising the current match-length
+            if (matchLength <= slop) freq += 1d / (1d + matchLength)
+            pp = argMin(-1)
+            next = cur(argMin(pp))
+            matchLength = end - cur(pp)
+          } else {
+            val m2 = end - cur(pp)
+            if (m2 < matchLength) matchLength = m2
+          }
+        }
+      }
+      freq
+    }
+
+    private def seek(start: Long): Long = {
+      var d = start
+      while (d != NoMoreDocs) {
+        sloppyFreq = computeFreq()
+        if (sloppyFreq > 0d) { doc = d; return d }
+        d = conj.nextDoc()
+      }
+      doc = NoMoreDocs
+      doc
+    }
+    def nextDoc(): Long = seek(conj.nextDoc())
+    def advance(target: Long): Long = seek(conj.advance(target))
+    def score(): Double = scorer.scoreF(sloppyFreq, terms(0).norm)
+  }
+
+  /** Required clause that contributes NO score — `Occur.FILTER`
+    * (`core/search/BooleanQuery.java:40`).
+    */
+  final class NonScoringCursor(inner: DocCursor) extends DocCursor {
+    def doc: Long = inner.doc
+    val maxScoreBound: Double = 0d
+    def nextDoc(): Long = inner.nextDoc()
+    def advance(target: Long): Long = inner.advance(target)
+    def score(): Double = 0d
+  }
+
+  /** Matches the inner cursor, scores a constant —
+    * `core/search/ConstantScoreQuery.java:28`.
+    */
+  final class ConstScoreCursor(inner: DocCursor, boost: Double) extends DocCursor {
+    def doc: Long = inner.doc
+    val maxScoreBound: Double = boost
+    def nextDoc(): Long = inner.nextDoc()
+    def advance(target: Long): Long = inner.advance(target)
+    def score(): Double = boost
+  }
+
+  /** Cursor over a sorted docId array — the liveDocs/tombstone exclusion
+    * side (`core/codecs/lucene90/Lucene90LiveDocsFormat.java:49` analogue).
+    */
+  final class SortedDocsCursor(ids: Array[Long]) extends DocCursor {
+    private var i = -1
+    var doc: Long = -1
+    val maxScoreBound: Double = 0d
+    def nextDoc(): Long = { i += 1; doc = if (i < ids.length) ids(i) else NoMoreDocs; doc }
+    def advance(target: Long): Long = {
+      var lo = math.max(i, 0)
+      if (doc >= target) return doc
+      // galloping then binary search over the remaining range
+      var hi = ids.length
+      var step = 1
+      var probe = lo + step
+      while (probe < hi && ids(probe) < target) { lo = probe; step <<= 1; probe = lo + step }
+      if (probe < hi) hi = probe + 1
+      var a = lo
+      var b = hi
+      while (a < b) {
+        val m = (a + b) >>> 1
+        if (ids(m) < target) a = m + 1 else b = m
+      }
+      i = a
+      doc = if (i < ids.length) ids(i) else NoMoreDocs
+      doc
+    }
+    def score(): Double = 0d
+  }
+
   // ---- root drivers ---------------------------------------------------------
 
+  /** Final score cast at the collector boundary. In float mode the double
+    * clause sum is cast to float BEFORE heap insertion, so ties are broken
+    * by docId exactly as the reference's HitQueue does on float scores
+    * (`TopScoreDocCollector` collects `(float)` sums, `HitQueue.java:76-82`).
+    * Safe for pruning too: score sums are monotone under the float cast,
+    * so casting an upper bound keeps it an upper bound.
+    */
+  @inline def fin(s: Double, floatMode: Boolean): Double =
+    if (floatMode) s.toFloat.toDouble else s
+
   /** Exhaustive driver: stream every match of the root cursor into the heap. */
-  def collectAll(root: DocCursor, k: Int): Array[(Long, Double)] = {
+  def collectAll(root: DocCursor, k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
     val heap = new HitHeap(k)
     var d = root.nextDoc()
     while (d != NoMoreDocs) {
-      heap.insert(root.score(), d)
+      heap.insert(fin(root.score(), floatMode), d)
       d = root.nextDoc()
     }
     heap.result()
+  }
+
+  /** Count matches of the root cursor — no heap, no scoring, no sort
+    * (`core/search/TotalHitCountCollector.java:27`).
+    */
+  def countAll(root: DocCursor): Long = {
+    var n = 0L
+    var d = root.nextDoc()
+    while (d != NoMoreDocs) { n += 1; d = root.nextDoc() }
+    n
+  }
+
+  /** Stream matching docIds of the root cursor — no scoring, no heap. */
+  def docsAll(root: DocCursor): Iterator[Long] = new Iterator[Long] {
+    private var d = root.nextDoc()
+    def hasNext: Boolean = d != NoMoreDocs
+    def next(): Long = { val out = d; d = root.nextDoc(); out }
   }
 
   /** Dense/large disjunction: term-at-a-time accumulation —
@@ -452,7 +633,8 @@ object Kernel {
     * Used when the clause count makes document-at-a-time WAND's per-doc
     * cursor overhead dominate (multi-term expansions). Rank-identical.
     */
-  def taatTopK(cursors: Array[TermCursor], k: Int, minShouldMatch: Int = 1): Array[(Long, Double)] = {
+  def taatTopK(cursors: Array[TermCursor], k: Int, minShouldMatch: Int = 1,
+      floatMode: Boolean = false): Array[(Long, Double)] = {
     val acc = new java.util.HashMap[java.lang.Long, Array[Double]]() // doc -> (score, matchCount)
     cursors.foreach { c =>
       var d = c.nextDoc()
@@ -467,7 +649,7 @@ object Kernel {
     }
     val heap = new HitHeap(k)
     acc.forEach { (doc, slot) =>
-      if (slot(1) >= minShouldMatch) heap.insert(slot(0), doc)
+      if (slot(1) >= minShouldMatch) heap.insert(fin(slot(0), floatMode), doc)
     }
     heap.result()
   }
@@ -476,7 +658,7 @@ object Kernel {
     * `core/search/WANDScorer.java:55` (Broder et al. two-level retrieval),
     * with block-max skipping. Rank-identical to exhaustive evaluation.
     */
-  def wandTopK(cursors: Array[TermCursor], k: Int): Array[(Long, Double)] = {
+  def wandTopK(cursors: Array[TermCursor], k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
     val heap = new HitHeap(k)
     val subs: Array[TermCursor] = cursors.filter(_.nextDoc() != NoMoreDocs)
     if (subs.isEmpty) return heap.result()
@@ -514,7 +696,7 @@ object Kernel {
       var j = 0
       while (j < live && p < 0) {
         acc += ub(order(j))
-        if (!heap.full || acc > threshold) p = j
+        if (!heap.full || fin(acc, floatMode) > threshold) p = j
         j += 1
       }
       if (p < 0) return heap.result() // nothing can be competitive any more
@@ -528,7 +710,7 @@ object Kernel {
         var blockUb = 0d
         var jj = 0
         while (jj <= p) { blockUb += subs(order(jj)).blockMaxScore; jj += 1 }
-        if (!heap.full || blockUb > threshold) {
+        if (!heap.full || fin(blockUb, floatMode) > threshold) {
           // score pivotDoc fully: advance all cursors to pivotDoc
           var s = 0d
           var m = 0
@@ -538,7 +720,7 @@ object Kernel {
             if (c.doc == pivotDoc) s += c.score()
             m += 1
           }
-          heap.insert(s, pivotDoc)
+          heap.insert(fin(s, floatMode), pivotDoc)
           // advance everything sitting on pivotDoc
           m = 0
           while (m < subs.length) {
@@ -580,7 +762,8 @@ object Kernel {
     * `core/search/BlockMaxConjunctionBulkScorer.java`. Rank-identical to
     * exhaustive evaluation.
     */
-  def conjunctionTopK(cursors: Array[TermCursor], k: Int): Array[(Long, Double)] = {
+  def conjunctionTopK(cursors: Array[TermCursor], k: Int,
+      floatMode: Boolean = false): Array[(Long, Double)] = {
     val heap = new HitHeap(k)
     val sorted = cursors // caller orders by cost (rarest lead)
     val conj = new ConjunctionCursor(sorted.map(x => x: DocCursor))
@@ -591,8 +774,8 @@ object Kernel {
         var ub = 0d
         var j = 0
         while (j < sorted.length) { ub += sorted(j).blockMaxScore; j += 1 }
-        if (ub > heap.minScore) heap.insert(conj.score(), d)
-      } else heap.insert(conj.score(), d)
+        if (fin(ub, floatMode) > heap.minScore) heap.insert(fin(conj.score(), floatMode), d)
+      } else heap.insert(fin(conj.score(), floatMode), d)
       d = conj.nextDoc()
     }
     heap.result()
@@ -601,15 +784,15 @@ object Kernel {
   /** Single term with impact-based block skipping once the heap is full —
     * `core/search/TermScorer.java:35` + `ImpactsDISI.java:74-97`.
     */
-  def termTopK(cursor: TermCursor, k: Int): Array[(Long, Double)] = {
+  def termTopK(cursor: TermCursor, k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
     val heap = new HitHeap(k)
     var d = cursor.nextDoc()
     while (d != NoMoreDocs) {
-      if (heap.full && cursor.blockMaxScore <= heap.minScore) {
+      if (heap.full && fin(cursor.blockMaxScore, floatMode) <= heap.minScore) {
         // whole block non-competitive -> skip it
         d = cursor.advance(cursor.blockLastDoc + 1)
       } else {
-        heap.insert(cursor.score(), d)
+        heap.insert(fin(cursor.score(), floatMode), d)
         d = cursor.nextDoc()
       }
     }

@@ -9,28 +9,31 @@ import org.apache.spark.sql.functions._
 /** Query planner + distributed top-k executor.
   *
   * Mirrors the reference search lifecycle (SURVEY.md §3.2): rewrite the
-  * ADT to fixpoint -> expand multi-term (prefix) queries against the term
-  * dictionary (`core/search/MultiTermQuery.java:86-153`, SCORING_BOOLEAN
-  * rewrite, clause cap `IndexSearcher.java:873`) -> gather term +
-  * collection statistics once and broadcast them with the query (Lucene's
-  * `createWeight`, `core/search/TermQuery.java:44`) -> per-segment kernel
-  * emits a local top-k (per-leaf bulk scorer) -> global reduce =
+  * ADT to fixpoint -> expand multi-term (prefix/wildcard/regexp/fuzzy)
+  * queries against the term dictionary
+  * (`core/search/MultiTermQuery.java:86-153`, clause cap
+  * `IndexSearcher.java:873`) -> gather term + collection statistics once
+  * and broadcast them with the query (Lucene's `createWeight`,
+  * `core/search/TermQuery.java:44`) -> per-segment kernel emits a local
+  * top-k (per-leaf bulk scorer) -> global reduce =
   * `orderBy(score desc, docId asc).limit(k)` (`TopDocs.merge` with the
   * HitQueue tie-break).
   *
   * Scale: the only data movement is (a) the postings of the query's terms
   * (partition-pruned, predicate-pushed scan on the sorted `term` column),
-  * (b) k rows per segment for the final merge. Executor work per segment
-  * is bounded by that segment's posting sizes; WAND/block-max pruning
-  * skips non-competitive blocks without decoding them.
+  * (b) k rows per segment for the final merge (or ONE count per segment
+  * on the count path). Executor work per segment is bounded by that
+  * segment's posting sizes; WAND/block-max pruning skips non-competitive
+  * blocks without decoding them.
   */
 object Searcher {
 
   /** Plan-time scorer table shipped to executors. */
-  private final case class Scorers(
+  final case class Scorers(
       term: Map[String, Kernel.AnyScorer],
       phrase: Map[Seq[String], Kernel.AnyScorer],
-      synonym: Map[Seq[String], Kernel.AnyScorer]
+      synonym: Map[Seq[String], Kernel.AnyScorer],
+      boosted: Map[BoostTermQ, Kernel.AnyScorer]
   ) extends Serializable
 
   /** Expand prefixes against the term dictionary (bounded). The global
@@ -48,19 +51,96 @@ object Searcher {
       .as[String].collect().toSeq
   }
 
-  /** Fuzzy expansion: dictionary terms within `maxEdits` Levenshtein
-    * (`core/search/FuzzyQuery.java:52`) — Spark's codegen'd `levenshtein`
-    * plays the Lev-automaton's role over the sorted term dictionary.
+  /** Literal prefix of a wildcard pattern (chars before the first
+    * metachar) — used to range-prune the dictionary scan like the
+    * reference's automaton/dictionary intersection
+    * (`core/codecs/lucene103/blocktree/IntersectTermsEnum.java`).
     */
-  def expandFuzzy(index: Index, term: String, maxEdits: Int): Seq[String] = {
+  private def wildcardLiteralPrefix(pattern: String): String =
+    pattern.takeWhile(c => c != '*' && c != '?')
+
+  /** Wildcard -> anchored regex (only `*` and `?` are meta; everything
+    * else is literal) — `core/search/WildcardQuery.java:38,63-76`.
+    */
+  def wildcardRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()<>+-=!^$|".indexOf(c) >= 0 => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString
+  }
+
+  /** Expand a general wildcard against the sorted term dictionary:
+    * range-prune by the literal prefix, then a codegen'd `rlike` plays
+    * the automaton's role (`core/search/WildcardQuery.java:38`).
+    */
+  def expandWildcard(index: Index, pattern: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
-    index.termStats
-      .filter(length($"term") >= length(lit(term)) - maxEdits &&
-        length($"term") <= length(lit(term)) + maxEdits)
-      .filter(levenshtein($"term", lit(term)) <= maxEdits)
+    val pre = wildcardLiteralPrefix(pattern)
+    val base =
+      if (pre.isEmpty) index.termStats
+      else index.termStats.filter($"term" >= pre && $"term".startsWith(pre))
+    base.filter($"term".rlike(wildcardRegex(pattern)))
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
       .as[String].collect().toSeq
+  }
+
+  /** Regexp expansion — `core/search/RegexpQuery.java:44`. The pattern is
+    * implicitly anchored (whole-term match), like the reference.
+    */
+  def expandRegexp(index: Index, pattern: String): Seq[String] = {
+    import index.postings.sparkSession.implicits._
+    index.termStats
+      .filter($"term".rlike(s"^(?:$pattern)$$"))
+      .select($"term").orderBy($"term")
+      .limit(Query.MaxClauseCount)
+      .as[String].collect().toSeq
+  }
+
+  /** Fuzzy expansion with the reference's default semantics
+    * (`core/search/FuzzyQuery.java:34,60` TopTermsBlendedFreqScoringRewrite):
+    * dictionary terms within `maxEdits` Damerau-Levenshtein
+    * (transpositions count 1, `FuzzyQuery` `transpositions=true` default),
+    * boost = 1 - ed/min(|term|,|query|) (`FuzzyTermsEnum.java:251-258`),
+    * top `maxExpansions` by (boost desc, term asc)
+    * (`TopTermsRewrite.ScoreTerm.compareTo`), scored with blended
+    * df = max over picked terms (`BlendedTermQuery.java:282-291`).
+    * Returns the rewritten disjunction.
+    */
+  def expandFuzzyBlended(index: Index, f: FuzzyQ): Query = {
+    import index.postings.sparkSession.implicits._
+    val t = f.term
+    val maxEdits = f.maxEdits
+    val osa = udf((cand: String) => graft.util.EditDistance.osa(cand, t, maxEdits))
+    val cands = index.termStats
+      .filter(length($"term") >= length(lit(t)) - maxEdits &&
+        length($"term") <= length(lit(t)) + maxEdits)
+      .withColumn("ed", osa($"term"))
+      .filter($"ed" <= maxEdits)
+      .select($"term", $"df", $"ed")
+      .as[(String, Long, Int)].collect()
+    if (cands.isEmpty) return MatchNone
+    val boosted = cands.map { case (term, df, ed) =>
+      val boost =
+        if (ed == 0) 1f
+        else 1f - ed.toFloat / math.min(term.length, t.length).toFloat
+      val boostD =
+        if (ed == 0) 1d
+        else 1d - ed.toDouble / math.min(term.length, t.length).toDouble
+      (term, df, boost, boostD)
+    }
+    // selection order (boost desc, term asc) compares FLOAT boosts — the
+    // reference's ScoreTerm.compareTo is on float (TopTermsRewrite.java:200)
+    val top = boosted.sortBy { case (term, _, boost, _) => (-boost, term) }
+      .take(math.min(f.maxExpansions, Query.MaxClauseCount))
+    val dfBlended = top.map(_._2).max
+    BoolQ(should = top.toSeq.sortBy(_._1).map { case (term, _, boost, boostD) =>
+      BoostTermQ(term, boost, dfBlended, boostD)
+    }, minShouldMatch = 1)
   }
 
   /** Lexicographic range expansion (`core/search/TermRangeQuery.java:37`);
@@ -75,30 +155,48 @@ object Searcher {
       .as[String].collect().toSeq
   }
 
-  private def substitutePrefixes(q: Query, exp: Map[Query, Seq[String]]): Query = q match {
-    case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) =>
+  private def substituteExpansions(
+      q: Query,
+      exp: Map[Query, Seq[String]],
+      fuzzyExp: Map[Query, Query]
+  ): Query = q match {
+    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | TermRangeQ(_, _) =>
       exp.getOrElse(q, Nil) match {
         case Nil => MatchNone
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
-    case BoolQ(m, s, n, msm) =>
-      BoolQ(m.map(substitutePrefixes(_, exp)), s.map(substitutePrefixes(_, exp)),
-        n.map(substitutePrefixes(_, exp)), msm)
-    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(substitutePrefixes(_, exp)), tb)
+    case f: FuzzyQ => fuzzyExp.getOrElse(f, MatchNone)
+    case BoolQ(m, s, n, msm, fl) =>
+      BoolQ(m.map(substituteExpansions(_, exp, fuzzyExp)),
+        s.map(substituteExpansions(_, exp, fuzzyExp)),
+        n.map(substituteExpansions(_, exp, fuzzyExp)), msm,
+        fl.map(substituteExpansions(_, exp, fuzzyExp)))
+    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(substituteExpansions(_, exp, fuzzyExp)), tb)
+    case ConstScoreQ(inner, b) => ConstScoreQ(substituteExpansions(inner, exp, fuzzyExp), b)
     case other => other
   }
 
   private def phrases(q: Query): Set[Seq[String]] = q match {
-    case PhraseQ(ts) => Set(ts)
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(phrases).toSet
+    case PhraseQ(ts, _) => Set(ts)
+    case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(phrases).toSet
     case DisMaxQ(cs, _) => cs.flatMap(phrases).toSet
+    case ConstScoreQ(inner, _) => phrases(inner)
     case _ => Set.empty
   }
 
   private def synonyms(q: Query): Set[Seq[String]] = q match {
     case SynonymQ(ts) => Set(ts)
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(synonyms).toSet
+    case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(synonyms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(synonyms).toSet
+    case ConstScoreQ(inner, _) => synonyms(inner)
+    case _ => Set.empty
+  }
+
+  private def boostTerms(q: Query): Set[BoostTermQ] = q match {
+    case b: BoostTermQ => Set(b)
+    case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(boostTerms).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(boostTerms).toSet
+    case ConstScoreQ(inner, _) => boostTerms(inner)
     case _ => Set.empty
   }
 
@@ -110,24 +208,36 @@ object Searcher {
   def topK(index: Index, queryStr: String, k: Int, doubleMode: Boolean = false): DataFrame =
     topKQ(index, QueryParser.parse(queryStr), k, doubleMode)
 
-  def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false): DataFrame = {
-    val spark = index.postings.sparkSession
-    import spark.implicits._
+  /** Planned query: rewritten + expanded tree, its scorer table, and the
+    * terms whose postings the kernel will scan. The reference analogue is
+    * the rewritten `Query` + `Weight` pair (`IndexSearcher.java:866,971`).
+    */
+  final case class Plan(query: Query, scorers: Scorers, terms: Set[String])
 
-    // 1. rewrite + multi-term expansion (prefix / fuzzy / range)
+  /** Rewrite, expand multi-term queries, gather stats, build scorers.
+    * Returns None when the query can match nothing.
+    */
+  def plan(index: Index, query0: Query, doubleMode: Boolean): Option[Plan] = {
+    import index.postings.sparkSession.implicits._
+
+    // 1. rewrite + multi-term expansion (prefix / wildcard / regexp /
+    //    range / fuzzy)
     val pre = Query.rewrite(query0)
     val exp: Map[Query, Seq[String]] =
       Query.prefixes(pre).map(p => (PrefixQ(p): Query) -> expandPrefix(index, p)).toMap ++
         Query.expansions(pre).map {
-          case f @ FuzzyQ(t, e) => (f: Query) -> expandFuzzy(index, t, e)
+          case w @ WildcardQ(p) => (w: Query) -> expandWildcard(index, p)
+          case r @ RegexpQ(p) => (r: Query) -> expandRegexp(index, p)
           case r @ TermRangeQ(lo, hi) => (r: Query) -> expandRange(index, lo, hi)
           case other => (other, Nil)
         }.toMap
-    val query = Query.rewrite(substitutePrefixes(pre, exp))
+    val fuzzyExp: Map[Query, Query] =
+      Query.fuzzies(pre).map(f => (f: Query) -> expandFuzzyBlended(index, f)).toMap
+    val query = Query.rewrite(substituteExpansions(pre, exp, fuzzyExp))
 
-    if (query == MatchNone) return emptyResult(spark, doubleMode)
+    if (query == MatchNone) return None
     val terms = Query.literalTerms(query)
-    if (terms.isEmpty) return emptyResult(spark, doubleMode)
+    if (terms.isEmpty) return None
 
     // 2. stats gathering (tiny collect, broadcast with the closure)
     val statsMap: Map[String, TermStats] =
@@ -135,9 +245,10 @@ object Searcher {
         .collect().map(t => t.term -> t).toMap
     val fs = index.fieldStats
 
-    def anyScorer(df: Long): Kernel.AnyScorer =
-      if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(TermStats("", df, 0), fs))
-      else Kernel.FloatScorer(BM25.termScorer(TermStats("", df, 0), fs))
+    def anyScorer(df: Long, boost: Float = 1f, boostD: Double = -1d): Kernel.AnyScorer =
+      if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(TermStats("", df, 0), fs,
+        if (boostD >= 0d) boostD else boost.toDouble))
+      else Kernel.FloatScorer(BM25.termScorer(TermStats("", df, 0), fs, boost))
 
     // phrase pseudo-term scorer: weight = boost * (float) sum of member idfs
     // (`BM25Similarity.idfExplain(collectionStats, termStats[])`)
@@ -160,24 +271,47 @@ object Searcher {
     val scorers = Scorers(
       terms.map(t => t -> anyScorer(statsMap.get(t).map(_.df).getOrElse(0L))).toMap,
       phrases(query).map(ts => ts -> phraseScorer(ts)).toMap,
-      synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap
+      synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap,
+      boostTerms(query).map(b => b -> anyScorer(b.df, b.boost, b.boostD)).toMap
     )
+    Some(Plan(query, scorers, terms))
+  }
 
-    // 3. per-segment kernels over the pruned postings scan
-    val kk = k
-    val q = query
-    val localTopK = index.postings
+  /** Per-segment posting rows for the plan's terms, grouped by segment. */
+  private def segmentTerms(index: Index, terms: Set[String]) = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    index.postings
       .filter($"term".isin(terms.toSeq: _*))
       .as[PostingList]
       .groupByKey(_.seg)
-      .flatMapGroups { (_, rows) =>
-        // a term may span multiple rows (mega-term salt split / merge output);
-        // blocks are self-contained, so concat in docId order
-        val byTerm = rows.toSeq.groupBy(_.term).map { case (t, rs) =>
-          if (rs.size == 1) t -> rs.head
-          else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
-        }
-        SegmentKernel.run(q, byTerm, scorers.term, scorers.phrase, scorers.synonym, kk)
+  }
+
+  /** A term may span multiple rows (mega-term salt split / merge output);
+    * blocks are self-contained, so concat in docId order.
+    */
+  private[graft] def concatByTerm(rows: Iterator[PostingList]): Map[String, PostingList] =
+    rows.toSeq.groupBy(_.term).map { case (t, rs) =>
+      if (rs.size == 1) t -> rs.head
+      else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
+    }
+
+  def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val pl = plan(index, query0, doubleMode) match {
+      case None => return emptyResult(spark, doubleMode)
+      case Some(p) => p
+    }
+    val scorers = pl.scorers
+    val kk = k
+    val q = pl.query
+    val live = index.liveFilter
+    // 3. per-segment kernels over the pruned postings scan
+    val localTopK = segmentTerms(index, pl.terms)
+      .flatMapGroups { (seg, rows) =>
+        SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
+            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null))
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
 
@@ -187,6 +321,52 @@ object Searcher {
       .limit(k)
     if (doubleMode) merged
     else merged.select($"docId", $"score".cast("float").as("score"))
+  }
+
+  /** Count matching docs — no heap, no scoring, no global sort; the
+    * kernel emits ONE partial count per segment and Spark's partial/final
+    * agg sums them (`core/search/TotalHitCountCollector.java:27`,
+    * `IndexSearcher.count`).
+    */
+  def count(index: Index, queryStr: String): Long =
+    countQ(index, QueryParser.parse(queryStr))
+
+  def countQ(index: Index, query0: Query): Long = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val pl = plan(index, query0, doubleMode = true) match {
+      case None => return 0L
+      case Some(p) => p
+    }
+    val scorers = pl.scorers
+    val q = pl.query
+    val live = index.liveFilter
+    segmentTerms(index, pl.terms)
+      .mapGroups { (seg, rows) =>
+        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null))
+      }
+      .agg(coalesce(sum($"value"), lit(0L)).as("n"))
+      .as[Long].head()
+  }
+
+  /** Matching docIds (no scoring, no heap, no global score sort) — the
+    * docs-only execution path.
+    */
+  def matchingDocs(index: Index, query0: Query): org.apache.spark.sql.Dataset[java.lang.Long] = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val pl = plan(index, query0, doubleMode = true) match {
+      case None => return spark.emptyDataset[java.lang.Long]
+      case Some(p) => p
+    }
+    val scorers = pl.scorers
+    val q = pl.query
+    val live = index.liveFilter
+    segmentTerms(index, pl.terms)
+      .flatMapGroups { (seg, rows) =>
+        SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null))
+          .map(java.lang.Long.valueOf)
+      }
   }
 
   private def cacheOfF(fs: FieldStats): Array[Float] = {
@@ -213,93 +393,144 @@ object Searcher {
 object SegmentKernel {
   import Kernel._
 
+  /** Wrap the root with the segment's tombstone exclusion (liveDocs,
+    * `core/search/Weight.java:294-300` acceptDocs).
+    */
+  private def withLiveDocs(c: DocCursor, deletedOrds: Array[Long]): DocCursor =
+    if (deletedOrds == null || deletedOrds.isEmpty) c
+    else new ExclusionCursor(c, new SortedDocsCursor(deletedOrds))
+
   def run(
       q: Query,
       byTerm: Map[String, PostingList],
-      termScorers: Map[String, AnyScorer],
-      phraseScorers: Map[Seq[String], AnyScorer],
-      synonymScorers: Map[Seq[String], AnyScorer],
-      k: Int
+      scorers: Searcher.Scorers,
+      k: Int,
+      floatMode: Boolean = false,
+      deletedOrds: Array[Long] = null
   ): Array[(Long, Double)] = {
+    val hasDeletes = deletedOrds != null && deletedOrds.nonEmpty
 
     def termCursor(t: String, needPos: Boolean): Option[TermCursor] =
-      byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t), needPos))
+      byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t), needPos))
 
-    // physical strategy selection on the rewritten root
+    // physical strategy selection on the rewritten root; segments with
+    // deletes route through the generic cursor path with the liveDocs wrap
     q match {
-      case TermQ(t) =>
+      case TermQ(t) if !hasDeletes =>
         termCursor(t, needPos = false) match {
-          case Some(c) => termTopK(c, k)
+          case Some(c) => termTopK(c, k, floatMode)
           case None => Array.empty
         }
-      case BoolQ(must, Nil, Nil, _) if must.nonEmpty && must.forall(_.isInstanceOf[TermQ]) =>
+      case BoolQ(must, Nil, Nil, _, Nil) if !hasDeletes && must.nonEmpty &&
+          must.forall(_.isInstanceOf[TermQ]) =>
         val ts = must.collect { case TermQ(t) => t }
         if (ts.exists(t => !byTerm.contains(t))) Array.empty
         else {
           // rarest-first lead order (cost = segment-local df),
           // `ConjunctionDISI` cost ordering
           val sorted = ts.sortBy(t => byTerm(t).df)
-            .map(t => new TermCursor(byTerm(t), termScorers(t))).toArray
-          conjunctionTopK(sorted, k)
+            .map(t => new TermCursor(byTerm(t), scorers.term(t))).toArray
+          conjunctionTopK(sorted, k, floatMode)
         }
-      case BoolQ(Nil, should, Nil, msm) if msm <= 1 && should.nonEmpty &&
+      case BoolQ(Nil, should, Nil, msm, Nil) if !hasDeletes && msm <= 1 && should.nonEmpty &&
           should.forall(_.isInstanceOf[TermQ]) =>
         val cs = should.collect { case TermQ(t) => termCursor(t, needPos = false) }.flatten
         if (cs.isEmpty) Array.empty
         // dense many-clause disjunctions (multi-term expansions): term-at-a-
         // time accumulation beats document-at-a-time WAND
         // (`BooleanScorerSupplier.java:176-223` makes the same choice)
-        else if (cs.size > 16) taatTopK(cs.toArray, k)
-        else wandTopK(cs.toArray, k)
-      case BoolQ(Nil, should, Nil, msm) if should.nonEmpty && should.size > 16 &&
-          should.forall(_.isInstanceOf[TermQ]) =>
+        else if (cs.size > 16) taatTopK(cs.toArray, k, 1, floatMode)
+        else wandTopK(cs.toArray, k, floatMode)
+      case BoolQ(Nil, should, Nil, msm, Nil) if !hasDeletes && should.nonEmpty &&
+          should.size > 16 && should.forall(_.isInstanceOf[TermQ]) =>
         val cs = should.collect { case TermQ(t) => termCursor(t, needPos = false) }.flatten
-        if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm)
+        if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm, floatMode)
       case other =>
-        buildCursor(other, byTerm, termScorers, phraseScorers, synonymScorers) match {
-          case Some(c) => collectAll(c, k)
+        buildCursor(other, byTerm, scorers) match {
+          case Some(c) => collectAll(withLiveDocs(c, deletedOrds), k, floatMode)
           case None => Array.empty
         }
     }
   }
 
+  /** Count matches — cursors only, no heap/scoring
+    * (`core/search/TotalHitCountCollector.java:27`).
+    */
+  def count(
+      q: Query,
+      byTerm: Map[String, PostingList],
+      scorers: Searcher.Scorers,
+      deletedOrds: Array[Long] = null
+  ): Long =
+    buildCursor(q, byTerm, scorers) match {
+      case Some(c) => countAll(withLiveDocs(c, deletedOrds))
+      case None => 0L
+    }
+
+  /** Matching docIds — cursors only, no heap/scoring. */
+  def docs(
+      q: Query,
+      byTerm: Map[String, PostingList],
+      scorers: Searcher.Scorers,
+      deletedOrds: Array[Long] = null
+  ): Iterator[Long] =
+    buildCursor(q, byTerm, scorers) match {
+      case Some(c) => docsAll(withLiveDocs(c, deletedOrds))
+      case None => Iterator.empty
+    }
+
   /** Compositional cursor construction for arbitrary rewritten queries. */
   def buildCursor(
       q: Query,
       byTerm: Map[String, PostingList],
-      termScorers: Map[String, AnyScorer],
-      phraseScorers: Map[Seq[String], AnyScorer],
-      synonymScorers: Map[Seq[String], AnyScorer] = Map.empty
+      scorers: Searcher.Scorers
   ): Option[DocCursor] = q match {
     case MatchNone | MatchAll => None // MatchAll only survives in pure-negation -> empty
     case TermQ(t) =>
-      byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t)))
-    case PhraseQ(ts) =>
+      byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t)))
+    case b @ BoostTermQ(t, _, _, _) =>
+      byTerm.get(t).map(pl => new TermCursor(pl, scorers.boosted(b)))
+    case PhraseQ(ts, slop) =>
       val cs = ts.map(t => byTerm.get(t).map(pl =>
-        new TermCursor(pl, termScorers(t), needPositions = true)))
+        new TermCursor(pl, scorers.term(t), needPositions = true)))
       if (cs.exists(_.isEmpty)) None
-      else Some(new PhraseCursor(cs.flatten.toArray, phraseScorers(ts)))
+      else if (slop <= 0) Some(new PhraseCursor(cs.flatten.toArray, scorers.phrase(ts)))
+      else {
+        require(ts.distinct.size == ts.size,
+          s"sloppy phrase with repeated terms is not supported: $ts")
+        Some(new SloppyPhraseCursor(cs.flatten.toArray, slop, scorers.phrase(ts)))
+      }
     case SynonymQ(ts) =>
-      val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, termScorers(t))))
+      val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t))))
       if (cs.isEmpty) None
-      else Some(new SynonymCursor(cs.toArray, synonymScorers(ts)))
-    case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded before kernel
+      else Some(new SynonymCursor(cs.toArray, scorers.synonym(ts)))
+    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
+      None // expanded before kernel
+    case ConstScoreQ(inner, boost) =>
+      buildCursor(inner, byTerm, scorers).map(c => new ConstScoreCursor(c, boost.toDouble))
     case DisMaxQ(cs, tb) =>
-      val sub = cs.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
+      val sub = cs.flatMap(buildCursor(_, byTerm, scorers))
       if (sub.isEmpty) None
       else if (sub.size == 1) Some(sub.head)
       else Some(new DisMaxCursor(sub.toArray, tb))
-    case BoolQ(must0, should, mustNot, msm) =>
+    case BoolQ(must0, should, mustNot, msm, filter) =>
       val must = must0.filterNot(_ == MatchAll)
-      val mc = must.map(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
+      val mc = must.map(buildCursor(_, byTerm, scorers))
       if (mc.exists(_.isEmpty)) return None // a required clause can't match here
-      val sc = should.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
-      val nc = mustNot.flatMap(buildCursor(_, byTerm, termScorers, phraseScorers, synonymScorers))
+      val fc = filter.map(buildCursor(_, byTerm, scorers))
+      if (fc.exists(_.isEmpty)) return None // a FILTER clause can't match here
+      val sc = should.flatMap(buildCursor(_, byTerm, scorers))
+      val nc = mustNot.flatMap(buildCursor(_, byTerm, scorers))
+
+      // FILTER clauses join the conjunction as non-scoring members
+      // (`core/search/BooleanQuery.java:40`, Occur.FILTER)
+      val required: Seq[DocCursor] =
+        mc.flatten ++ fc.flatten.map(c => new NonScoringCursor(c))
 
       val positive: Option[DocCursor] =
-        if (must.nonEmpty) {
+        if (required.nonEmpty) {
           val conj: DocCursor =
-            if (mc.size == 1) mc.head.get else new ConjunctionCursor(mc.flatten.toArray)
+            if (required.size == 1) required.head else new ConjunctionCursor(required.toArray)
           if (sc.isEmpty) Some(conj)
           else if (msm <= 0)
             Some(new ReqOptCursor(conj,

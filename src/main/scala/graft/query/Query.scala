@@ -5,22 +5,52 @@ package graft.query
   * Shapes cover the reference query classes
   * (`lucene/benchmark/conf/query-terms.txt`, `query-phrases.txt`,
   * `query-wildcards.txt`): terms, boolean mixes with MUST / SHOULD /
-  * MUST_NOT and minShouldMatch (`core/search/BooleanQuery.java:40`),
-  * exact phrases (`core/search/PhraseQuery.java:71`), prefix
-  * (`core/search/PrefixQuery.java:29`).
+  * MUST_NOT / FILTER and minShouldMatch (`core/search/BooleanQuery.java:40`),
+  * exact and sloppy phrases (`core/search/PhraseQuery.java:71`,
+  * `SloppyPhraseMatcher.java:54`), prefix / wildcard / regexp
+  * (`core/search/PrefixQuery.java:29`, `WildcardQuery.java:38`,
+  * `RegexpQuery.java:44`), constant score
+  * (`core/search/ConstantScoreQuery.java:28`).
   */
 sealed trait Query
 
 case object MatchAll extends Query
 case object MatchNone extends Query
 final case class TermQ(term: String) extends Query
-final case class PhraseQ(terms: Seq[String]) extends Query
+
+/** Exact (slop = 0) or sloppy phrase. Sloppy matching/scoring follows
+  * `core/search/SloppyPhraseMatcher.java:54`: a match's length is the
+  * span of offset-adjusted positions, weight 1/(1+matchLength), and the
+  * doc's sloppy freq is the sum of greedy-minimised match weights.
+  */
+final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 
-/** Levenshtein expansion against the term dictionary —
-  * `core/search/FuzzyQuery.java:52` (SCORING_BOOLEAN rewrite).
+/** General wildcard (`*` = any run, `?` = one char) expanded against the
+  * sorted term dictionary — `core/search/WildcardQuery.java:38`.
   */
-final case class FuzzyQ(term: String, maxEdits: Int = 1) extends Query
+final case class WildcardQ(pattern: String) extends Query
+
+/** Regular-expression term expansion — `core/search/RegexpQuery.java:44`. */
+final case class RegexpQ(pattern: String) extends Query
+
+/** Damerau-Levenshtein expansion with the reference's default rewrite:
+  * top-`maxExpansions` matching terms by (similarity boost desc, term asc),
+  * scored with blended df — `core/search/FuzzyQuery.java:34,60`
+  * (TopTermsBlendedFreqScoringRewrite), boost formula
+  * `FuzzyTermsEnum.java:251-258`, blending `BlendedTermQuery.java:282-291`.
+  */
+final case class FuzzyQ(term: String, maxEdits: Int = 1, maxExpansions: Int = 50) extends Query
+
+/** One expanded fuzzy alternative: a term scored with an overridden
+  * (blended) df and a similarity boost — the leaf the
+  * TopTermsBlendedFreqScoringRewrite produces. `boostD` carries the
+  * boost in double precision for the SQL-oracle-comparable double mode
+  * (< 0 = derive from the float `boost`).
+  */
+final case class BoostTermQ(term: String, boost: Float, df: Long, boostD: Double = -1d)
+    extends Query
 
 /** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
 final case class TermRangeQ(lo: String, hi: String) extends Query
@@ -35,11 +65,21 @@ final case class DisMaxQ(clauses: Seq[Query], tieBreak: Double = 0d) extends Que
   */
 final case class SynonymQ(terms: Seq[String]) extends Query
 
+/** Wrap any query: matches the same docs, scores a constant `boost` —
+  * `core/search/ConstantScoreQuery.java:28`.
+  */
+final case class ConstScoreQ(inner: Query, boost: Float = 1f) extends Query
+
+/** Boolean query. `filter` clauses are required but contribute NO score —
+  * `Occur.FILTER` (`core/search/BooleanQuery.java:40`; non-scoring
+  * execution via the ConstantScore wrap of the rewrite, `:300-317`).
+  */
 final case class BoolQ(
     must: Seq[Query] = Nil,
     should: Seq[Query] = Nil,
     mustNot: Seq[Query] = Nil,
-    minShouldMatch: Int = 0
+    minShouldMatch: Int = 0,
+    filter: Seq[Query] = Nil
 ) extends Query
 
 object Query {
@@ -65,33 +105,41 @@ object Query {
   }
 
   private def rewriteOnce(q: Query): Query = q match {
-    case BoolQ(must, should, mustNot, msm) =>
+    case BoolQ(must, should, mustNot, msm, filter) =>
       val m = must.map(rewriteOnce)
       val s = should.map(rewriteOnce)
       val n = mustNot.map(rewriteOnce).distinct // dedup MUST_NOT (BooleanQuery.java:344-354)
-      // any MUST clause that can never match -> whole query never matches
-      if (m.contains(MatchNone)) MatchNone
+      val f = filter.map(rewriteOnce).distinct // dedup FILTER (same)
+      // any required clause that can never match -> whole query never matches
+      if (m.contains(MatchNone) || f.contains(MatchNone)) MatchNone
       // MUST_NOT MatchAll -> never matches (BooleanQuery.java:365-373)
       else if (n.contains(MatchAll)) MatchNone
-      // a clause both MUST and MUST_NOT -> never matches
-      else if (m.exists(n.contains) || (m.isEmpty && s.nonEmpty && s.forall(n.contains))) MatchNone
+      // a clause both required and MUST_NOT -> never matches
+      else if (m.exists(n.contains) || f.exists(n.contains) ||
+        (m.isEmpty && f.isEmpty && s.nonEmpty && s.forall(n.contains))) MatchNone
       else {
+        val f2 = f.filterNot(_ == MatchAll)
         val m2 = m.filterNot(_ == MatchAll) match {
-          case Nil if m.nonEmpty => Seq(MatchAll) // keep one anchor if all were MatchAll
+          case Nil if m.nonEmpty && f2.isEmpty => Seq(MatchAll) // keep one anchor if all were MatchAll
           case other => other
         }
         val n2 = n.filterNot(_ == MatchNone)
         val s2 = s.filterNot(_ == MatchNone)
-        val msm2 = math.max(msm, if (m2.isEmpty && s2.nonEmpty) 1 else 0)
-        if (m2.isEmpty && s2.isEmpty && n2.isEmpty) MatchNone // empty boolean (BooleanQuery.java:270-276)
-        else if (m2.isEmpty && s2.isEmpty) MatchNone // pure negation never matches (Lucene semantics)
-        else if (m2.size == 1 && s2.isEmpty && n2.isEmpty) m2.head // single-clause unwrap (:280-295)
-        else if (m2.isEmpty && s2.size == 1 && n2.isEmpty && msm2 <= 1) s2.head
+        val msm2 = math.max(msm, if (m2.isEmpty && f2.isEmpty && s2.nonEmpty) 1 else 0)
+        if (m2.isEmpty && s2.isEmpty && f2.isEmpty && n2.isEmpty) MatchNone // empty boolean (:270-276)
+        else if (m2.isEmpty && s2.isEmpty && f2.isEmpty) MatchNone // pure negation never matches
+        else if (m2.isEmpty && s2.isEmpty) {
+          // filter-only boolean: matches, scores 0 (non-scoring context)
+          if (n2.isEmpty && f2.size == 1) ConstScoreQ(f2.head, 0f)
+          else ConstScoreQ(BoolQ(must = f2, mustNot = n2), 0f)
+        }
+        else if (m2.size == 1 && s2.isEmpty && n2.isEmpty && f2.isEmpty) m2.head // single-clause unwrap (:280-295)
+        else if (m2.isEmpty && s2.size == 1 && n2.isEmpty && f2.isEmpty && msm2 <= 1) s2.head
         else if (s2.nonEmpty && msm2 > s2.size) MatchNone // unsatisfiable minShouldMatch
-        else BoolQ(m2, s2, n2, msm2)
+        else BoolQ(m2, s2, n2, msm2, f2)
       }
-    case PhraseQ(Seq(t)) => TermQ(t)
-    case PhraseQ(Nil) => MatchNone
+    case PhraseQ(Seq(t), _) => TermQ(t)
+    case PhraseQ(Nil, _) => MatchNone
     case SynonymQ(Nil) => MatchNone
     case SynonymQ(Seq(t)) => TermQ(t)
     case DisMaxQ(Nil, _) => MatchNone
@@ -99,41 +147,57 @@ object Query {
     case DisMaxQ(cs, tb) =>
       val r = cs.map(rewriteOnce).filterNot(_ == MatchNone)
       if (r.isEmpty) MatchNone else DisMaxQ(r, tb)
+    case ConstScoreQ(inner, boost) =>
+      rewriteOnce(inner) match {
+        case MatchNone => MatchNone
+        case ConstScoreQ(i2, _) => ConstScoreQ(i2, boost) // collapse nesting; outer boost wins
+        case i2 => ConstScoreQ(i2, boost)
+      }
     case other => other
   }
 
-  /** All literal terms mentioned (prefixes excluded — they expand against
-    * the term dictionary at planning time).
+  /** All literal terms mentioned (multi-term queries excluded — they
+    * expand against the term dictionary at planning time).
     */
   def literalTerms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
-    case PhraseQ(ts) => ts.toSet
+    case BoostTermQ(t, _, _, _) => Set(t)
+    case PhraseQ(ts, _) => ts.toSet
     case SynonymQ(ts) => ts.toSet
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(literalTerms).toSet
+    case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
+    case ConstScoreQ(inner, _) => literalTerms(inner)
     case _ => Set.empty
   }
 
-  def prefixes(q: Query): Set[String] = q match {
-    case PrefixQ(p) => Set(p)
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(prefixes).toSet
-    case DisMaxQ(cs, _) => cs.flatMap(prefixes).toSet
-    case _ => Set.empty
+  private def collect[A](q: Query)(pf: PartialFunction[Query, Set[A]]): Set[A] = {
+    val self = pf.applyOrElse(q, (_: Query) => Set.empty[A])
+    val kids = q match {
+      case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(collect(_)(pf)).toSet
+      case DisMaxQ(cs, _) => cs.flatMap(collect(_)(pf)).toSet
+      case ConstScoreQ(inner, _) => collect(inner)(pf)
+      case _ => Set.empty[A]
+    }
+    self ++ kids
   }
 
-  /** Multi-term queries needing dictionary expansion (fuzzy/range). */
-  def expansions(q: Query): Set[Query] = q match {
-    case f: FuzzyQ => Set(f)
+  def prefixes(q: Query): Set[String] = collect[String](q) { case PrefixQ(p) => Set(p) }
+
+  /** Multi-term queries needing dictionary expansion to plain terms. */
+  def expansions(q: Query): Set[Query] = collect[Query](q) {
+    case w: WildcardQ => Set(w)
+    case r: RegexpQ => Set(r)
     case r: TermRangeQ => Set(r)
-    case BoolQ(m, s, n, _) => (m ++ s ++ n).flatMap(expansions).toSet
-    case DisMaxQ(cs, _) => cs.flatMap(expansions).toSet
-    case _ => Set.empty
   }
+
+  /** Fuzzy queries (blended rewrite — separate expansion product). */
+  def fuzzies(q: Query): Set[FuzzyQ] = collect[FuzzyQ](q) { case f: FuzzyQ => Set(f) }
 }
 
 /** Tiny recursive-descent parser for the reference query-set syntax:
-  * `AND`, `OR`, `NOT`, parentheses, `"quoted phrases"`, trailing-`*`
-  * prefixes. Grammar (lowest precedence first): or := and (OR and)*,
+  * `AND`, `OR`, `NOT`, parentheses, `"quoted phrases"` (with optional
+  * `~slop`), trailing-`*` prefixes, general `*`/`?` wildcards, `~edits`
+  * fuzzy. Grammar (lowest precedence first): or := and (OR and)*,
   * and := unary (AND unary)*, unary := NOT unary | atom.
   * Reference analogue: the classic QueryParser surface
   * (`lucene/queryparser/.../classic/QueryParserBase.java:133`) restricted
@@ -153,8 +217,15 @@ object QueryParser {
       else if (c == '"') {
         val end = s.indexOf('"', i + 1)
         val body = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
-        out += Tok("phrase", body)
         i = if (end < 0) s.length else end + 1
+        // optional ~slop suffix on a phrase
+        var slop = 0
+        if (i < s.length && s.charAt(i) == '~') {
+          var j = i + 1
+          while (j < s.length && s.charAt(j).isDigit) j += 1
+          if (j > i + 1) { slop = s.substring(i + 1, j).toInt; i = j }
+        }
+        out += Tok("phrase", s"$slop:$body")
       } else {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
@@ -165,7 +236,11 @@ object QueryParser {
           case "AND" => out += Tok("AND", w)
           case "OR" => out += Tok("OR", w)
           case "NOT" => out += Tok("NOT", w)
-          case _ if w.endsWith("*") && w.length > 1 => out += Tok("prefix", w.dropRight(1))
+          case _ if w.endsWith("*") && w.length > 1 &&
+              !w.dropRight(1).exists(ch => ch == '*' || ch == '?') =>
+            out += Tok("prefix", w.dropRight(1))
+          case _ if w.exists(ch => ch == '*' || ch == '?') && w.length > 1 =>
+            out += Tok("wildcard", w)
           case fuzzy(base, edits) => out += Tok("fuzzy", s"$edits:$base")
           case _ if w.endsWith("~") && w.length > 1 => out += Tok("fuzzy", s"2:${w.dropRight(1)}")
           case _ => out += Tok("term", w)
@@ -185,11 +260,14 @@ object QueryParser {
         pop(); val q = or()
         if (peek.exists(_.kind == ")")) pop()
         q
-      case Some(Tok("phrase", body)) =>
+      case Some(Tok("phrase", v)) =>
         pop()
-        PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq)
+        val Array(slop, body) = v.split(":", 2)
+        PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq, slop.toInt)
       case Some(Tok("prefix", p)) =>
         pop(); PrefixQ(p.toLowerCase(java.util.Locale.ROOT))
+      case Some(Tok("wildcard", p)) =>
+        pop(); WildcardQ(p.toLowerCase(java.util.Locale.ROOT))
       case Some(Tok("fuzzy", v)) =>
         pop()
         val Array(e, base) = v.split(":", 2)
@@ -224,10 +302,10 @@ object QueryParser {
       else {
         // fold NOT-wrapped clauses into mustNot of the conjunction
         val (negs, pos) = clauses.partition {
-          case BoolQ(Seq(MatchAll), Nil, Seq(_), _) => true
+          case BoolQ(Seq(MatchAll), Nil, Seq(_), _, Nil) => true
           case _ => false
         }
-        val mustNot = negs.collect { case BoolQ(_, _, Seq(n), _) => n }
+        val mustNot = negs.collect { case BoolQ(_, _, Seq(n), _, _) => n }
         BoolQ(must = if (pos.isEmpty) Seq(MatchAll) else pos, mustNot = mustNot)
       }
     }
@@ -237,7 +315,8 @@ object QueryParser {
       // explicit OR, or implicit OR between adjacent atoms (the classic
       // QueryParser default operator)
       while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
-          t.kind == "phrase" || t.kind == "prefix" || t.kind == "fuzzy" || t.kind == "(")) {
+          t.kind == "phrase" || t.kind == "prefix" || t.kind == "wildcard" ||
+          t.kind == "fuzzy" || t.kind == "(")) {
         if (peek.exists(_.kind == "OR")) pop()
         clauses = clauses :+ and()
       }

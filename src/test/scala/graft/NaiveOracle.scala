@@ -4,14 +4,14 @@ import graft.analysis.{CodeAnalyzer, Token}
 import graft.exec.BM25
 import graft.model.{FieldStats, TermStats}
 import graft.query._
-import graft.util.SmallFloat
+import graft.util.{EditDistance, SmallFloat}
 
 /** Exhaustive in-memory reference scorer — the differential oracle
   * (reference practice: `tf/search/CheckHits.java`, SURVEY.md §5.3).
   * Implements the same semantics as the engine by independent brute
   * force: per-doc evaluation over tokenized content, float term scores
-  * with byte-quantised norms, double clause accumulation, HitQueue
-  * tie-break.
+  * with byte-quantised norms, double clause accumulation with the float
+  * cast at the collector boundary, HitQueue tie-break.
   */
 object NaiveOracle {
 
@@ -25,34 +25,91 @@ object NaiveOracle {
   def fromContents(docs: Seq[(Long, String)]): Seq[Doc] =
     docs.map { case (id, c) => Doc(id, CodeAnalyzer.tokenize(c)) }
 
+  /** Greedy sloppy-phrase freq over adjusted position lists — an
+    * independent implementation of `SloppyPhraseMatcher.nextMatch`
+    * (`core/search/SloppyPhraseMatcher.java:190-220`) using an explicit
+    * sorted re-insertion queue.
+    */
+  def sloppyFreq(posArrays: Seq[Array[Int]], slop: Int): Double = {
+    // entries (adjustedPos, queryOffset, idxInStream); queue ordered by (pos, offset)
+    val streams = posArrays.zipWithIndex.map { case (ps, off) => ps.map(_ - off) }
+    var queue = streams.zipWithIndex.map { case (s, off) => (s(0), off, 0) }
+      .sortBy { case (p, off, _) => (p, off) }.toVector
+    var end = queue.map(_._1).max
+    var freq = 0d
+    var (pos, off, ix) = queue.head
+    queue = queue.tail
+    var matchLength = end - pos
+    var done = false
+    while (!done) {
+      if (ix + 1 >= streams(off).length) {
+        if (matchLength <= slop) freq += 1d / (1d + matchLength)
+        done = true
+      } else {
+        ix += 1
+        pos = streams(off)(ix)
+        if (pos > end) end = pos
+        if (queue.nonEmpty && pos > queue.head._1) {
+          if (matchLength <= slop) freq += 1d / (1d + matchLength)
+          // re-insert advanced entry, pop new min
+          queue = (queue :+ ((pos, off, ix))).sortBy { case (p, o, _) => (p, o) }
+          val h = queue.head
+          queue = queue.tail
+          pos = h._1; off = h._2; ix = h._3
+          matchLength = end - pos
+        } else {
+          val m2 = end - pos
+          if (m2 < matchLength) matchLength = m2
+        }
+      }
+    }
+    freq
+  }
+
   def search(docs: Seq[Doc], q0: Query, k: Int): Seq[(Long, Float)] = {
     val fs = FieldStats(docs.size.toLong, docs.map(_.tokens.length.toLong).sum)
     val vocabDf: Map[String, Long] =
       docs.flatMap(_.tf.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val vocabSorted = vocabDf.keys.toSeq.sorted
 
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
-
     // expand multi-term queries like the engine (sorted, capped)
     def expand(q: Query): Query = q match {
       case PrefixQ(p) =>
         val ts = vocabSorted.filter(_.startsWith(p)).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
-      case FuzzyQ(t, e) =>
-        val ts = vocabSorted.filter(v => math.abs(v.length - t.length) <= e && lev(v, t) <= e)
-          .take(Query.MaxClauseCount)
+      case WildcardQ(p) =>
+        val re = graft.exec.Searcher.wildcardRegex(p).r
+        val ts = vocabSorted.filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+      case RegexpQ(p) =>
+        val re = s"^(?:$p)$$".r
+        val ts = vocabSorted.filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
+        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+      case FuzzyQ(t, e, maxExp) =>
+        // blended top-n rewrite (FuzzyQuery.java:34,60; FuzzyTermsEnum boost)
+        val cands = vocabSorted
+          .filter(v => math.abs(v.length - t.length) <= e)
+          .map(v => (v, EditDistance.osa(v, t, e)))
+          .filter(_._2 <= e)
+          .map { case (v, ed) =>
+            val boost = if (ed == 0) 1f else 1f - ed.toFloat / math.min(v.length, t.length).toFloat
+            (v, boost)
+          }
+        if (cands.isEmpty) MatchNone
+        else {
+          val top = cands.sortBy { case (v, boost) => (-boost, v) }
+            .take(math.min(maxExp, Query.MaxClauseCount))
+          val dfBlended = top.map(x => vocabDf(x._1)).max
+          BoolQ(should = top.sortBy(_._1).map { case (v, boost) => BoostTermQ(v, boost, dfBlended) },
+            minShouldMatch = 1)
+        }
       case TermRangeQ(lo, hi) =>
         val ts = vocabSorted.filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
-      case BoolQ(m, s, n, msm) => BoolQ(m.map(expand), s.map(expand), n.map(expand), msm)
+      case BoolQ(m, s, n, msm, f) =>
+        BoolQ(m.map(expand), s.map(expand), n.map(expand), msm, f.map(expand))
       case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand), tb)
+      case ConstScoreQ(inner, b) => ConstScoreQ(expand(inner), b)
       case other => other
     }
     val q = Query.rewrite(expand(Query.rewrite(q0)))
@@ -64,6 +121,9 @@ object NaiveOracle {
       ts.foreach(t => idf += BM25.idf(vocabDf.getOrElse(t, 0L), fs.docCount).toDouble)
       idf.toFloat
     }
+    def phraseScorer(ts: Seq[String]): BM25.TermScorer =
+      new BM25.TermScorer(phraseWeight(ts), Array.tabulate(256)(i =>
+        1f / (BM25.K1 * ((1 - BM25.B) + BM25.B * SmallFloat.LengthTable(i) / fs.avgdl))))
 
     // Option[score as double-sum]
     def eval(q: Query, d: Doc): Option[Double] = q match {
@@ -71,7 +131,11 @@ object NaiveOracle {
       case MatchAll => Some(0d)
       case TermQ(t) =>
         d.tf.get(t).map(f => scorer(t).score(f, d.norm).toDouble)
-      case PhraseQ(ts) =>
+      case BoostTermQ(t, boost, df, _) =>
+        d.tf.get(t).map { f =>
+          BM25.termScorer(TermStats(t, df, 0L), fs, boost).score(f, d.norm).toDouble
+        }
+      case PhraseQ(ts, 0) =>
         val pos = ts.map(d.positions.get)
         if (pos.exists(_.isEmpty)) None
         else {
@@ -80,12 +144,15 @@ object NaiveOracle {
             case (arr, i) => java.util.Arrays.binarySearch(arr, p + i) >= 0
           })
           if (count == 0) None
-          else {
-            val w = phraseWeight(ts)
-            val sc = new BM25.TermScorer(w, Array.tabulate(256)(i =>
-              1f / (BM25.K1 * ((1 - BM25.B) + BM25.B * SmallFloat.LengthTable(i) / fs.avgdl))))
-            Some(sc.score(count, d.norm).toDouble)
-          }
+          else Some(phraseScorer(ts).score(count, d.norm).toDouble)
+        }
+      case PhraseQ(ts, slop) =>
+        val pos = ts.map(d.positions.get)
+        if (pos.exists(_.isEmpty)) None
+        else {
+          val f = sloppyFreq(pos.map(_.get), slop)
+          if (f <= 0d) None
+          else Some(phraseScorer(ts).scoreF(f.toFloat, d.norm).toDouble)
         }
       case SynonymQ(ts) =>
         val f = ts.map(t => d.tf.getOrElse(t, 0)).sum
@@ -94,23 +161,29 @@ object NaiveOracle {
           val dfMax = ts.map(t => vocabDf.getOrElse(t, 0L)).max
           Some(BM25.termScorer(TermStats("", dfMax, 0L), fs).score(f, d.norm).toDouble)
         }
-      case PrefixQ(_) | FuzzyQ(_, _) | TermRangeQ(_, _) => None // expanded above
+      case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
+        None // expanded above
+      case ConstScoreQ(inner, boost) =>
+        eval(inner, d).map(_ => boost.toDouble)
       case DisMaxQ(cs, tb) =>
         val ss = cs.map(eval(_, d)).flatten
         if (ss.isEmpty) None
         else Some(ss.max + tb * (ss.sum - ss.max))
-      case BoolQ(must0, should, mustNot, msm) =>
+      case BoolQ(must0, should, mustNot, msm, filter) =>
         val must = must0
         if (mustNot.exists(n => eval(n, d).isDefined)) None
         else {
           val ms = must.map(eval(_, d))
-          if (ms.exists(_.isEmpty)) None
+          val fl = filter.map(eval(_, d))
+          if (ms.exists(_.isEmpty) || fl.exists(_.isEmpty)) None
           else {
             val ss = should.map(eval(_, d))
             val matched = ss.count(_.isDefined)
-            val effMsm = math.max(msm, if (must.isEmpty && should.nonEmpty) 1 else 0)
+            val anchored = must.nonEmpty || filter.nonEmpty
+            val effMsm = math.max(msm, if (!anchored && should.nonEmpty) 1 else 0)
             if (matched < effMsm) None
-            else if (must.isEmpty && should.nonEmpty && matched == 0) None
+            else if (!anchored && should.nonEmpty && matched == 0) None
+            // FILTER clauses match but contribute no score
             else Some(ms.flatten.sum + ss.flatten.sum)
           }
         }
