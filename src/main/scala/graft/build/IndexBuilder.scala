@@ -97,12 +97,25 @@ final class Index(
 object IndexBuilder {
   val SegShift = 40 // docId = seg << 40 | ord; 2^40 docs per segment max
 
+  /** Keyword-field pseudo-term prefix. Lucene indexes keyword fields
+    * (e.g. the demo's `path` KeywordField,
+    * `lucene/demo/.../IndexFiles.java:206-239`) as separate per-field
+    * postings; we reuse ONE postings table with a reserved `#field:`
+    * prefix ('#' sorts below and never collides with analyzer output).
+    * These power non-scoring FILTER clauses (`ft_lang_filter_topk`);
+    * dictionary expansions and collection stats exclude them.
+    */
+  val KeywordPrefix = "#"
+  def langTerm(lang: String): String = s"#lang:$lang"
+
   val DocBits: Long = (1L << SegShift) - 1
 
   def segOf(docId: Long): Int = (docId >> SegShift).toInt
   def ordOf(docId: Long): Long = docId & DocBits
 
   private val HexChars = "0123456789abcdef".toCharArray
+
+  private val SingleZeroPos = Array(0)
 
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -174,6 +187,14 @@ object IndexBuilder {
         if (buf == null) { buf = new Postings; inv.put(term, buf) }
         buf.add(docId, j - i, norm, ps)
         i = j
+      }
+      // keyword field: one freq-1 posting per doc under the reserved
+      // '#lang:' pseudo-term (content stats/norms unaffected)
+      if (d.lang != null && d.lang.nonEmpty) {
+        val kt = langTerm(d.lang)
+        var buf = inv.get(kt)
+        if (buf == null) { buf = new Postings; inv.put(kt, buf) }
+        buf.add(docId, 1, norm, SingleZeroPos)
       }
       metas += BuildRow(
         kind = "m", seg = seg, docId = docId, repo = d.repo, path = d.path,
@@ -272,7 +293,7 @@ object IndexBuilder {
 
   /** Config hash for lineage: analyzer + codec + layout version. */
   val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=vbyte-delta-b${PostingCodec.BlockSize};layout=v3"
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=vbyte-delta-b${PostingCodec.BlockSize};layout=v4-kwfields"
   ).take(16)
 
   /** Order-independent fingerprint of a segment's input slice

@@ -220,7 +220,10 @@ object Queries {
     "ft_collection_stats" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
-      val nTerms = index.termStats.count()
+      // content-field terms only ('#'-prefixed keyword pseudo-terms are a
+      // separate field — per-field stats like the reference's)
+      val nTerms = index.termStats
+        .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix)).count()
       val fs = index.fieldStats
       Seq((fs.docCount, fs.sumTotalTermFreq, nTerms))
         .toDF("doc_count", "sum_ttf", "n_terms")
@@ -229,6 +232,111 @@ object Queries {
          |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS doc_count,
          |       CAST(count(*) AS BIGINT) AS sum_ttf,
          |       CAST(count(DISTINCT term) AS BIGINT) AS n_terms FROM tok""".stripMargin))),
+
+    // non-scoring FILTER clause: required but contributes no score —
+    // ranks identical to plain `merge`, doc set restricted to docs
+    // containing `fast` (Occur.FILTER, BooleanQuery.java:40)
+    "ft_filter_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(
+        must = Seq(graft.query.TermQ("merge")),
+        filter = Seq(graft.query.TermQ("fast"))), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |df AS (SELECT count(*) AS df FROM tf),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df
+         |       WHERE tf.doc_id IN (SELECT doc_id FROM tok WHERE term = 'fast'))
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // keyword-field FILTER pushed into the kernel as a non-scoring
+    // conjunct: BM25 on `merge` over docs whose lang = min(lang)
+    "ft_lang_filter_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val lv = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(min($"lang")).head().getString(0)
+      ftScoredQ(graft.query.BoolQ(
+        must = Seq(graft.query.TermQ("merge")),
+        filter = Seq(graft.query.TermQ(graft.build.IndexBuilder.langTerm(lv)))), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |df AS (SELECT count(*) AS df FROM tf),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df
+         |       WHERE tf.doc_id IN (SELECT doc_id FROM documents
+         |                           WHERE lang = (SELECT min(lang) FROM documents)))
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // ConstantScoreQuery over an expanded prefix: every match scores the
+    // boost; ties resolve by docId asc (ConstantScoreQuery.java:28)
+    "ft_constscore_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.ConstScoreQ(graft.query.PrefixQ("w"), 1f), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+         |FROM (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'w%')
+         |ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // general wildcard (not just trailing-*): dictionary expansion via the
+    // sorted term-stats table (WildcardQuery.java:38)
+    "ft_wildcard_topk" -> ((ftScored("m?rge OR st*eam", 10), Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE regexp_matches(term, '^m.rge$$') OR regexp_matches(term, '^st.*eam$$')
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // regexp term expansion (RegexpQuery.java:44), whole-term anchored
+    "ft_regexp_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.RegexpQ("(fast|slow)e?r?"), 10)(spark, dir)
+    }, Some(bm25SqlPred("regexp_matches(term, '^(?:(fast|slow)e?r?)$')", 0, "sum", 10)))),
+
+    // sloppy phrase (slop=1): docs where `fast` is followed by `table`
+    // within one displacement (SloppyPhraseMatcher.java:54); docs-only —
+    // sloppy-freq scoring is covered by the differential suite
+    "ft_phrase_sloppy" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      Searcher.matchingDocs(index, graft.query.PhraseQ(Seq("fast", "table"), slop = 1))
+        .toDF("docId")
+        .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+         |WHERE a.term = 'fast' AND b.term = 'table' ORDER BY 1""".stripMargin))),
 
     "ft_msm2_count" -> (((spark, dir) => {
       import spark.implicits._

@@ -44,6 +44,7 @@ object Searcher {
   def expandPrefix(index: Index, prefix: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
     index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
       .filter($"term" >= prefix && $"term".startsWith(prefix))
       .select($"term")
       .orderBy($"term")
@@ -80,9 +81,11 @@ object Searcher {
   def expandWildcard(index: Index, pattern: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
     val pre = wildcardLiteralPrefix(pattern)
+    val dict = index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
     val base =
-      if (pre.isEmpty) index.termStats
-      else index.termStats.filter($"term" >= pre && $"term".startsWith(pre))
+      if (pre.isEmpty) dict
+      else dict.filter($"term" >= pre && $"term".startsWith(pre))
     base.filter($"term".rlike(wildcardRegex(pattern)))
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
@@ -95,6 +98,7 @@ object Searcher {
   def expandRegexp(index: Index, pattern: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
     index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
       .filter($"term".rlike(s"^(?:$pattern)$$"))
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
@@ -117,6 +121,7 @@ object Searcher {
     val maxEdits = f.maxEdits
     val osa = udf((cand: String) => graft.util.EditDistance.osa(cand, t, maxEdits))
     val cands = index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
       .filter(length($"term") >= length(lit(t)) - maxEdits &&
         length($"term") <= length(lit(t)) + maxEdits)
       .withColumn("ed", osa($"term"))
@@ -149,6 +154,7 @@ object Searcher {
   def expandRange(index: Index, lo: String, hi: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
     index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
       .filter($"term" >= lo && $"term" <= hi)
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)

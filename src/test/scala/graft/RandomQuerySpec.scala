@@ -21,8 +21,13 @@ class RandomQuerySpec extends SparkTest {
 
   private def randomQuery(rnd: scala.util.Random, depth: Int): Query = {
     def term() = TermQ(vocab(rnd.nextInt(vocab.length)))
+    def distinctTerms(n: Int): Seq[String] = {
+      val out = scala.collection.mutable.LinkedHashSet.empty[String]
+      while (out.size < n) out += vocab(rnd.nextInt(vocab.length))
+      out.toSeq
+    }
     if (depth == 0) term()
-    else rnd.nextInt(8) match {
+    else rnd.nextInt(11) match {
       case 0 => term()
       case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
       case 2 => PrefixQ(Seq("ident_1", "camel", "nee", "zzz")(rnd.nextInt(4)))
@@ -30,12 +35,19 @@ class RandomQuerySpec extends SparkTest {
       case 4 => DisMaxQ(Seq.fill(1 + rnd.nextInt(3))(randomQuery(rnd, depth - 1)),
         Seq(0d, 0.5d)(rnd.nextInt(2)))
       case 5 => FuzzyQ(vocab(rnd.nextInt(vocab.length)).dropRight(rnd.nextInt(2)), 1 + rnd.nextInt(2))
+      // sloppy phrase over DISTINCT terms (repeated-term sloppy unsupported)
+      case 6 => PhraseQ(distinctTerms(2 + rnd.nextInt(2)), slop = 1 + rnd.nextInt(3))
+      case 7 => WildcardQ(Seq("ident_?", "*name1", "c?mel*", "i?ent_2*", "zz*q")(rnd.nextInt(5)))
+      case 8 => ConstScoreQ(randomQuery(rnd, depth - 1),
+        Seq(1f, 0.5f, 2f)(rnd.nextInt(3)))
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val mustNot = Seq.fill(rnd.nextInt(2))(term())
-        val msm = if (must.isEmpty && should.nonEmpty) 1 + rnd.nextInt(should.size) else 0
-        BoolQ(must, should, mustNot, msm)
+        val filter = Seq.fill(rnd.nextInt(2))(randomQuery(rnd, depth - 1))
+        val anchored = must.nonEmpty || filter.nonEmpty
+        val msm = if (!anchored && should.nonEmpty) 1 + rnd.nextInt(should.size) else 0
+        BoolQ(must, should, mustNot, msm, filter)
     }
   }
 

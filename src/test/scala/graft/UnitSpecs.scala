@@ -169,3 +169,42 @@ class QueryParserSpec extends AnyFunSuite {
     assert(Query.rewrite(PhraseQ(Seq("x"))) == TermQ("x"))
   }
 }
+
+/** Sloppy phrase + new node semantics pinned to reference examples. */
+class SloppyAndNewNodeSpec extends AnyFunSuite {
+  test("sloppy freq matches the SloppyPhraseMatcher javadoc example") {
+    // doc "x a b a y", query "a b"~2: matched twice — "a b" (distance 0)
+    // and "b a" (distance 2) -> freq = 1 + 1/3
+    // (`core/search/SloppyPhraseMatcher.java:43-46`, sloppyWeight `:185`)
+    val a = Array(1, 3)
+    val b = Array(2)
+    val f = NaiveOracle.sloppyFreq(Seq(a, b), slop = 2)
+    assert(math.abs(f - (1d + 1d / 3d)) < 1e-12, s"freq=$f")
+    // slop 0: only the exact match
+    assert(NaiveOracle.sloppyFreq(Seq(a, b), slop = 0) == 1d)
+    // reversed-only adjacency needs slop >= 2
+    assert(NaiveOracle.sloppyFreq(Seq(Array(5), Array(4)), slop = 1) == 0d)
+    assert(NaiveOracle.sloppyFreq(Seq(Array(5), Array(4)), slop = 2) == 1d / 3d)
+  }
+  test("parser: sloppy phrase, wildcard, filter rewrites") {
+    assert(QueryParser.parse("\"fast table\"~2") == PhraseQ(Seq("fast", "table"), 2))
+    assert(QueryParser.parse("m?rge") == WildcardQ("m?rge"))
+    assert(QueryParser.parse("st*eam") == WildcardQ("st*eam"))
+    assert(QueryParser.parse("tail*") == PrefixQ("tail")) // trailing-* stays a prefix
+    // FILTER dedup + MatchNone filter kills the query
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")), filter = Seq(MatchNone))) == MatchNone)
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")), filter = Seq(TermQ("f"), TermQ("f")))) ==
+      BoolQ(must = Seq(TermQ("a")), filter = Seq(TermQ("f"))))
+    // filter-only boolean matches with score 0 (non-scoring context)
+    assert(Query.rewrite(BoolQ(filter = Seq(TermQ("f")))) == ConstScoreQ(TermQ("f"), 0f))
+  }
+  test("OSA edit distance: transpositions count 1") {
+    import graft.util.EditDistance.osa
+    assert(osa("merge", "merge", 2) == 0)
+    assert(osa("mrege", "merge", 2) == 1) // adjacent transposition
+    assert(osa("merg", "merge", 2) == 1)
+    assert(osa("mxrgx", "merge", 2) == 2)
+    assert(osa("abcd", "acbd", 1) == 1)
+    assert(osa("zzzz", "merge", 2) > 2) // capped
+  }
+}
