@@ -58,6 +58,64 @@ object CodeAnalyzer {
   /** Terms only, no positions (cheaper for inversion without phrases). */
   def terms(text: String): Array[String] = tokenize(text).map(_.term)
 
+  /** Sub-token ("word delimiter") analyzer for source code: word runs are
+    * split at camelCase transitions, acronym boundaries, letter<->digit
+    * transitions, and underscores; each part is emitted lowercased at its
+    * OWN position (the GENERATE_WORD_PARTS + GENERATE_NUMBER_PARTS
+    * configuration of the reference's WordDelimiterGraphFilter,
+    * `lucene/analysis/common/.../miscellaneous/WordDelimiterGraphFilter.java:88`
+    * — no PRESERVE_ORIGINAL / CATENATE, so the token stream is a plain
+    * chain and norms count every part).
+    *
+    * `camelCaseName7` -> camel, case, name, 7; `ABCDef` -> abc, def;
+    * `foo_bar2x` -> foo, bar, 2, x.
+    */
+  def subTokenize(text: String): Array[Token] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Token](math.min(64, text.length / 4 + 1))
+    var i = 0
+    var pos = 0
+    val n = text.length
+    @inline def isLower(c: Char) = Character.isLowerCase(c)
+    @inline def isUpper(c: Char) = Character.isUpperCase(c)
+    @inline def isLetter(c: Char) = Character.isLetter(c)
+    @inline def isDigit(c: Char) = Character.isDigit(c)
+    while (i < n) {
+      while (i < n && !isWordChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isWordChar(text.charAt(i))) i += 1
+      if (i > start) {
+        // split the run [start, i) into parts
+        var s = start
+        while (s < i) {
+          while (s < i && text.charAt(s) == '_') s += 1
+          if (s < i) {
+            var e = s + 1
+            var break = false
+            while (e < i && !break) {
+              val prev = text.charAt(e - 1)
+              val cur = text.charAt(e)
+              val boundary =
+                cur == '_' ||
+                  (isLower(prev) && isUpper(cur)) ||
+                  (isUpper(prev) && isUpper(cur) && e + 1 < i && isLower(text.charAt(e + 1))) ||
+                  (isLetter(prev) && isDigit(cur)) ||
+                  (isDigit(prev) && isLetter(cur))
+              if (boundary) break = true else e += 1
+            }
+            val len = e - s
+            if (len <= MaxTokenLength) {
+              out += Token(text.substring(s, e).toLowerCase(java.util.Locale.ROOT), pos)
+              pos += 1
+            }
+            s = e
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
   /** Token count = field length that feeds the norm byte
     * (`core/index/FieldInvertState.java:75-76`).
     */

@@ -162,7 +162,8 @@ object IndexBuilder {
     * One tokenize pass per doc; per-doc term grouping via a stable sort of
     * the token array (positions stay ascending within each run).
     */
-  def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false): Iterator[BuildRow] = {
+  def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false,
+      subTokens: Boolean = false): Iterator[BuildRow] = {
     val sorted = if (preSorted) docs.toArray else docs.toArray.sortBy(_.sortKey)
     val inv = new java.util.HashMap[String, Postings]()
     val metas = new mutable.ArrayBuffer[BuildRow](sorted.length)
@@ -170,7 +171,8 @@ object IndexBuilder {
     sorted.foreach { d =>
       val docId = (seg.toLong << SegShift) | ord
       ord += 1
-      val tokens = CodeAnalyzer.tokenize(d.content)
+      val tokens =
+        if (subTokens) CodeAnalyzer.subTokenize(d.content) else CodeAnalyzer.tokenize(d.content)
       val norm = SmallFloat.intToByte4(tokens.length)
       // group tokens by term: stable sort keeps positions ascending per run
       java.util.Arrays.sort(tokens, (a: graft.analysis.Token, b: graft.analysis.Token) =>
@@ -240,10 +242,12 @@ object IndexBuilder {
   }
 
   /** Build fully in memory (cached) — test/driver-query path. */
-  def buildInMemory(spark: SparkSession, docs: Dataset[InputDoc]): Index = {
+  def buildInMemory(spark: SparkSession, docs: Dataset[InputDoc],
+      subTokens: Boolean = false): Index = {
     import spark.implicits._
+    val sub = subTokens
     val out = docs.groupByKey(_.seg)
-      .flatMapGroups((seg, it) => buildSegment(seg, it))
+      .flatMapGroups((seg, it) => buildSegment(seg, it, preSorted = false, subTokens = sub))
       .persist()
     toIndex(spark, out)
   }

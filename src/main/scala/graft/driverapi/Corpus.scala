@@ -20,26 +20,48 @@ object Corpus {
     * Keyed by (session, dir) — cached Datasets die with their session.
     */
   def get(spark: SparkSession, dir: String): (Index, DataFrame) =
-    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+    cached(spark, s"std:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), subTokens = false)
+    }
+
+  /** Sub-token analyzer variant over a compound-word derivation of the
+    * documents table: adjacent word pairs are joined with '_' (a
+    * deterministic transformation both the engine and the DuckDB oracle
+    * apply identically), and the index is built with
+    * [[graft.analysis.CodeAnalyzer.subTokenize]] — the
+    * WordDelimiterGraphFilter path (`ft_subtoken_topk`).
+    */
+  def getSubtoken(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"sub:$dir") {
       import spark.implicits._
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val maxId = docs.agg(max($"doc_id")).head().getLong(0)
-      val span = maxId / NumSegments + 1
-      val input = docs.select($"doc_id", $"text", $"lang").as[(Long, String, String)]
-        .map { case (id, text, lang) =>
-          InputDoc(
-            seg = (id / span).toInt,
-            sortKey = f"$id%012d",
-            repo = "documents", path = id.toString, commit = "", lang = lang,
-            content = text)
-        }
-      val index = IndexBuilder.buildInMemory(spark, input)
-      index.postings.persist()
-      index.docmeta.persist()
-      index.termStats.persist()
-      val mapping = index.docmeta
-        .select($"docId", $"path".cast("long").as("doc_id"))
-        .persist()
-      (index, mapping)
-    })
+        .withColumn("text",
+          regexp_replace($"text", "([a-z]+) ([a-z0-9]+)", "$1_$2"))
+      build(spark, docs, subTokens = true)
+    }
+
+  private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
+    cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
+
+  private def build(spark: SparkSession, docs: DataFrame, subTokens: Boolean): (Index, DataFrame) = {
+    import spark.implicits._
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val span = maxId / NumSegments + 1
+    val input = docs.select($"doc_id", $"text", $"lang").as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        InputDoc(
+          seg = (id / span).toInt,
+          sortKey = f"$id%012d",
+          repo = "documents", path = id.toString, commit = "", lang = lang,
+          content = text)
+      }
+    val index = IndexBuilder.buildInMemory(spark, input, subTokens)
+    index.postings.persist()
+    index.docmeta.persist()
+    index.termStats.persist()
+    val mapping = index.docmeta
+      .select($"docId", $"path".cast("long").as("doc_id"))
+      .persist()
+    (index, mapping)
+  }
 }

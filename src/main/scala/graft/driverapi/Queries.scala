@@ -75,9 +75,10 @@ object Queries {
   private def ftScored(q: String, k: Int): QFn = (spark, dir) =>
     ftScoredQ(graft.query.QueryParser.parse(q), k)(spark, dir)
 
-  private def ftScoredQ(q0: graft.query.Query, k: Int): QFn = (spark, dir) => {
+  private def ftScoredQ(q0: graft.query.Query, k: Int, sub: Boolean = false): QFn = (spark, dir) => {
     import spark.implicits._
-    val (index, mapping) = Corpus.get(spark, dir)
+    val (index, mapping) =
+      if (sub) Corpus.getSubtoken(spark, dir) else Corpus.get(spark, dir)
     val hits = Searcher.topKQ(index, q0, k + 40, doubleMode = true)
     hits.join(mapping, "docId")
       .select($"doc_id", r4($"score").as("score"))
@@ -322,6 +323,16 @@ object Queries {
     "ft_regexp_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.RegexpQ("(fast|slow)e?r?"), 10)(spark, dir)
     }, Some(bm25SqlPred("regexp_matches(term, '^(?:(fast|slow)e?r?)$')", 0, "sum", 10)))),
+
+    // WordDelimiterGraphFilter path: the corpus is deterministically
+    // compounded (adjacent word pairs joined by '_'), the index is built
+    // with the sub-token analyzer, and the query must score EXACTLY like
+    // the plain-term query over the original text — proving sub-token
+    // splitting inverts the compounding (positions, norms, df included)
+    "ft_subtoken_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, sub = true)(spark, dir)
+    }, Some(bm25Sql(Seq("agg", "window"), requireAll = true, 10)))),
 
     // sloppy phrase (slop=1): docs where `fast` is followed by `table`
     // within one displacement (SloppyPhraseMatcher.java:54); docs-only —

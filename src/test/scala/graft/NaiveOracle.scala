@@ -22,8 +22,9 @@ object NaiveOracle {
     val norm: Byte = SmallFloat.intToByte4(tokens.length)
   }
 
-  def fromContents(docs: Seq[(Long, String)]): Seq[Doc] =
-    docs.map { case (id, c) => Doc(id, CodeAnalyzer.tokenize(c)) }
+  def fromContents(docs: Seq[(Long, String)],
+      tokenizer: String => Array[Token] = CodeAnalyzer.tokenize): Seq[Doc] =
+    docs.map { case (id, c) => Doc(id, tokenizer(c)) }
 
   /** Greedy sloppy-phrase freq over adjusted position lists — an
     * independent implementation of `SloppyPhraseMatcher.nextMatch`

@@ -107,6 +107,21 @@ class SearchDifferentialSpec extends SparkTest {
     }
   }
 
+  test("sub-token analyzer index: camelCase parts searchable, == oracle") {
+    val docs = inputDocs(3)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs), subTokens = true)
+    val oracle = NaiveOracle.fromContents(docIdsOf(docs), graft.analysis.CodeAnalyzer.subTokenize)
+    // `camel`, `name` now hit (the verdict's "searching camel gets nothing"
+    // gap); the full compound token no longer exists as one term
+    Seq("camel", "name", "camel AND case AND name",
+      "\"camel case\"", "camelcasename7", "ident_17").foreach { qs =>
+      val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), 10)
+      val got = Searcher.topK(index, qs, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"subtoken query [$qs]:\n got=$got\n exp=$expected")
+    }
+    assert(Searcher.topK(index, "camel", 10).count() > 0)
+  }
+
   test("k larger than hit count and k=1 behave") {
     val docs = inputDocs(2)
     val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))

@@ -51,6 +51,22 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(toks.toSeq == Seq(Token("a", 0), Token("b", 1)))
     assert(CodeAnalyzer.tokenize("y" * 255).length == 1)
   }
+  test("sub-token analyzer goldens (WordDelimiterGraphFilter semantics)") {
+    // camelCase + digit boundaries: each part at its OWN position
+    assert(CodeAnalyzer.subTokenize("class camelCaseName7").toSeq == Seq(
+      Token("class", 0), Token("camel", 1), Token("case", 2), Token("name", 3), Token("7", 4)))
+    // acronym boundary: ABCDef -> ABC + Def
+    assert(CodeAnalyzer.subTokenize("ABCDef").map(_.term).toSeq == Seq("abc", "def"))
+    // underscores are delimiters (unlike the standard analyzer)
+    assert(CodeAnalyzer.subTokenize("foo_bar2x __lead_ trail_").map(_.term).toSeq ==
+      Seq("foo", "bar", "2", "x", "lead", "trail"))
+    // plain lowercase words are unchanged vs the standard analyzer
+    assert(CodeAnalyzer.subTokenize("key agg row").toSeq ==
+      CodeAnalyzer.tokenize("key agg row").toSeq)
+    // compound-then-split inverts: a_b c_d tokenizes like "a b c d"
+    assert(CodeAnalyzer.subTokenize("key_agg row_scan").map(_.term).toSeq ==
+      Seq("key", "agg", "row", "scan"))
+  }
 }
 
 class CodecSpec extends AnyFunSuite {
