@@ -612,6 +612,82 @@ object Queries {
   // §C training-data pipeline operators
   // ============================================================
 
+  /** Modular affine mix constants for the 8 minhash functions; products
+    * stay < 2^51 (x < P ~ 2^30, a < 2^20), exact in BIGINT on both
+    * engines — no overflow, no float.
+    */
+  private val MinhashP = 1000000007L
+  private val MinhashA = Seq(1000003L, 999983L, 756839L, 654319L, 524287L, 216091L, 130021L, 786433L)
+  private val MinhashB = Seq(12345L, 67891L, 23457L, 78913L, 34567L, 89123L, 45679L, 91235L)
+
+  /** (doc_id, b, u, v) band rows: 3-token shingles -> ONE md5 each,
+    * reduced to a 60-bit int mod P -> 8 affine minhashes -> 4 bands of 2.
+    */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("sh"))
+      .distinct()
+      .withColumn("x", conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long") % MinhashP)
+    val mhCols = (0 until 8).map(i =>
+      min(($"x" * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"h$i"))
+    sh.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .select($"doc_id", expr(
+        "inline(array(" + (0 until 4).map(b =>
+          s"struct($b as b, h${2 * b} as u, h${2 * b + 1} as v)").mkString(", ") + "))"))
+  }
+
+  /** DuckDB twin of [[minhashBands]] (CTE list ending in `bands`). */
+  private val minhashBandsSql: String = {
+    val mhCols = (0 until 8).map(i =>
+      s"min((x*${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS h$i").mkString(",\n|  ")
+    val bandRows = (0 until 4).map(b =>
+      if (b == 0) s"SELECT doc_id, 0 AS b, h0 AS u, h1 AS v FROM mh"
+      else s"SELECT doc_id, $b, h${2 * b}, h${2 * b + 1} FROM mh").mkString(" UNION ALL\n|  ")
+    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $MinhashP AS x FROM sh),
+       |mh AS (SELECT doc_id,
+       |  $mhCols
+       |  FROM hx GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  /** 60-bit tf-weighted simhash per doc (shared by the fingerprint entry
+    * and the Hamming-banded pair entry).
+    */
+  private def simhash60(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5($"term"), 1, 15), 16, 10).cast("long"))
+    val bits = tf.select($"doc_id", $"tf", $"h", explode(expr("sequence(0, 59)")).as("j"))
+      .withColumn("c", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN tf ELSE -tf END"))
+      .groupBy($"doc_id", $"j").agg(sum($"c").as("s"))
+    bits.withColumn("bit",
+        expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
+      .groupBy($"doc_id").agg(sum($"bit").cast("long").as("simhash"))
+  }
+
+  private val simhash60Sql: String =
+    """tf AS (
+      |  SELECT doc_id, term, count(*) AS tf,
+      |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |bits AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+      |  FROM tf, generate_series(0, 59) g(j) GROUP BY doc_id, j),
+      |sh AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val pipeline: Map[String, (QFn, Option[String])] = Map(
     "dedup_exact" -> (((spark, dir) => {
       import spark.implicits._
@@ -626,17 +702,25 @@ object Queries {
         |       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dupes
         |FROM documents""".stripMargin))),
 
+    // LSH-verified near-dup Jaccard: candidate pairs come from the banded
+    // minhash join (never an all-pairs self-join), exact token-set Jaccard
+    // is verified on candidates only — the plan survives 100x (candidate
+    // count is bounded by the banding, not O(n^2))
     "dedup_ngram_jaccard" -> (((spark, dir) => {
       import spark.implicits._
+      val cand = minhashBands(spark, dir).as("x")
+        .join(minhashBands(spark, dir).as("y"),
+          Seq("b", "u", "v"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
       val toks = spark.read.parquet(s"$dir/documents.parquet")
-        .filter($"doc_id" < 60)
         .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
         .distinct()
       val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val inter = toks.as("x").join(toks.as("y"),
-          $"x.term" === $"y.term" && $"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("a"), $"y.doc_id".as("b"))
-        .agg(count(lit(1)).as("inter"))
+      val inter = cand
+        .join(toks.select($"doc_id".as("a"), $"term"), "a")
+        .join(toks.select($"doc_id".as("b"), $"term"), Seq("b", "term"))
+        .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sa"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "sb"), "b")
@@ -645,80 +729,77 @@ object Queries {
         .select($"a", $"b", $"j")
         .orderBy($"a", $"b")
     }, Some(
-      """WITH t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
-        |           FROM documents WHERE doc_id < 60),
+      s"""WITH $minhashBandsSql,
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.u = y.u AND x.v = y.v
+        |              AND x.doc_id < y.doc_id),
+        |t AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+        |      FROM documents),
         |sz AS (SELECT doc_id, count(*) AS s FROM t GROUP BY doc_id),
-        |i AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-        |      FROM t x JOIN t y ON x.term = y.term AND x.doc_id < y.doc_id
-        |      GROUP BY x.doc_id, y.doc_id)
+        |i AS (SELECT cand.a, cand.b, count(*) AS inter
+        |      FROM cand JOIN t ta ON ta.doc_id = cand.a
+        |                JOIN t tb ON tb.doc_id = cand.b AND tb.term = ta.term
+        |      GROUP BY cand.a, cand.b)
         |SELECT a, b, floor((inter / (sa.s + sb.s - inter)) * 10000 + 0.5)/10000 AS j
         |FROM i JOIN sz sa ON i.a = sa.doc_id JOIN sz sb ON i.b = sb.doc_id
         |WHERE inter / (sa.s + sb.s - inter) >= 0.5
         |ORDER BY a, b""".stripMargin))),
 
+    // integer minhash: ONE md5 per shingle reduced to a 60-bit int, 8
+    // minhashes derived by cheap modular affine mixes (exact in BIGINT on
+    // both engines), banded 4x2 -> candidate pairs. An order of magnitude
+    // less hashing + shuffle bytes than per-hash md5 strings.
     "dedup_minhash_lsh" -> (((spark, dir) => {
       import spark.implicits._
-      // 3-token shingles -> 8 md5-string minhashes -> 4 bands of 2 -> candidate pairs
-      val sh = spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("sh"))
-        .distinct()
-      val mhCols = (0 until 8).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i"))
-      val minhashes = sh.groupBy($"doc_id").agg(mhCols.head, mhCols.tail: _*)
-      val bands = minhashes.select($"doc_id",
-        explode(array((0 until 4).map(b =>
-          concat(lit(s"$b:"), col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))): _*)).as("band"))
-      bands.as("x").join(bands.as("y"),
-          $"x.band" === $"y.band" && $"x.doc_id" < $"y.doc_id")
+      val bands = minhashBands(spark, dir)
+      bands.as("x").join(bands.as("y"), Seq("b", "u", "v"))
+        .filter($"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
         .orderBy($"a", $"b")
     }, Some(
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
-        |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
-        |mh AS (SELECT doc_id,
-        |  min(md5('0|' || sh)) AS h0, min(md5('1|' || sh)) AS h1,
-        |  min(md5('2|' || sh)) AS h2, min(md5('3|' || sh)) AS h3,
-        |  min(md5('4|' || sh)) AS h4, min(md5('5|' || sh)) AS h5,
-        |  min(md5('6|' || sh)) AS h6, min(md5('7|' || sh)) AS h7
-        |  FROM sh GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, '0:' || h0 || '|' || h1 AS band FROM mh UNION ALL
-        |  SELECT doc_id, '1:' || h2 || '|' || h3 FROM mh UNION ALL
-        |  SELECT doc_id, '2:' || h4 || '|' || h5 FROM mh UNION ALL
-        |  SELECT doc_id, '3:' || h6 || '|' || h7 FROM mh)
+      s"""WITH $minhashBandsSql
         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-        |FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+        |FROM bands x JOIN bands y ON x.b = y.b AND x.u = y.u AND x.v = y.v
+        |     AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin))),
 
+    // 60-bit tf-weighted simhash fingerprints, whole table (no demo cap)
     "dedup_simhash" -> (((spark, dir) => {
       import spark.implicits._
-      // 16-bit simhash over tf-weighted md5-derived token hashes
-      val tf = spark.read.parquet(s"$dir/documents.parquet").filter($"doc_id" < 100)
-        .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-        .withColumn("h", conv(substring(md5($"term"), 1, 15), 16, 10).cast("long"))
-      val bits = tf.select($"doc_id", $"tf", $"h",
-          explode(expr("sequence(0, 15)")).as("j"))
-        .withColumn("c", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN tf ELSE -tf END"))
-        .groupBy($"doc_id", $"j").agg(sum($"c").as("s"))
-      bits.withColumn("bit", expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
-        .groupBy($"doc_id").agg(sum($"bit").cast("long").as("simhash"))
-        .orderBy($"doc_id")
+      simhash60(spark, dir).orderBy($"doc_id")
     }, Some(
-      """WITH tf AS (
-        |  SELECT doc_id, term, count(*) AS tf,
-        |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
-        |        FROM documents WHERE doc_id < 100)
-        |  GROUP BY doc_id, term),
-        |bits AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
-        |  FROM tf, generate_series(0, 15) g(j) GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |       CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+      s"""WITH $simhash60Sql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin))),
+
+    // simhash as a DEDUP operator: Hamming-banded candidate pairs (4 bands
+    // of 15 bits — pigeonhole guarantees every pair within distance 3
+    // shares a band), verified by bit_count(xor) <= 3. Bucket join, never
+    // all-pairs; 15-bit bands keep buckets ~n/32768.
+    "dedup_simhash_pairs" -> (((spark, dir) => {
+      import spark.implicits._
+      val sh = simhash60(spark, dir)
+      val bands = sh.select($"doc_id", $"simhash",
+        expr("inline(array(" + (0 until 4).map(b =>
+          s"struct($b as b, (shiftright(simhash, ${15 * b}) & 32767) as key)").mkString(", ") + "))"))
+      bands.as("x").join(bands.as("y"), Seq("b", "key"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b"),
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("dist"))
+        .distinct()
+        .filter($"dist" <= 3)
+        .orderBy($"a", $"b")
+    }, Some(
+      s"""WITH $simhash60Sql,
+         |bands AS (
+         |  SELECT doc_id, simhash, 0 AS b, (simhash >> 0) & 32767 AS key FROM sh UNION ALL
+         |  SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sh UNION ALL
+         |  SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sh UNION ALL
+         |  SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sh)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS dist
+         |FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY a, b""".stripMargin))),
 
     "ann_cosine_topk" -> (((spark, dir) => {
       import spark.implicits._
@@ -734,10 +815,15 @@ object Queries {
         .withColumn("qnrm",
           sqrt(expr("aggregate(transform(qv, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x)")))
         .withColumn("cos", r4($"dot" / ($"nrm" * $"qnrm")))
+      // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+      // partial top-k, tiny final merge) — NOT a global-window rank, which
+      // would shuffle every row to one partition; rank is assigned over
+      // the 10 surviving rows only
       scored
+        .select($"vec_id", $"cos")
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
         .withColumn("rank", row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
-        .filter($"rank" <= 10)
-        .select($"vec_id", $"cos", $"rank")
         .orderBy($"rank")
     }, Some(
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -774,6 +860,77 @@ object Queries {
         |best AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM sc)
         |SELECT cid, CAST(count(*) AS BIGINT) AS n FROM best WHERE rn = 1
         |GROUP BY cid ORDER BY cid""".stripMargin))),
+
+    // IVF with TRAINED centroids and the inverted lists actually probed:
+    // one k-means iteration from the 8 seed vectors (centroid update uses
+    // integer-quantised sums — exact on both engines, so the oracle
+    // reproduces the centroids bit-for-bit), then nprobe=2 cells are
+    // searched exactly. Scale shape: broadcast centroids, per-row assign,
+    // the probe restricts the exact scan to ~2/8 of the data.
+    "ann_ivf_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val seeds = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"v".as("cv"))
+      def cosExpr(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+          (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+            sqrt(expr(s"aggregate(transform($b, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
+      // assignment to seed centroids (argmax cosine, tie -> smaller cid)
+      val assign = emb.crossJoin(broadcast(seeds))
+        .withColumn("cos", cosExpr("v", "cv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid")
+      // centroid update: integer-quantised per-dimension sums (exact)
+      val dims = emb.join(assign, "vec_id")
+        .select($"cid", posexplode($"v").as(Seq("j", "x")))
+        .withColumn("qx", floor($"x" * 1000d + 0.5d).cast("long"))
+      val cents = dims.groupBy($"cid", $"j")
+        .agg(sum($"qx").as("s"), count(lit(1)).as("n"))
+        .withColumn("c", $"s".cast("double") / (lit(1000d) * $"n"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)").as("cv"))
+      // probe: 2 nearest trained centroids to the query vector
+      val q = emb.filter($"vec_id" === 0).select($"v").head().getSeq[Double](0).toArray
+      val probeCids = cents
+        .withColumn("qv", typedLit(q.toSeq))
+        .withColumn("cos", cosExpr("cv", "qv"))
+        .orderBy(desc("cos"), asc("cid")).limit(2)
+        .select($"cid").as[Long].collect().toSeq
+      // exact cosine within the probed cells only
+      emb.join(assign, "vec_id")
+        .filter($"cid".isin(probeCids: _*))
+        .withColumn("qv", typedLit(q.toSeq))
+        .withColumn("cos", r4(cosExpr("v", "qv")))
+        .select($"vec_id", $"cos")
+        .orderBy(desc("cos"), asc("vec_id")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
+        .orderBy($"rank")
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
+        |     s.cid) AS rn
+        |   FROM e, seeds s) WHERE rn = 1),
+        |dims AS (SELECT vec_id, j, CAST(floor(v[j]*1000 + 0.5) AS BIGINT) AS qx
+        |         FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS j FROM e)),
+        |cent AS (SELECT cid, j, CAST(sum(qx) AS DOUBLE)/(1000.0*count(*)) AS c
+        |         FROM dims JOIN a1 USING (vec_id) GROUP BY cid, j),
+        |cv AS (SELECT cid, list(c ORDER BY j) AS cv2 FROM cent GROUP BY cid),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (SELECT cid FROM cv, q ORDER BY
+        |   list_dot_product(cv2, qv)/(sqrt(list_dot_product(cv2, cv2))*sqrt(list_dot_product(qv, qv))) DESC,
+        |   cid LIMIT 2),
+        |sc AS (SELECT e.vec_id,
+        |   list_dot_product(e.v, q.qv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(q.qv, q.qv))) AS c
+        |   FROM e JOIN a1 USING (vec_id), q WHERE a1.cid IN (SELECT cid FROM probe))
+        |SELECT vec_id, floor((c) * 10000 + 0.5)/10000 AS cos,
+        |       CAST(row_number() OVER (ORDER BY floor((c) * 10000 + 0.5)/10000 DESC, vec_id) AS BIGINT) AS rank
+        |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
     "lang_id_heuristic" -> (((spark, dir) => {
       import spark.implicits._
