@@ -285,7 +285,7 @@ object IndexBuilder {
   }
 
   /** Next write-once generation dir name — the `segments_N` counter. */
-  private def nextGen(dir: String): String = {
+  private[build] def nextGen(dir: String): String = {
     val segs = new java.io.File(s"$dir/segments")
     val existing = if (!segs.exists()) Seq.empty
       else segs.listFiles().toSeq.map(_.getName)
@@ -342,7 +342,7 @@ object IndexBuilder {
     def value: java.util.HashMap[Int, Array[Long]] = map
   }
 
-  private def manifestPath(dir: String, seg: Int) = s"$dir/manifest/seg_$seg.json"
+  private[build] def manifestPath(dir: String, seg: Int) = s"$dir/manifest/seg_$seg.json"
 
   private def readManifest(dir: String, seg: Int): Option[SegmentManifest] = {
     val p = java.nio.file.Paths.get(manifestPath(dir, seg))
@@ -361,7 +361,7 @@ object IndexBuilder {
     }
   }
 
-  private def writeManifest(dir: String, m: SegmentManifest): Unit = {
+  private[build] def writeManifest(dir: String, m: SegmentManifest): Unit = {
     val p = java.nio.file.Paths.get(manifestPath(dir, m.seg))
     java.nio.file.Files.createDirectories(p.getParent)
     val json =
@@ -429,7 +429,7 @@ object IndexBuilder {
     * files + manifest selection, the `segments_N` commit-point model.
     * A seg rebuilt into a newer generation shadows its old files.
     */
-  private def openRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[build] def openRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val manifests = listManifests(dir)
     val byGen = manifests.groupBy(_.dataDir)
@@ -439,7 +439,7 @@ object IndexBuilder {
     }.reduce(_ unionByName _)
   }
 
-  private def listManifests(dir: String): Seq[SegmentManifest] = {
+  private[build] def listManifests(dir: String): Seq[SegmentManifest] = {
     val d = new java.io.File(s"$dir/manifest")
     if (!d.exists()) Seq.empty
     else d.listFiles().toSeq.map(_.getName)
@@ -465,7 +465,7 @@ object IndexBuilder {
     }
   }
 
-  private def writeStats(spark: SparkSession, dir: String): Unit = {
+  private[build] def writeStats(spark: SparkSession, dir: String): Unit = {
     import spark.implicits._
     val raw = openRaw(spark, dir)
     val posts = raw.filter($"kind" === "p")
@@ -480,7 +480,46 @@ object IndexBuilder {
       s"""{"docCount":$n,"sumTotalTermFreq":$sttf,"manifestSetHash":"${manifestSetHash(dir)}"}""")
   }
 
-  /** Open a persistent index. */
+  // ---------- deletes / updates (live docs) ----------
+
+  private def tombstoneDir(dir: String) = s"$dir/tombstones"
+
+  /** Delete documents by exact version key (repo, path, commit) — the
+    * analogue of `IndexWriter.deleteDocuments(Term)`
+    * (`core/index/IndexWriter.java:1796`). Tombstones are append-only
+    * parquet; duplicates are harmless (set semantics), so retried batches
+    * are idempotent. Deleted docs stay in the segment files (liveDocs
+    * model, `Lucene90LiveDocsFormat.java:49`) until a merge rewrites them
+    * out; readers exclude them via [[Index.liveFilter]].
+    */
+  def deleteDocs(spark: SparkSession, dir: String, keys: DataFrame): Unit = {
+    keys.select("repo", "path", "commit")
+      .write.mode("append").parquet(tombstoneDir(dir))
+  }
+
+  private[build] def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val d = new java.io.File(tombstoneDir(dir))
+    if (!d.exists() || d.listFiles() == null ||
+      !d.listFiles().exists(_.getName.endsWith(".parquet"))) None
+    else Some(spark.read.parquet(tombstoneDir(dir)).distinct())
+  }
+
+  /** Resolve tombstone keys to per-segment sorted deleted docIds. The
+    * collect is bounded by the live delete count — bulk deletions are
+    * expected to be compacted away by merges (like the reference, where
+    * merges drop deleted docs).
+    */
+  private def resolveDeleted(docmeta: Dataset[DocMeta], tombs: DataFrame): Map[Int, Array[Long]] = {
+    val spark = docmeta.sparkSession
+    import spark.implicits._
+    docmeta.join(tombs, Seq("repo", "path", "commit"), "left_semi")
+      .select($"docId").as[Long].collect()
+      .groupBy(segOf).map { case (seg, ids) => seg -> ids.sorted }
+  }
+
+  /** Open a persistent index. `docmeta` excludes tombstoned docs;
+    * `liveFilter` carries their docIds for kernel-side exclusion.
+    */
   def open(spark: SparkSession, dir: String): Index = {
     import spark.implicits._
     val seg = openRaw(spark, dir)
@@ -488,13 +527,20 @@ object IndexBuilder {
       .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
         $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
       .as[PostingList]
-    val docmeta = seg.filter($"kind" === "m")
+    val docmeta0 = seg.filter($"kind" === "m")
       .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256", $"tokenCount", $"norm")
       .as[DocMeta]
+    val (docmeta, live) = readTombstones(spark, dir) match {
+      case None => (docmeta0, Map.empty[Int, Array[Long]])
+      case Some(tombs) =>
+        val deleted = resolveDeleted(docmeta0, tombs)
+        if (deleted.isEmpty) (docmeta0, deleted)
+        else (docmeta0.join(tombs, Seq("repo", "path", "commit"), "left_anti").as[DocMeta], deleted)
+    }
     val termStats = spark.read.parquet(s"$dir/stats/terms").as[TermStats]
     val fsJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/stats/field.json"))
     def num(k: String): Long =
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
-    new Index(postings, docmeta, termStats, FieldStats(num("docCount"), num("sumTotalTermFreq")))
+    new Index(postings, docmeta, termStats, FieldStats(num("docCount"), num("sumTotalTermFreq")), live)
   }
 }

@@ -2,17 +2,18 @@ package graft.build
 
 import graft.codec.PostingCodec
 import graft.model._
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Segment merge — the north rule's "sort-merge of segments on term keys".
   *
   * Spark restatement of `SegmentMerger.merge` (SURVEY.md §3.3,
   * `core/index/SegmentMerger.java:113-146`): docIds are remapped through
-  * per-segment base offsets (the `MergeState.DocMap` analogue — order
-  * preserving, so posting arrays stay sorted), then posting rows are
-  * range-partitioned by term and merged streamingly within each
-  * partition — Spark's sort-merge shuffle IS the reference's
+  * per-segment base offsets (the deletion-aware `MergeState.DocMap`
+  * analogue — order preserving, so posting arrays stay sorted; tombstoned
+  * docs are dropped, like the reference's merges purging deletes), then
+  * posting rows are range-partitioned by term and merged streamingly
+  * within each partition — Spark's sort-merge shuffle IS the reference's
   * `MultiTermsEnum` k-way priority queue (`core/index/MultiTermsEnum.java:266`).
   *
   * Skew (mega-terms like language keywords): the merged list for one term
@@ -24,8 +25,99 @@ import org.apache.spark.sql.functions._
   */
 object IndexMerger {
 
+  /** Deletion-aware order-preserving docId remap (`MergeState.DocMap`):
+    * newDocId = (newSeg << shift) | (base(oldSeg) + ord - deletedBelow).
+    * `deleted` holds the tombstoned docIds per old segment (sorted).
+    */
+  final class DocMap(
+      bases: Map[Int, Long],
+      deleted: Map[Int, Array[Long]],
+      newSeg: Int
+  ) extends Serializable {
+    def isDeleted(docId: Long): Boolean =
+      deleted.get(IndexBuilder.segOf(docId))
+        .exists(arr => java.util.Arrays.binarySearch(arr, docId) >= 0)
+
+    def remap(docId: Long): Long = {
+      val seg = IndexBuilder.segOf(docId)
+      val below = deleted.get(seg) match {
+        case None => 0
+        case Some(arr) =>
+          val i = java.util.Arrays.binarySearch(arr, docId)
+          if (i >= 0) i else -(i + 1)
+      }
+      (newSeg.toLong << IndexBuilder.SegShift) |
+        (bases(seg) + IndexBuilder.ordOf(docId) - below)
+    }
+  }
+
+  /** Kept-doc base offsets per old segment (cumulative, seg order). */
+  private def basesOf(keptPerSeg: Seq[(Int, Long)]): Map[Int, Long] = {
+    var acc = 0L
+    keptPerSeg.sortBy(_._1).map { case (seg, n) => val b = seg -> acc; acc += n; b }.toMap
+  }
+
+  /** Streaming same-term concat + re-encode over rows sorted by
+    * (term, seg); deleted postings dropped, docIds remapped, output rows
+    * capped at `cap` postings (mega-term salt split).
+    */
+  private def mergeRows(
+      rows: Iterator[PostingList],
+      dm: DocMap,
+      newSeg: Int,
+      cap: Int
+  ): Iterator[PostingList] =
+    new Iterator[PostingList] {
+      val it = rows.buffered
+      val out = scala.collection.mutable.Queue.empty[PostingList]
+
+      private def emit(term: String, ids: Array[Long], freqs: Array[Int],
+                       norms: Array[Byte], poss: Array[Array[Int]]): Unit = {
+        var from = 0
+        while (from < ids.length) {
+          val until = math.min(from + cap, ids.length)
+          out += PostingCodec.encode(newSeg, term,
+            ids.slice(from, until), freqs.slice(from, until),
+            norms.slice(from, until), if (poss == null) null else poss.slice(from, until))
+          from = until
+        }
+      }
+
+      private def fill(): Unit = {
+        while (out.isEmpty && it.hasNext) {
+          val term = it.head.term
+          val idsB = Array.newBuilder[Long]
+          val fqB = Array.newBuilder[Int]
+          val nmB = Array.newBuilder[Byte]
+          val psB = Array.newBuilder[Array[Int]]
+          var hasPos = true
+          while (it.hasNext && it.head.term == term) {
+            val pl = it.next()
+            val d = PostingCodec.decodeAll(pl, withPositions = true)
+            var i = 0
+            while (i < d.docIds.length) {
+              if (!dm.isDeleted(d.docIds(i))) {
+                idsB += dm.remap(d.docIds(i))
+                fqB += d.freqs(i)
+                nmB += d.norms(i)
+                if (d.positions != null) psB += d.positions(i) else hasPos = false
+              }
+              i += 1
+            }
+          }
+          val ids = idsB.result()
+          if (ids.nonEmpty)
+            emit(term, ids, fqB.result(), nmB.result(), if (hasPos) psB.result() else null)
+        }
+      }
+
+      def hasNext: Boolean = { fill(); out.nonEmpty }
+      def next(): PostingList = { fill(); out.dequeue() }
+    }
+
   /** forceMerge(1)-style compaction: one logical segment (seg = 0) with
-    * contiguous docIds 0..N-1 in (old seg, old ord) order.
+    * contiguous docIds 0..N-1 in (old seg, old ord) order; tombstoned
+    * docs are dropped (deletes applied, like `IndexWriter.forceMerge`).
     */
   def forceMerge(
       spark: SparkSession,
@@ -35,77 +127,155 @@ object IndexMerger {
   ): Index = {
     import spark.implicits._
 
-    // doc-base offsets per old segment (tiny; driver + closure broadcast)
-    // integer shift (not SQL division, which promotes to double and loses
-    // precision for docIds >= 2^53) — must match segOf exactly
+    // kept-doc counts per old segment (docmeta is already tombstone-filtered)
+    // — integer shift (not SQL division, which promotes to double and loses
+    // precision for docIds >= 2^53), must match segOf exactly
     val perSeg = index.docmeta
       .select(shiftright(col("docId"), IndexBuilder.SegShift).cast("int").as("seg"))
-      .groupBy($"seg").count().as[(Int, Long)].collect().sortBy(_._1)
-    val bases: Map[Int, Long] = {
-      var acc = 0L
-      perSeg.map { case (seg, n) => val b = seg -> acc; acc += n; b }.toMap
-    }
+      .groupBy($"seg").count().as[(Int, Long)].collect().toSeq
+    val dm = new DocMap(basesOf(perSeg), index.liveFilter, newSeg = 0)
 
-    def remap(docId: Long): Long =
-      bases(IndexBuilder.segOf(docId)) + IndexBuilder.ordOf(docId)
-
-    val docmeta2 = index.docmeta.map(m => m.copy(docId = remap(m.docId)))
+    val docmeta2 = index.docmeta.map(m => m.copy(docId = dm.remap(m.docId)))
 
     val cap = maxPostingsPerRow
     val postings2: Dataset[PostingList] = index.postings
       .repartitionByRange(numPartitions, $"term")
       .sortWithinPartitions($"term", $"seg")
-      .mapPartitions { rows =>
-        // streaming k-way merge: rows arrive sorted by (term, seg); same-term
-        // runs are concatenated with docIds remapped, re-encoded, and split
-        // into <= cap-posting rows
-        new Iterator[PostingList] {
-          val it = rows.buffered
-          val out = scala.collection.mutable.Queue.empty[PostingList]
-
-          private def emit(term: String, ids: Array[Long], freqs: Array[Int],
-                           norms: Array[Byte], poss: Array[Array[Int]]): Unit = {
-            var from = 0
-            while (from < ids.length) {
-              val until = math.min(from + cap, ids.length)
-              out += PostingCodec.encode(0, term,
-                ids.slice(from, until), freqs.slice(from, until),
-                norms.slice(from, until), if (poss == null) null else poss.slice(from, until))
-              from = until
-            }
-          }
-
-          private def fill(): Unit = {
-            while (out.isEmpty && it.hasNext) {
-              val term = it.head.term
-              val idsB = Array.newBuilder[Long]
-              val fqB = Array.newBuilder[Int]
-              val nmB = Array.newBuilder[Byte]
-              val psB = Array.newBuilder[Array[Int]]
-              var hasPos = true
-              while (it.hasNext && it.head.term == term) {
-                val pl = it.next()
-                val d = PostingCodec.decodeAll(pl, withPositions = true)
-                var i = 0
-                while (i < d.docIds.length) {
-                  idsB += remap(d.docIds(i))
-                  fqB += d.freqs(i)
-                  nmB += d.norms(i)
-                  if (d.positions != null) psB += d.positions(i) else hasPos = false
-                  i += 1
-                }
-              }
-              emit(term, idsB.result(), fqB.result(), nmB.result(),
-                if (hasPos) psB.result() else null)
-            }
-          }
-
-          def hasNext: Boolean = { fill(); out.nonEmpty }
-          def next(): PostingList = { fill(); out.dequeue() }
-        }
-      }
+      .mapPartitions(rows => mergeRows(rows, dm, 0, cap))
 
     new Index(postings2, docmeta2, index.termStats, index.fieldStats)
+  }
+
+  /** Merged segments get ids in a reserved high range so they never
+    * collide with streaming-batch segment ids (which grow from 0 as
+    * batchId * segsPerBatch).
+    */
+  val MergedSegBase: Int = 1 << 22
+
+  /** Pick merge groups like a (simplified) tiered policy
+    * (`core/index/TieredMergePolicy.java:88,317`): repeatedly take the
+    * `segsPerTier` smallest segments (by payload bytes) whose combined
+    * size stays under `maxMergedBytes`; singletons are never "merged".
+    */
+  def findMerges(
+      manifests: Seq[SegmentManifest],
+      segsPerTier: Int = 8,
+      maxMergedBytes: Long = 5L * 1024 * 1024 * 1024
+  ): Seq[Seq[Int]] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    var rest = manifests.sortBy(m => (m.bytes, m.seg))
+    // merge only while over budget (Lucene: allowedSegCount per tier);
+    // each pass takes the smallest segments, leaving the count near
+    // segsPerTier instead of collapsing everything to one segment
+    while (rest.size > segsPerTier) {
+      val want = math.min(segsPerTier, rest.size - segsPerTier + 1)
+      val g = scala.collection.mutable.ArrayBuffer.empty[SegmentManifest]
+      var acc = 0L
+      while (g.size < want && rest.nonEmpty && (g.size < 2 || acc + rest.head.bytes <= maxMergedBytes)) {
+        val m = rest.head
+        rest = rest.tail
+        g += m
+        acc += m.bytes
+      }
+      if (g.size >= 2) groups += g.map(_.seg).toSeq
+      else rest = Nil // size-capped below 2: nothing mergeable
+    }
+    groups.toSeq
+  }
+
+  /** Merge a group of persistent segments into ONE new segment in a new
+    * generation; old manifests are removed, the new manifest points at
+    * the new generation (write-once files + manifest selection — the
+    * `segments_N` commit-point model). Tombstoned docs are dropped.
+    *
+    * Safe only for segments whose build (streaming batch) is complete —
+    * merging a segment that a retried batch may still rebuild would
+    * resurrect it.
+    */
+  def mergeSegments(
+      spark: SparkSession,
+      dir: String,
+      segs: Seq[Int],
+      numPartitions: Int = 8,
+      maxPostingsPerRow: Int = 1 << 20
+  ): SegmentManifest = {
+    import spark.implicits._
+    val manifests = IndexBuilder.listManifests(dir).filter(m => segs.contains(m.seg))
+    require(manifests.map(_.seg).toSet == segs.toSet, s"missing manifests for $segs")
+
+    val raw = manifests.groupBy(_.dataDir).map { case (gen, ms) =>
+      spark.read.parquet(s"$dir/segments/$gen").filter($"seg".isin(ms.map(_.seg): _*))
+    }.reduce(_ unionByName _)
+
+    val metas0 = raw.filter($"kind" === "m")
+    val tombs = IndexBuilder.readTombstones(spark, dir)
+    val (metas, deleted) = tombs match {
+      case None => (metas0, Map.empty[Int, Array[Long]])
+      case Some(t) =>
+        val del = metas0.join(t, Seq("repo", "path", "commit"), "left_semi")
+          .select($"docId").as[Long].collect()
+          .groupBy(IndexBuilder.segOf).map { case (s, ids) => s -> ids.sorted }
+        (metas0.join(t, Seq("repo", "path", "commit"), "left_anti"), del)
+    }
+
+    val newSeg = MergedSegBase + math.max(-1,
+      IndexBuilder.listManifests(dir).map(_.seg - MergedSegBase).filter(_ >= 0)
+        .foldLeft(-1)(math.max)) + 1
+
+    val perSeg = metas
+      .select(shiftright($"docId", IndexBuilder.SegShift).cast("int").as("seg"))
+      .groupBy($"seg").count().as[(Int, Long)].collect().toSeq
+    val dm = new DocMap(basesOf(perSeg), deleted, newSeg)
+
+    val gen = IndexBuilder.nextGen(dir)
+    val ns = newSeg
+    val metaRows = metas.as[BuildRow].map(r => r.copy(seg = ns, docId = dm.remap(r.docId)))
+    val postRows = raw.filter($"kind" === "p")
+      .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
+        $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
+      .as[PostingList]
+      .repartitionByRange(numPartitions, $"term")
+      .sortWithinPartitions($"term", $"seg")
+      .mapPartitions(rows => mergeRows(rows, dm, ns, maxPostingsPerRow))
+      .map(pl => BuildRow(
+        kind = "p", seg = ns, docId = -1L, repo = null, path = null, commit = null,
+        lang = null, sha256 = null, tokenCount = 0, norm = 0,
+        term = pl.term, df = pl.df, ttf = pl.ttf, counts = pl.counts,
+        baseDocIds = pl.baseDocIds, maxDocIds = pl.maxDocIds,
+        maxFreqs = pl.maxFreqs, minNorms = pl.minNorms, offsets = pl.offsets,
+        payload = pl.payload))
+    metaRows.unionByName(postRows).write.mode("overwrite").parquet(s"$dir/segments/$gen")
+
+    // read-back metrics for the merged segment (one tiny agg job)
+    val written = spark.read.parquet(s"$dir/segments/$gen")
+    val docs = written.filter($"kind" === "m").count()
+    val (posts, bytes) = written.filter($"kind" === "p")
+      .agg(coalesce(sum($"df".cast("long")), lit(0L)),
+        coalesce(sum(length($"payload").cast("long")), lit(0L)))
+      .as[(Long, Long)].head()
+
+    val man = SegmentManifest(newSeg, "complete", docs, posts, bytes,
+      "merged:" + IndexBuilder.sha256Hex(
+        manifests.map(m => s"${m.seg}:${m.inputFingerprint}").sorted.mkString("|")).take(16),
+      IndexBuilder.CodeConfigHash, gen)
+    IndexBuilder.writeManifest(dir, man)
+    // drop source manifests AFTER the new one is durable (crash between
+    // the two writes leaves both old and new visible; old wins until the
+    // deletes complete — readers must not see the union, so delete new
+    // manifest last on failure paths; here: delete olds, then refresh stats
+    segs.foreach { s =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(IndexBuilder.manifestPath(dir, s)))
+    }
+    IndexBuilder.writeStats(spark, dir)
+    man
+  }
+
+  /** Tiered background compaction over a persistent index: merge the
+    * smallest segments `segsPerTier` at a time until no group remains.
+    */
+  def tieredMerge(spark: SparkSession, dir: String, segsPerTier: Int = 8): Seq[SegmentManifest] = {
+    findMerges(IndexBuilder.listManifests(dir), segsPerTier)
+      .map(g => mergeSegments(spark, dir, g))
   }
 }
 

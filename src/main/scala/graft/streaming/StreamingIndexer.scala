@@ -17,45 +17,83 @@ import org.apache.spark.sql.streaming.Trigger
   * the new segments — segment immutability makes this safe, exactly like
   * the reference's commit-point protocol.
   *
-  * Segment ids are allocated above the current maximum so batches never
-  * collide; the per-segment manifests keep the build resumable and audited
-  * (docs/postings/bytes per batch).
+  * Exactly-once: segment ids derive DETERMINISTICALLY from the batch id
+  * (`segBase + batchId * segsPerBatch + bucket`), so a batch retried
+  * after a crash reproduces the same (seg, inputFingerprint) pairs and
+  * `buildPersistent`'s resume check skips already-complete segments
+  * instead of re-indexing the rows into fresh ids. `segBase` is pinned
+  * once per index in `stream_meta.json`.
+  *
+  * Updates (`IndexWriter.updateDocument`, `core/index/IndexWriter.java:1844`
+  * — atomic delete-by-term + add): incoming (repo, path) keys tombstone
+  * every existing version with a DIFFERENT commit before the new rows are
+  * indexed. Tombstone appends are idempotent, so retries stay safe.
   */
 object StreamingIndexer {
 
-  private def nextSegBase(indexDir: String): Int = {
-    val dir = new java.io.File(s"$indexDir/manifest")
-    if (!dir.exists()) 0
-    else {
-      val segs = dir.listFiles().toSeq
-        .map(_.getName).collect { case s if s.startsWith("seg_") =>
-          s.stripPrefix("seg_").stripSuffix(".json").toInt
+  private def metaPath(indexDir: String) =
+    java.nio.file.Paths.get(s"$indexDir/stream_meta.json")
+
+  /** Pin (or read) the stream's fixed segment-id base: allocated above
+    * any segment that existed when streaming began.
+    */
+  private def segBase(indexDir: String): Int = {
+    val p = metaPath(indexDir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.readString(p)
+      "\"segBase\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
+    } else {
+      val dir = new java.io.File(s"$indexDir/manifest")
+      val base =
+        if (!dir.exists() || dir.listFiles() == null) 0
+        else {
+          val segs = dir.listFiles().toSeq.map(_.getName)
+            .collect { case s if s.startsWith("seg_") =>
+              s.stripPrefix("seg_").stripSuffix(".json").toInt }
+          if (segs.isEmpty) 0 else segs.max + 1
         }
-      if (segs.isEmpty) 0 else segs.max + 1
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, s"""{"segBase":$base}""")
+      base
     }
   }
 
   /** Process all currently-available input files into the index, then
     * stop (AvailableNow). Call again as new files arrive; the stream
-    * checkpoint guarantees exactly-once per input file.
+    * checkpoint + deterministic segment ids + manifest resume give
+    * exactly-once per input file. With `update = true`, existing versions
+    * of incoming (repo, path) keys are tombstoned first.
     */
   def runAvailableNow(
       spark: SparkSession,
       inputDir: String,
       indexDir: String,
-      segsPerBatch: Int = 4
+      segsPerBatch: Int = 4,
+      update: Boolean = false
   ): Unit = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[SourceRow].schema
+    val base = segBase(indexDir)
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val query = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val base = nextSegBase(indexDir)
+        val batchBase = base + (batchId * segsPerBatch).toInt
+        if (update && new java.io.File(s"$indexDir/manifest").exists()) {
+          // updateDocument semantics: tombstone every indexed version of
+          // the incoming keys whose commit differs from the new one
+          val existing = IndexBuilder.open(spark, indexDir).docmeta
+            .select($"repo", $"path", $"commit")
+          val incoming = df.select($"repo", $"path", $"commit".as("newCommit")).distinct()
+          val stale = existing.join(incoming, Seq("repo", "path"))
+            .filter($"commit" =!= $"newCommit")
+            .select($"repo", $"path", $"commit")
+          if (!stale.isEmpty) IndexBuilder.deleteDocs(spark, indexDir, stale)
+        }
         val docs = df.as[SourceRow].map { r =>
           val key = s"${r.repo}/${r.path}@${r.commit}"
-          val seg = base + math.floorMod(
+          val seg = batchBase + math.floorMod(
             scala.util.hashing.MurmurHash3.stringHash(key), segsPerBatch)
           InputDoc(seg, key, r.repo, r.path, r.commit, r.lang, r.content)
         }

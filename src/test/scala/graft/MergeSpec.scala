@@ -43,4 +43,54 @@ class MergeSpec extends SparkTest {
       merged.postings.unpersist()
     }
   }
+
+  test("tiered merge: bounded segment count, deletes dropped, results identical to fresh build") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttiered").toString
+    val src = Datagen.corpus(spark, 1200, seed = 41L)
+    IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 24), dir)
+    assert(new java.io.File(s"$dir/manifest").listFiles().length == 24)
+
+    // delete by key every doc matching needle_0
+    val idx0 = IndexBuilder.open(spark, dir)
+    val nVictims = Searcher.count(idx0, "needle_0")
+    assert(nVictims > 0)
+    val victims = Searcher.matchingDocs(idx0, graft.query.TermQ("needle_0")).toDF("docId")
+      .join(idx0.docmeta, "docId").select($"repo", $"path", $"commit")
+    IndexBuilder.deleteDocs(spark, dir, victims)
+
+    val idx1 = IndexBuilder.open(spark, dir)
+    assert(idx1.liveFilter.values.map(_.length).sum == nVictims)
+    assert(Searcher.count(idx1, "needle_0") == 0, "tombstoned docs must not match")
+    assert(Searcher.topK(idx1, "needle_0", 10).count() == 0)
+    assert(idx1.docmeta.count() == 1200 - nVictims)
+
+    // compact: 24 mini-segments -> bounded count; deletes rewritten out
+    IndexMerger.tieredMerge(spark, dir, segsPerTier = 8)
+    val manifests = new java.io.File(s"$dir/manifest").listFiles().length
+    assert(manifests <= 10, s"segment count not bounded: $manifests")
+    val idx2 = IndexBuilder.open(spark, dir)
+    assert(idx2.liveFilter.isEmpty, "merge must purge tombstoned docs")
+    assert(idx2.docmeta.count() == 1200 - nVictims)
+    assert(Searcher.count(idx2, "needle_0") == 0)
+    assert(CheckIndex.run(idx2).isEmpty)
+
+    // identical (path, score) results vs an index built fresh from the
+    // survivors with the same routing (stats now exclude deleted docs on
+    // both sides, so scores are float-identical and order-preserving)
+    val survivors = src.filter(!$"content".contains("needle_0"))
+    val fresh = IndexBuilder.buildInMemory(spark, Datagen.toInputDocs(survivors, 24))
+    queries.foreach { qs =>
+      def shaped(idx: graft.build.Index) =
+        Searcher.topK(idx, qs, 10).join(idx.docmeta, "docId")
+          .select($"repo", $"path", $"score").as[(String, String, Float)].collect().toSeq
+          .sortBy { case (r, p, s) => (-s, r, p) } // join does not preserve rank order
+      assert(shaped(idx2) == shaped(fresh), s"query [$qs] after tiered merge")
+    }
+
+    // a second pass with nothing over budget is a no-op
+    val before = new java.io.File(s"$dir/manifest").listFiles().map(_.getName).sorted.toSeq
+    IndexMerger.tieredMerge(spark, dir, segsPerTier = 10)
+    val after = new java.io.File(s"$dir/manifest").listFiles().map(_.getName).sorted.toSeq
+    assert(before == after)
+  }
 }
