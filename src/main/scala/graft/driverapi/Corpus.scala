@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   * `ORDER BY score DESC, doc_id ASC` for the DuckDB oracle.
   */
 object Corpus {
-  val NumSegments = 4
+  /** Segments scale with corpus size (one segment ~ the docs an executor
+    * inverts in memory; ~25k docs/segment here), clamped so tiny test
+    * tables still exercise multi-segment paths — no fixed segment count.
+    */
+  def numSegments(docSpan: Long): Int =
+    math.max(4, math.min(128, (docSpan / 25000L).toInt + 1))
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, (Index, DataFrame)]
 
@@ -46,7 +51,7 @@ object Corpus {
   private def build(spark: SparkSession, docs: DataFrame, subTokens: Boolean): (Index, DataFrame) = {
     import spark.implicits._
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
-    val span = maxId / NumSegments + 1
+    val span = maxId / numSegments(maxId + 1) + 1
     val input = docs.select($"doc_id", $"text", $"lang").as[(Long, String, String)]
       .map { case (id, text, lang) =>
         InputDoc(

@@ -75,16 +75,37 @@ object Queries {
   private def ftScored(q: String, k: Int): QFn = (spark, dir) =>
     ftScoredQ(graft.query.QueryParser.parse(q), k)(spark, dir)
 
+  private def r4d(s: Double) = math.floor(s * 10000d + 0.5d) / 10000d
+
+  /** Exactly the top-k hits by (ROUNDED score desc, docId asc), scores
+    * rounded. Fetches k+40 and escalates while the last fetched hit can
+    * still tie the kth rounded score (a fixed buffer could drop
+    * lower-doc_id ties just outside the window).
+    */
+  private def topRoundedHits(index: graft.build.Index, q0: graft.query.Query,
+      k: Int): Array[(Long, Double)] = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    var kk = k + 40
+    var hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
+    while (hits.length == kk && hits.length >= k && r4d(hits.last._2) >= r4d(hits(k - 1)._2)) {
+      kk *= 4
+      hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
+    }
+    hits.map { case (d, s) => (d, r4d(s)) }
+      .sortBy { case (d, s) => (-s, d) } // docId order == doc_id order (range routing)
+      .take(k)
+  }
+
   private def ftScoredQ(q0: graft.query.Query, k: Int, sub: Boolean = false): QFn = (spark, dir) => {
     import spark.implicits._
     val (index, mapping) =
       if (sub) Corpus.getSubtoken(spark, dir) else Corpus.get(spark, dir)
-    val hits = Searcher.topKQ(index, q0, k + 40, doubleMode = true)
-    hits.join(mapping, "docId")
-      .select($"doc_id", r4($"score").as("score"))
+    spark.createDataset(topRoundedHits(index, q0, k).toSeq).toDF("docId", "score")
+      .join(mapping, "docId")
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
-      .filter($"rank" <= k)
+      .select($"doc_id", $"score", $"rank")
       .orderBy($"rank")
   }
 
@@ -349,6 +370,91 @@ object Queries {
          |  ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
          |WHERE a.term = 'fast' AND b.term = 'table' ORDER BY 1""".stripMargin))),
 
+    // rescoring (QueryRescorer shape): cheap first pass (top-100 for
+    // `merge`), costly second query scored ONLY over those 100 docIds
+    // (DocSetQ filter window), combined = first + 2*second
+    "ft_rescore_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      // selection and combination on ROUNDED scores: the top-100 cutoff on
+      // raw doubles would be sensitive to cross-engine ulp differences
+      val first = topRoundedHits(index, graft.query.TermQ("merge"), 100)
+      val second = Searcher.topKQ(index, graft.query.BoolQ(
+          should = Seq(graft.query.TermQ("stream")),
+          filter = Seq(graft.query.DocSetQ(first.map(_._1).toSeq))),
+        first.length max 1, doubleMode = true)
+        .as[(Long, Double)].collect().toMap
+      val combined = first.map { case (d, s1) => (d, s1 + 2.0 * r4d(second.getOrElse(d, 0.0))) }
+      spark.createDataset(combined.toSeq).toDF("docId", "s")
+        .join(mapping, "docId")
+        .select($"doc_id", r4($"s").as("score"))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .filter($"rank" <= 10)
+        .orderBy($"rank")
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |df1 AS (SELECT count(*) AS df FROM tf1),
+         |s1 AS (SELECT tf1.doc_id,
+         |         floor((ln(1 + (st.n - df1.df + 0.5)/(df1.df + 0.5))
+         |          - ln(1 + (st.n - df1.df + 0.5)/(df1.df + 0.5))
+         |            /(1 + tf1.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) * 10000 + 0.5)/10000 AS s
+         |       FROM tf1 JOIN qd ON tf1.doc_id = qd.doc_id, st, df1),
+         |first AS (SELECT doc_id, s FROM (
+         |   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM s1) WHERE rn <= 100),
+         |tf2 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'stream' GROUP BY doc_id),
+         |df2 AS (SELECT count(*) AS df FROM tf2),
+         |s2 AS (SELECT tf2.doc_id,
+         |         floor((ln(1 + (st.n - df2.df + 0.5)/(df2.df + 0.5))
+         |          - ln(1 + (st.n - df2.df + 0.5)/(df2.df + 0.5))
+         |            /(1 + tf2.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) * 10000 + 0.5)/10000 AS s
+         |       FROM tf2 JOIN qd ON tf2.doc_id = qd.doc_id, st, df2),
+         |comb AS (SELECT f.doc_id, f.s + 2.0*coalesce(s2.s, 0) AS s
+         |         FROM first f LEFT JOIN s2 ON f.doc_id = s2.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM comb ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // engine-side sort-by-field top-k over matching docs (TopFieldCollector
+    // analogue): docs matching both terms ranked by token count desc —
+    // matchingDocs streams unscored docIds, the only ordering is the
+    // distributed TakeOrderedAndProject on the sort field
+    "ft_sortfield_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      Searcher.matchingDocs(index, graft.query.BoolQ(
+          must = Seq(graft.query.TermQ("merge"), graft.query.TermQ("fast"))))
+        .toDF("docId")
+        .join(index.docmeta.select($"docId", $"tokenCount"), "docId")
+        .join(mapping, "docId")
+        .select($"doc_id", $"tokenCount".cast("long").as("n_tokens"))
+        .orderBy(desc("n_tokens"), asc("doc_id")).limit(10)
+    }, Some(
+      s"""WITH $tokCte,
+         |have AS (SELECT doc_id FROM tok GROUP BY doc_id
+         |         HAVING sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) > 0
+         |            AND sum(CASE WHEN term = 'fast' THEN 1 ELSE 0 END) > 0),
+         |cnt AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id)
+         |SELECT h.doc_id AS doc_id, CAST(cnt.n_tokens AS BIGINT) AS n_tokens
+         |FROM have h JOIN cnt ON h.doc_id = cnt.doc_id
+         |ORDER BY n_tokens DESC, h.doc_id LIMIT 10""".stripMargin))),
+
+    // searchAfter over BM25 hits: page 2 (ranks 11..20) of the scored
+    // result — keyset continuation after page 1's last (score, doc_id)
+    "ft_search_after_score" -> (((spark, dir) => {
+      import spark.implicits._
+      ftScoredQ(graft.query.QueryParser.parse("merge OR stream"), 20)(spark, dir)
+        .filter($"rank" > 10)
+        .orderBy($"rank")
+    }, Some(
+      s"""SELECT * FROM (${bm25Sql(Seq("merge", "stream"), requireAll = false, 20)})
+         |WHERE rank > 10 ORDER BY rank""".stripMargin))),
+
     "ft_msm2_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
@@ -460,6 +566,42 @@ object Queries {
         |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders WHERE o_custkey < 50)
         |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin))),
+
+    // parent/child block join (ToParentBlockJoinQuery analogue): children
+    // nested as an array column (the index-time co-located block), parents
+    // match when any child passes the predicate, parent score = avg of
+    // matching children (ScoreMode.Avg) via higher-order functions —
+    // integer-cent quantisation keeps the avg engine-exact
+    "block_join" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy($"l_orderkey")
+        .agg(collect_list(struct($"l_quantity".as("qty"),
+          $"l_extendedprice".as("price"), $"l_discount".as("disc"))).as("children"))
+        .withColumn("m", expr("filter(children, c -> c.qty > 45)"))
+        .filter(size($"m") > 0)
+        .withColumn("cents", expr(
+          "aggregate(m, CAST(0 AS BIGINT), (a, c) -> a + CAST(floor(c.price * (1 - c.disc) * 100 + 0.5) AS BIGINT))"))
+        .select($"l_orderkey",
+          r4($"cents".cast("double") / (lit(100d) * size($"m"))).as("score"))
+        .orderBy(desc("score"), asc("l_orderkey")).limit(10)
+    }, Some(
+      """SELECT l_orderkey,
+        |  floor((CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / (100.0 * count(*))) * 10000 + 0.5)/10000 AS score
+        |FROM lineitem WHERE l_quantity > 45
+        |GROUP BY l_orderkey ORDER BY score DESC, l_orderkey LIMIT 10""".stripMargin))),
+
+    // FieldExistsQuery analogue: count docs having a value for a
+    // (synthesised-nullable) field via col IS NOT NULL
+    "field_exists" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .agg(count(expr("nullif(source, 'src0')")).as("n_with"),
+          count(lit(1)).as("n_total"))
+    }, Some(
+      """SELECT CAST(count(nullif(source, 'src0')) AS BIGINT) AS n_with,
+        |       CAST(count(*) AS BIGINT) AS n_total FROM documents""".stripMargin))),
 
     "agg_distinct" -> (((spark, dir) => {
       import spark.implicits._

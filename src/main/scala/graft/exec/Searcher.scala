@@ -317,7 +317,7 @@ object Searcher {
     val localTopK = segmentTerms(index, pl.terms)
       .flatMapGroups { (seg, rows) =>
         SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null))
+            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
 
@@ -349,7 +349,7 @@ object Searcher {
     val live = index.liveFilter
     segmentTerms(index, pl.terms)
       .mapGroups { (seg, rows) =>
-        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null))
+        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
       }
       .agg(coalesce(sum($"value"), lit(0L)).as("n"))
       .as[Long].head()
@@ -370,7 +370,7 @@ object Searcher {
     val live = index.liveFilter
     segmentTerms(index, pl.terms)
       .flatMapGroups { (seg, rows) =>
-        SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null))
+        SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
           .map(java.lang.Long.valueOf)
       }
   }
@@ -406,14 +406,41 @@ object SegmentKernel {
     if (deletedOrds == null || deletedOrds.isEmpty) c
     else new ExclusionCursor(c, new SortedDocsCursor(deletedOrds))
 
+  /** Restrict every DocSetQ to the segment's docId range — a cursor in
+    * segment S must never emit docs of other segments (they would appear
+    * once per segment as duplicate zero-score hits).
+    */
+  private def scopeDocSets(q: Query, seg: Int): Query = q match {
+    case DocSetQ(ids) =>
+      val lo = seg.toLong << graft.build.IndexBuilder.SegShift
+      val hi = (seg + 1).toLong << graft.build.IndexBuilder.SegShift
+      DocSetQ(ids.filter(id => id >= lo && id < hi))
+    case BoolQ(m, s, n, msm, f) =>
+      BoolQ(m.map(scopeDocSets(_, seg)), s.map(scopeDocSets(_, seg)),
+        n.map(scopeDocSets(_, seg)), msm, f.map(scopeDocSets(_, seg)))
+    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(scopeDocSets(_, seg)), tb)
+    case ConstScoreQ(inner, b) => ConstScoreQ(scopeDocSets(inner, seg), b)
+    case other => other
+  }
+
+  private def hasDocSet(q: Query): Boolean = q match {
+    case DocSetQ(_) => true
+    case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).exists(hasDocSet)
+    case DisMaxQ(cs, _) => cs.exists(hasDocSet)
+    case ConstScoreQ(inner, _) => hasDocSet(inner)
+    case _ => false
+  }
+
   def run(
-      q: Query,
+      q0: Query,
       byTerm: Map[String, PostingList],
       scorers: Searcher.Scorers,
       k: Int,
       floatMode: Boolean = false,
-      deletedOrds: Array[Long] = null
+      deletedOrds: Array[Long] = null,
+      seg: Int = -1
   ): Array[(Long, Double)] = {
+    val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
     val hasDeletes = deletedOrds != null && deletedOrds.nonEmpty
 
     def termCursor(t: String, needPos: Boolean): Option[TermCursor] =
@@ -463,27 +490,33 @@ object SegmentKernel {
     * (`core/search/TotalHitCountCollector.java:27`).
     */
   def count(
-      q: Query,
+      q0: Query,
       byTerm: Map[String, PostingList],
       scorers: Searcher.Scorers,
-      deletedOrds: Array[Long] = null
-  ): Long =
+      deletedOrds: Array[Long] = null,
+      seg: Int = -1
+  ): Long = {
+    val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
     buildCursor(q, byTerm, scorers) match {
       case Some(c) => countAll(withLiveDocs(c, deletedOrds))
       case None => 0L
     }
+  }
 
   /** Matching docIds — cursors only, no heap/scoring. */
   def docs(
-      q: Query,
+      q0: Query,
       byTerm: Map[String, PostingList],
       scorers: Searcher.Scorers,
-      deletedOrds: Array[Long] = null
-  ): Iterator[Long] =
+      deletedOrds: Array[Long] = null,
+      seg: Int = -1
+  ): Iterator[Long] = {
+    val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
     buildCursor(q, byTerm, scorers) match {
       case Some(c) => docsAll(withLiveDocs(c, deletedOrds))
       case None => Iterator.empty
     }
+  }
 
   /** Compositional cursor construction for arbitrary rewritten queries. */
   def buildCursor(
@@ -512,6 +545,9 @@ object SegmentKernel {
       else Some(new SynonymCursor(cs.toArray, scorers.synonym(ts)))
     case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
       None // expanded before kernel
+    case DocSetQ(ids) =>
+      if (ids.isEmpty) None
+      else Some(new SortedDocsCursor(ids.toArray.sorted))
     case ConstScoreQ(inner, boost) =>
       buildCursor(inner, byTerm, scorers).map(c => new ConstScoreCursor(c, boost.toDouble))
     case DisMaxQ(cs, tb) =>

@@ -70,6 +70,13 @@ final case class SynonymQ(terms: Seq[String]) extends Query
   */
 final case class ConstScoreQ(inner: Query, boost: Float = 1f) extends Query
 
+/** Non-scoring membership in an explicit docId set — the acceptDocs /
+  * rescore-window restriction (`core/search/QueryRescorer.java` runs its
+  * costly query only over the first pass's top-N docIds). Use as a
+  * FILTER clause; ids must be engine docIds.
+  */
+final case class DocSetQ(docIds: Seq[Long]) extends Query
+
 /** Boolean query. `filter` clauses are required but contribute NO score —
   * `Occur.FILTER` (`core/search/BooleanQuery.java:40`; non-scoring
   * execution via the ConstantScore wrap of the rewrite, `:300-317`).
@@ -140,6 +147,7 @@ object Query {
       }
     case PhraseQ(Seq(t), _) => TermQ(t)
     case PhraseQ(Nil, _) => MatchNone
+    case DocSetQ(Nil) => MatchNone
     case SynonymQ(Nil) => MatchNone
     case SynonymQ(Seq(t)) => TermQ(t)
     case DisMaxQ(Nil, _) => MatchNone
