@@ -24,6 +24,12 @@ final case class Token(term: String, pos: Int)
 object CodeAnalyzer {
   val MaxTokenLength = 255
 
+  /** Default stop set of the "stop" analyzer mode (the fixtures' English
+    * function words; the reference's StandardAnalyzer default stopset is
+    * empty, StopFilter is opt-in).
+    */
+  val DefaultStops: Set[String] = Set("the", "a", "of", "to", "and")
+
   @inline private def isWordChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
       (c >= '0' && c <= '9') || c == '_' ||
@@ -120,4 +126,97 @@ object CodeAnalyzer {
     * (`core/index/FieldInvertState.java:75-76`).
     */
   def tokenCount(text: String): Int = tokenize(text).length
+
+  /** Position-preserving stop filter (`core/analysis/StopFilter.java:25`):
+    * stopwords are dropped but consume their position increment, so
+    * phrases never spuriously match across a removed stopword. Field
+    * length (norms) counts only emitted tokens, like the reference's
+    * inverter, which never sees the stopped tokens.
+    */
+  def tokenizeStops(text: String, stops: Set[String]): Array[Token] =
+    tokenize(text).filter(t => !stops.contains(t.term))
+
+  /** Whitespace tokenizer — splits on whitespace only
+    * (`lucene/analysis/common/.../core/WhitespaceTokenizer.java:31`);
+    * lowercased like our default chain.
+    */
+  def whitespaceTokenize(text: String): Array[Token] = {
+    if (text == null || text.isEmpty) return Array.empty
+    text.split("\\s+").iterator.filter(_.nonEmpty)
+      .filter(_.length <= MaxTokenLength)
+      .zipWithIndex
+      .map { case (w, i) => Token(w.toLowerCase(java.util.Locale.ROOT), i) }
+      .toArray
+  }
+
+  /** Letter tokenizer — maximal letter runs
+    * (`lucene/analysis/common/.../core/LetterTokenizer.java:31`).
+    */
+  def letterTokenize(text: String): Array[Token] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = new ArrayBuffer[Token]
+    var i = 0
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !Character.isLetter(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetter(text.charAt(i))) i += 1
+      if (i > start && i - start <= MaxTokenLength) {
+        out += Token(text.substring(start, i).toLowerCase(java.util.Locale.ROOT), pos)
+        pos += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Keyword tokenizer — the whole input as one token
+    * (`lucene/analysis/common/.../core/KeywordTokenizer.java:28`).
+    */
+  def keywordTokenize(text: String): Array[Token] =
+    if (text == null || text.isEmpty) Array.empty
+    else Array(Token(text.toLowerCase(java.util.Locale.ROOT), 0))
+
+  /** ASCII folding for the Latin-1 supplement
+    * (`lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java:74`
+    * restricted to the U+00C0..U+00FF block — the common accent range;
+    * the reference's full table covers many more scripts).
+    */
+  def foldAscii(s: String): String = {
+    var needs = false
+    var i = 0
+    while (i < s.length && !needs) { if (s.charAt(i) > 127) needs = true; i += 1 }
+    if (!needs) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    s.foreach { c =>
+      val f = c match {
+        case c if "ÀÁÂÃÄÅ".indexOf(c) >= 0 => "A"
+        case 'Æ' => "AE"
+        case 'Ç' => "C"
+        case c if "ÈÉÊË".indexOf(c) >= 0 => "E"
+        case c if "ÌÍÎÏ".indexOf(c) >= 0 => "I"
+        case 'Ð' => "D"
+        case 'Ñ' => "N"
+        case c if "ÒÓÔÕÖØ".indexOf(c) >= 0 => "O"
+        case c if "ÙÚÛÜ".indexOf(c) >= 0 => "U"
+        case 'Ý' => "Y"
+        case 'Þ' => "TH"
+        case 'ß' => "ss"
+        case c if "àáâãäå".indexOf(c) >= 0 => "a"
+        case 'æ' => "ae"
+        case 'ç' => "c"
+        case c if "èéêë".indexOf(c) >= 0 => "e"
+        case c if "ìíîï".indexOf(c) >= 0 => "i"
+        case 'ð' => "d"
+        case 'ñ' => "n"
+        case c if "òóôõöø".indexOf(c) >= 0 => "o"
+        case c if "ùúûü".indexOf(c) >= 0 => "u"
+        case c if "ýÿ".indexOf(c) >= 0 => "y"
+        case 'þ' => "th"
+        case other => other.toString
+      }
+      sb.append(f)
+    }
+    sb.toString
+  }
 }

@@ -162,8 +162,18 @@ object IndexBuilder {
     * One tokenize pass per doc; per-doc term grouping via a stable sort of
     * the token array (positions stay ascending within each run).
     */
+  /** Analyzer modes: "std" (word+lower), "sub" (word-delimiter
+    * sub-tokens), "stop" (std + position-preserving StopFilter with
+    * [[CodeAnalyzer.DefaultStops]]).
+    */
+  def analyze(mode: String, text: String): Array[graft.analysis.Token] = mode match {
+    case "sub" => CodeAnalyzer.subTokenize(text)
+    case "stop" => CodeAnalyzer.tokenizeStops(text, CodeAnalyzer.DefaultStops)
+    case _ => CodeAnalyzer.tokenize(text)
+  }
+
   def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false,
-      subTokens: Boolean = false): Iterator[BuildRow] = {
+      analyzerMode: String = "std"): Iterator[BuildRow] = {
     val sorted = if (preSorted) docs.toArray else docs.toArray.sortBy(_.sortKey)
     val inv = new java.util.HashMap[String, Postings]()
     val metas = new mutable.ArrayBuffer[BuildRow](sorted.length)
@@ -171,8 +181,7 @@ object IndexBuilder {
     sorted.foreach { d =>
       val docId = (seg.toLong << SegShift) | ord
       ord += 1
-      val tokens =
-        if (subTokens) CodeAnalyzer.subTokenize(d.content) else CodeAnalyzer.tokenize(d.content)
+      val tokens = analyze(analyzerMode, d.content)
       val norm = SmallFloat.intToByte4(tokens.length)
       // group tokens by term: stable sort keeps positions ascending per run
       java.util.Arrays.sort(tokens, (a: graft.analysis.Token, b: graft.analysis.Token) =>
@@ -243,11 +252,11 @@ object IndexBuilder {
 
   /** Build fully in memory (cached) — test/driver-query path. */
   def buildInMemory(spark: SparkSession, docs: Dataset[InputDoc],
-      subTokens: Boolean = false): Index = {
+      analyzerMode: String = "std"): Index = {
     import spark.implicits._
-    val sub = subTokens
+    val mode = analyzerMode
     val out = docs.groupByKey(_.seg)
-      .flatMapGroups((seg, it) => buildSegment(seg, it, preSorted = false, subTokens = sub))
+      .flatMapGroups((seg, it) => buildSegment(seg, it, preSorted = false, analyzerMode = mode))
       .persist()
     toIndex(spark, out)
   }

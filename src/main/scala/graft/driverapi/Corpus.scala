@@ -26,7 +26,7 @@ object Corpus {
     */
   def get(spark: SparkSession, dir: String): (Index, DataFrame) =
     cached(spark, s"std:$dir") {
-      build(spark, spark.read.parquet(s"$dir/documents.parquet"), subTokens = false)
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "std")
     }
 
   /** Sub-token analyzer variant over a compound-word derivation of the
@@ -42,13 +42,34 @@ object Corpus {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("text",
           regexp_replace($"text", "([a-z]+) ([a-z0-9]+)", "$1_$2"))
-      build(spark, docs, subTokens = true)
+      build(spark, docs, "sub")
+    }
+
+  /** Position-preserving StopFilter variant (`ft_stop_*` entries). */
+  def getStopFiltered(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"stop:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "stop")
     }
 
   private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
 
-  private def build(spark: SparkSession, docs: DataFrame, subTokens: Boolean): (Index, DataFrame) = {
+  private val tokenCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Documents table + a `ts` token-array column, tokenized ONCE per
+    * session and cached — at 100 TB you tokenize into a shared column
+    * instead of re-running the regex per analysis query. Consumers:
+    * token counts, quality scoring, language id, fingerprints, dedup.
+    */
+  def docTokens(spark: SparkSession, dir: String): DataFrame =
+    tokenCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"))
+        .persist()
+    })
+
+  private def build(spark: SparkSession, docs: DataFrame, analyzerMode: String): (Index, DataFrame) = {
     import spark.implicits._
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val span = maxId / numSegments(maxId + 1) + 1
@@ -60,7 +81,7 @@ object Corpus {
           repo = "documents", path = id.toString, commit = "", lang = lang,
           content = text)
       }
-    val index = IndexBuilder.buildInMemory(spark, input, subTokens)
+    val index = IndexBuilder.buildInMemory(spark, input, analyzerMode)
     index.postings.persist()
     index.docmeta.persist()
     index.termStats.persist()

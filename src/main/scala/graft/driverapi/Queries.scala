@@ -455,6 +455,89 @@ object Queries {
       s"""SELECT * FROM (${bm25Sql(Seq("merge", "stream"), requireAll = false, 20)})
          |WHERE rank > 10 ORDER BY rank""".stripMargin))),
 
+    // position-preserving StopFilter index (StopFilter.java:25): stops
+    // {the,a,of,to,and} dropped, norms count only kept tokens — BM25 for
+    // `merge` must match the stop-aware oracle (df same, norms shorter)
+    "ft_stop_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.getStopFiltered(spark, dir)
+      spark.createDataset(topRoundedHits(index, graft.query.TermQ("merge"), 10).toSeq)
+        .toDF("docId", "score")
+        .join(mapping, "docId")
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select($"doc_id", $"score", $"rank")
+        .orderBy($"rank")
+    }, Some {
+      val stopTok =
+        """tok AS (SELECT doc_id, term FROM (
+          |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term FROM documents)
+          |  WHERE term NOT IN ('the','a','of','to','and'))""".stripMargin
+      s"""WITH $stopTok,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |df AS (SELECT count(*) AS df FROM tf),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin
+    })),
+
+    // phrase over the stop-filtered index: positions keep their ORIGINAL
+    // numbering (gaps where stops were removed), so adjacency means
+    // adjacency in the original text — a renumbering bug would match
+    // "fast <stop> table" and diverge from this oracle
+    "ft_stop_phrase_docs" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.getStopFiltered(spark, dir)
+      Searcher.matchingDocs(index, graft.query.PhraseQ(Seq("fast", "table")))
+        .toDF("docId")
+        .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.term = 'fast' AND b.term = 'table' ORDER BY 1""".stripMargin))),
+
+    // phrase with per-slot alternatives (MultiPhraseQuery.java:54)
+    "ft_multiphrase_docs" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      Searcher.matchingDocs(index,
+          graft.query.MultiPhraseQ(Seq(Seq("fast", "slow"), Seq("table"))))
+        .toDF("docId")
+        .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.term IN ('fast', 'slow') AND b.term = 'table' ORDER BY 1""".stripMargin))),
+
+    // FeatureQuery / static score (FeatureField.java:105): matching docs
+    // ranked purely by an indexed per-doc feature, score = ln(1 + n_chars/100)
+    "ft_feature_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val feats = spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"n_chars")
+      Searcher.matchingDocs(index, graft.query.TermQ("merge")).toDF("docId")
+        .join(mapping, "docId")
+        .join(feats, "doc_id")
+        .select($"doc_id", r4(log(lit(1.0) + $"n_chars" / 100.0)).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT doc_id, floor((ln(1 + n_chars/100.0)) * 10000 + 0.5)/10000 AS score
+         |FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge')
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))),
+
     "ft_msm2_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
@@ -767,8 +850,7 @@ object Queries {
     */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = spark.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+    val sh = Corpus.docTokens(spark, dir)
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("sh"))
       .distinct()
@@ -804,8 +886,8 @@ object Queries {
     */
   private def simhash60(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = spark.read.parquet(s"$dir/documents.parquet")
-      .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+    val tf = Corpus.docTokens(spark, dir)
+      .select($"doc_id", explode($"ts").as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       .withColumn("h", conv(substring(md5($"term"), 1, 15), 16, 10).cast("long"))
     val bits = tf.select($"doc_id", $"tf", $"h", explode(expr("sequence(0, 59)")).as("j"))
@@ -855,8 +937,8 @@ object Queries {
           Seq("b", "u", "v"))
         .filter($"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-      val toks = spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", explode(expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)")).as("term"))
+      val toks = Corpus.docTokens(spark, dir)
+        .select($"doc_id", explode($"ts").as("term"))
         .distinct()
       val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val inter = cand
@@ -1077,8 +1159,8 @@ object Queries {
     "lang_id_heuristic" -> (((spark, dir) => {
       import spark.implicits._
       val stop = Seq("the", "a", "of", "to", "and")
-      spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      Corpus.docTokens(spark, dir)
+        .select($"doc_id", $"ts")
         .withColumn("n", size($"ts"))
         .withColumn("hits", expr(
           s"size(filter(ts, t -> t IN (${stop.map(s => s"'$s'").mkString(",")})))"))
@@ -1096,8 +1178,8 @@ object Queries {
     "quality_score" -> (((spark, dir) => {
       import spark.implicits._
       val stop = Seq("the", "a", "of", "to", "and")
-      spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      Corpus.docTokens(spark, dir)
+        .select($"doc_id", $"ts")
         .withColumn("n", size($"ts").cast("double"))
         .withColumn("nd", size(array_distinct($"ts")).cast("double"))
         .withColumn("hits", expr(
@@ -1118,8 +1200,7 @@ object Queries {
 
     "token_count" -> (((spark, dir) => {
       import spark.implicits._
-      spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      Corpus.docTokens(spark, dir)
         .select($"doc_id", size($"ts").cast("long").as("n_tokens"),
           size(array_distinct($"ts")).cast("long").as("n_distinct"))
         .orderBy($"doc_id")
@@ -1131,8 +1212,8 @@ object Queries {
     "doc_fingerprint" -> (((spark, dir) => {
       import spark.implicits._
       // winnowing-style fingerprint: min md5 over 5-token shingles
-      spark.read.parquet(s"$dir/documents.parquet")
-        .select($"doc_id", expr("regexp_extract_all(lower(text), '[a-z0-9_]+', 0)").as("ts"))
+      Corpus.docTokens(spark, dir)
+        .select($"doc_id", $"ts")
         .withColumn("sh", expr(
           "transform(sequence(1, greatest(size(ts) - 4, 1)), i -> " +
             "concat_ws(' ', slice(ts, i, 5)))"))

@@ -534,6 +534,83 @@ object Kernel {
     def score(): Double = scorer.scoreF(sloppyFreq, terms(0).norm)
   }
 
+  /** Phrase with per-slot alternatives —
+    * `core/search/MultiPhraseQuery.java:54` (union postings per slot,
+    * then exact-phrase verification over merged positions). freq = number
+    * of matching start positions; norm taken from any alternative on the
+    * doc (norms are per-doc).
+    */
+  final class MultiPhraseCursor(slots: Array[Array[TermCursor]], scorer: AnyScorer)
+      extends DocCursor {
+    private val slotCursors: Array[DocCursor] = slots.map { alts =>
+      if (alts.length == 1) alts(0): DocCursor
+      else new DisjunctionCursor(alts.map(x => x: DocCursor), 1)
+    }
+    private val conj =
+      if (slotCursors.length == 1) slotCursors(0)
+      else new ConjunctionCursor(slotCursors)
+    var doc: Long = -1
+    var phraseFreq: Int = 0
+    val maxScoreBound: Double = scorer.globalMax
+
+    private def mergedPositions(alts: Array[TermCursor]): Array[Int] = {
+      var single: Array[Int] = null
+      var count = 0
+      var j = 0
+      while (j < alts.length) {
+        if (alts(j).doc == doc0) {
+          if (single == null) single = alts(j).positions
+          else if (count == 1) single = null // fall through to general merge
+          count += 1
+        }
+        j += 1
+      }
+      if (count == 1) return single
+      val bufs = alts.filter(_.doc == doc0).map(_.positions)
+      val out = new Array[Int](bufs.map(_.length).sum)
+      var o = 0
+      bufs.foreach { b => System.arraycopy(b, 0, out, o, b.length); o += b.length }
+      java.util.Arrays.sort(out)
+      out
+    }
+
+    private var doc0: Long = -1
+
+    private def verify(): Boolean = {
+      doc0 = conj.doc
+      val pos = slots.map(mergedPositions)
+      val first = pos(0)
+      var count = 0
+      var a = 0
+      while (a < first.length) {
+        val p = first(a)
+        var ok = true
+        var t = 1
+        while (t < pos.length && ok) {
+          ok = java.util.Arrays.binarySearch(pos(t), p + t) >= 0
+          t += 1
+        }
+        if (ok) count += 1
+        a += 1
+      }
+      phraseFreq = count
+      count > 0
+    }
+
+    private def seek(start: Long): Long = {
+      var d = start
+      while (d != NoMoreDocs && !verify()) d = conj.nextDoc()
+      doc = d
+      doc
+    }
+    def nextDoc(): Long = seek(conj.nextDoc())
+    def advance(target: Long): Long = seek(conj.advance(target))
+    def score(): Double = {
+      val norm = slots(0).find(_.doc == doc).map(_.norm).getOrElse(0: Byte)
+      scorer.score(phraseFreq, norm)
+    }
+  }
+
   /** Required clause that contributes NO score — `Occur.FILTER`
     * (`core/search/BooleanQuery.java:40`).
     */

@@ -184,6 +184,7 @@ object Searcher {
 
   private def phrases(q: Query): Set[Seq[String]] = q match {
     case PhraseQ(ts, _) => Set(ts)
+    case MultiPhraseQ(slots) => Set(slots.flatten) // idf sums over ALL alternatives
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(phrases).toSet
     case DisMaxQ(cs, _) => cs.flatMap(phrases).toSet
     case ConstScoreQ(inner, _) => phrases(inner)
@@ -543,6 +544,13 @@ object SegmentKernel {
       val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t))))
       if (cs.isEmpty) None
       else Some(new SynonymCursor(cs.toArray, scorers.synonym(ts)))
+    case MultiPhraseQ(slots) =>
+      // every slot needs at least one alternative present in this segment
+      val slotCursors = slots.map(_.flatMap(t => byTerm.get(t).map(pl =>
+        new TermCursor(pl, scorers.term(t), needPositions = true))))
+      if (slotCursors.exists(_.isEmpty)) None
+      else Some(new MultiPhraseCursor(slotCursors.map(_.toArray).toArray,
+        scorers.phrase(slots.flatten)))
     case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
       None // expanded before kernel
     case DocSetQ(ids) =>

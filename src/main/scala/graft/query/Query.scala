@@ -25,6 +25,14 @@ final case class TermQ(term: String) extends Query
   */
 final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 
+/** Phrase with alternative terms per position —
+  * `core/search/MultiPhraseQuery.java:54`: a doc matches when some
+  * choice of one alternative per slot forms a consecutive phrase; freq =
+  * number of matching start positions, scored as a phrase pseudo-term
+  * whose idf sums over ALL alternatives.
+  */
+final case class MultiPhraseQ(slots: Seq[Seq[String]]) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 
 /** General wildcard (`*` = any run, `?` = one char) expanded against the
@@ -148,6 +156,12 @@ object Query {
     case PhraseQ(Seq(t), _) => TermQ(t)
     case PhraseQ(Nil, _) => MatchNone
     case DocSetQ(Nil) => MatchNone
+    case MultiPhraseQ(Nil) => MatchNone
+    case MultiPhraseQ(slots) if slots.exists(_.isEmpty) => MatchNone
+    case MultiPhraseQ(slots) if slots.forall(_.size == 1) => rewriteOnce(PhraseQ(slots.map(_.head)))
+    // alternatives are a set: duplicates would double-count phrase freq
+    case MultiPhraseQ(slots) if slots.exists(s => s.distinct.size != s.size) =>
+      MultiPhraseQ(slots.map(_.distinct))
     case SynonymQ(Nil) => MatchNone
     case SynonymQ(Seq(t)) => TermQ(t)
     case DisMaxQ(Nil, _) => MatchNone
@@ -171,6 +185,7 @@ object Query {
     case TermQ(t) => Set(t)
     case BoostTermQ(t, _, _, _) => Set(t)
     case PhraseQ(ts, _) => ts.toSet
+    case MultiPhraseQ(slots) => slots.flatten.toSet
     case SynonymQ(ts) => ts.toSet
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet

@@ -155,6 +155,18 @@ object NaiveOracle {
           if (f <= 0d) None
           else Some(phraseScorer(ts).scoreF(f.toFloat, d.norm).toDouble)
         }
+      case MultiPhraseQ(slots) =>
+        val pos = slots.map(alts =>
+          alts.flatMap(t => d.positions.getOrElse(t, Array.empty[Int])).distinct.sorted.toArray)
+        if (pos.exists(_.isEmpty)) None
+        else {
+          val first = pos.head
+          val count = first.count(p => pos.zipWithIndex.forall {
+            case (arr, i) => java.util.Arrays.binarySearch(arr, p + i) >= 0
+          })
+          if (count == 0) None
+          else Some(phraseScorer(slots.flatten).score(count, d.norm).toDouble)
+        }
       case SynonymQ(ts) =>
         val f = ts.map(t => d.tf.getOrElse(t, 0)).sum
         if (f == 0) None

@@ -40,6 +40,8 @@ class RandomQuerySpec extends SparkTest {
       case 7 => WildcardQ(Seq("ident_?", "*name1", "c?mel*", "i?ent_2*", "zz*q")(rnd.nextInt(5)))
       case 8 => ConstScoreQ(randomQuery(rnd, depth - 1),
         Seq(1f, 0.5f, 2f)(rnd.nextInt(3)))
+      case 9 => MultiPhraseQ(Seq.fill(1 + rnd.nextInt(2))(
+        Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length)))))
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))

@@ -109,7 +109,7 @@ class SearchDifferentialSpec extends SparkTest {
 
   test("sub-token analyzer index: camelCase parts searchable, == oracle") {
     val docs = inputDocs(3)
-    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs), subTokens = true)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs), "sub")
     val oracle = NaiveOracle.fromContents(docIdsOf(docs), graft.analysis.CodeAnalyzer.subTokenize)
     // `camel`, `name` now hit (the verdict's "searching camel gets nothing"
     // gap); the full compound token no longer exists as one term
