@@ -781,6 +781,53 @@ object Queries {
         |FROM documents GROUP BY ROLLUP(lang, source)
         |ORDER BY lang, source""".stripMargin))),
 
+    // true drill-sideways (DrillSideways.java): drill-down lang='en' AND
+    // source='src1'; each dimension's counts are computed with ITS OWN
+    // filter removed (N parallel aggs over one pass), so the UI can show
+    // sibling counts for both dimensions
+    "facet_drill_sideways" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val langCounts = docs.filter($"source" === "src1") // lang filter removed
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .select(lit("lang").as("dim"), $"lang".as("value"), $"n")
+      val sourceCounts = docs.filter($"lang" === "en") // source filter removed
+        .groupBy($"source").agg(count(lit(1)).as("n"))
+        .select(lit("source").as("dim"), $"source".as("value"), $"n")
+      langCounts.unionByName(sourceCounts).orderBy($"dim", $"value")
+    }, Some(
+      """SELECT dim, value, n FROM (
+        |  SELECT 'lang' AS dim, lang AS value, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE source = 'src1' GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source', source, CAST(count(*) AS BIGINT)
+        |  FROM documents WHERE lang = 'en' GROUP BY source)
+        |ORDER BY dim, value""".stripMargin))),
+
+    // JoinUtil score modes (JoinUtil.java:56,455): "from" side = orders
+    // with a score (revenue), joined to customers; the "to" side scores
+    // with Avg / Max / Total of the matching from-side scores
+    "join_score_modes" -> (((spark, dir) => {
+      import spark.implicits._
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+        // integer-cent quantisation keeps Avg/Total engine-exact
+        .withColumn("cents", floor($"o_totalprice" * 100d + 0.5d).cast("long"))
+      orders.groupBy($"o_custkey".as("c_custkey"))
+        .agg(count(lit(1)).as("n"), max($"cents").as("maxc"), sum($"cents").as("sumc"))
+        .select($"c_custkey", $"n",
+          r2((col("sumc").cast("double") / 100d) / col("n")).as("avg_score"),
+          r2(col("maxc").cast("double") / 100d).as("max_score"),
+          r2(col("sumc").cast("double") / 100d).as("total_score"))
+        .orderBy(desc("total_score"), asc("c_custkey")).limit(10)
+    }, Some(
+      """SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n,
+        |  floor(((CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100)/count(*)) * 100 + 0.5)/100 AS avg_score,
+        |  floor((CAST(max(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100) * 100 + 0.5)/100 AS max_score,
+        |  floor((CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100) * 100 + 0.5)/100 AS total_score
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_custkey ORDER BY total_score DESC, c_custkey LIMIT 10""".stripMargin))),
+
     // sampled facet counts (RandomSamplingFacetsCollector analogue) with a
     // DETERMINISTIC pseudo-sample both engines compute identically
     "facet_sampled" -> (((spark, dir) => {

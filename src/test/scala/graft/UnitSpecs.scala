@@ -224,3 +224,28 @@ class SloppyAndNewNodeSpec extends AnyFunSuite {
     assert(osa("zzzz", "merge", 2) > 2) // capped
   }
 }
+
+/** Goldens for the auxiliary tokenizers and filters (SURVEY §2.7). */
+class AuxAnalysisSpec extends AnyFunSuite {
+  import graft.analysis.CodeAnalyzer._
+  test("position-preserving stop filter") {
+    // "the" consumes position 1; phrase adjacency across it must not hold
+    val toks = tokenizeStops("fast the table", Set("the", "a", "of", "to", "and"))
+    assert(toks.toSeq == Seq(Token("fast", 0), Token("table", 2)))
+    assert(tokenizeStops("fast table", DefaultStops).toSeq ==
+      Seq(Token("fast", 0), Token("table", 1)))
+  }
+  test("whitespace / letter / keyword tokenizers") {
+    assert(whitespaceTokenize("Foo bar.baz  qux").map(_.term).toSeq ==
+      Seq("foo", "bar.baz", "qux"))
+    assert(letterTokenize("foo2bar baz_9").map(_.term).toSeq == Seq("foo", "bar", "baz"))
+    assert(keywordTokenize("Foo Bar").toSeq == Seq(Token("foo bar", 0)))
+    assert(keywordTokenize("").isEmpty)
+  }
+  test("ASCII folding (Latin-1 block)") {
+    assert(foldAscii("café Überraschung São") == "cafe Uberraschung Sao")
+    assert(foldAscii("straße") == "strasse")
+    assert(foldAscii("Æon þing") == "AEon thing")
+    assert(foldAscii("plain ascii") == "plain ascii")
+  }
+}
