@@ -164,12 +164,26 @@ object IndexBuilder {
     */
   /** Analyzer modes: "std" (word+lower), "sub" (word-delimiter
     * sub-tokens), "stop" (std + position-preserving StopFilter with
-    * [[CodeAnalyzer.DefaultStops]]).
+    * [[CodeAnalyzer.DefaultStops]]), "all" (combined content+path field —
+    * the BM25F / CombinedFieldQuery materialisation, see below).
     */
   def analyze(mode: String, text: String): Array[graft.analysis.Token] = mode match {
     case "sub" => CodeAnalyzer.subTokenize(text)
     case "stop" => CodeAnalyzer.tokenizeStops(text, CodeAnalyzer.DefaultStops)
     case _ => CodeAnalyzer.tokenize(text)
+  }
+
+  /** BM25F norm combination (`core/search/MultiNormsLeafSimScorer.java:165-175`
+    * with weights 1.0): combined norm = intToByte4(round(sum over fields of
+    * LENGTH_TABLE[field norm byte])) — each field's length is quantised
+    * FIRST, then the quantised lengths are summed and re-quantised.
+    */
+  def combinedNorm(fieldTokenCounts: Seq[Int]): Byte = {
+    var sum = 0f
+    fieldTokenCounts.foreach { n =>
+      sum += SmallFloat.LengthTable(SmallFloat.intToByte4(n) & 0xff)
+    }
+    SmallFloat.intToByte4(Math.round(sum))
   }
 
   def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false,
@@ -181,8 +195,24 @@ object IndexBuilder {
     sorted.foreach { d =>
       val docId = (seg.toLong << SegShift) | ord
       ord += 1
-      val tokens = analyze(analyzerMode, d.content)
-      val norm = SmallFloat.intToByte4(tokens.length)
+      // "all" mode = the CombinedFieldQuery/BM25F materialisation
+      // (`core/search/CombinedFieldQuery.java:79`, weights 1.0): one
+      // combined content+path field — freq is the per-term sum across
+      // fields (token streams concatenated), the norm byte uses the
+      // reference's quantise-then-sum-then-requantise combination, and
+      // df is the union df (the reference approximates with max df,
+      // `CombinedFieldQuery.java:284` — union is exact; documented
+      // divergence). Searching the path field costs no second query.
+      val (tokens, norm) =
+        if (analyzerMode == "all") {
+          val ct = CodeAnalyzer.tokenize(d.content)
+          val pt = CodeAnalyzer.tokenize(d.path)
+          (ct ++ pt.map(t => t.copy(pos = t.pos + ct.length)),
+            combinedNorm(Seq(ct.length, pt.length)))
+        } else {
+          val ts = analyze(analyzerMode, d.content)
+          (ts, SmallFloat.intToByte4(ts.length))
+        }
       // group tokens by term: stable sort keeps positions ascending per run
       java.util.Arrays.sort(tokens, (a: graft.analysis.Token, b: graft.analysis.Token) =>
         a.term.compareTo(b.term))

@@ -45,6 +45,15 @@ object Corpus {
       build(spark, docs, "sub")
     }
 
+  /** Combined content+path field variant — the BM25F/CombinedFieldQuery
+    * materialisation (`ft_bm25f_topk`): path here is the doc_id string,
+    * so numeric terms hit via the path field.
+    */
+  def getCombinedField(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"all:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "all")
+    }
+
   /** Position-preserving StopFilter variant (`ft_stop_*` entries). */
   def getStopFiltered(spark: SparkSession, dir: String): (Index, DataFrame) =
     cached(spark, s"stop:$dir") {

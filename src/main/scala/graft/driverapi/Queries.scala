@@ -97,10 +97,13 @@ object Queries {
       .take(k)
   }
 
-  private def ftScoredQ(q0: graft.query.Query, k: Int, sub: Boolean = false): QFn = (spark, dir) => {
+  private def ftScoredQ(q0: graft.query.Query, k: Int, variant: String = "std"): QFn = (spark, dir) => {
     import spark.implicits._
-    val (index, mapping) =
-      if (sub) Corpus.getSubtoken(spark, dir) else Corpus.get(spark, dir)
+    val (index, mapping) = variant match {
+      case "sub" => Corpus.getSubtoken(spark, dir)
+      case "all" => Corpus.getCombinedField(spark, dir)
+      case _ => Corpus.get(spark, dir)
+    }
     spark.createDataset(topRoundedHits(index, q0, k).toSeq).toDF("docId", "score")
       .join(mapping, "docId")
       .withColumn("rank",
@@ -352,7 +355,7 @@ object Queries {
     // splitting inverts the compounding (positions, norms, df included)
     "ft_subtoken_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.BoolQ(must = Seq(
-        graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, sub = true)(spark, dir)
+        graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, variant = "sub")(spark, dir)
     }, Some(bm25Sql(Seq("agg", "window"), requireAll = true, 10)))),
 
     // sloppy phrase (slop=1): docs where `fast` is followed by `table`
@@ -454,6 +457,39 @@ object Queries {
     }, Some(
       s"""SELECT * FROM (${bm25Sql(Seq("merge", "stream"), requireAll = false, 20)})
          |WHERE rank > 10 ORDER BY rank""".stripMargin))),
+
+    // BM25F / CombinedFieldQuery (CombinedFieldQuery.java:79) as an
+    // index-time combined content+path field (weights 1.0): freq sums
+    // across fields, the norm byte uses the reference's quantise-sum-
+    // requantise combination (MultiNormsLeafSimScorer.java:165-175);
+    // `42` only exists in the path field (doc_id string), `merge` in
+    // content — one query ranks across both fields
+    "ft_bm25f_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("42")), minShouldMatch = 1),
+        10, variant = "all")(spark, dir)
+    }, Some(
+      s"""WITH tokc AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+         |              FROM documents),
+         |toka AS (SELECT doc_id, term FROM tokc
+         |         UNION ALL SELECT doc_id, CAST(doc_id AS VARCHAR) FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tokc GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM toka) AS DOUBLE) AS sttf),
+         |q1 AS (SELECT doc_id, $qlenExpr AS qc FROM dl),
+         |q2 AS (SELECT doc_id, qc + 1 AS len FROM q1),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM q2),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toka
+         |       WHERE term IN ('merge', '42') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
     // position-preserving StopFilter index (StopFilter.java:25): stops
     // {the,a,of,to,and} dropped, norms count only kept tokens — BM25 for

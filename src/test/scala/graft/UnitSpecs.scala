@@ -249,3 +249,19 @@ class AuxAnalysisSpec extends AnyFunSuite {
     assert(foldAscii("plain ascii") == "plain ascii")
   }
 }
+
+/** BM25F combined-field norm combination pinned to the reference formula
+  * (`MultiNormsLeafSimScorer.java:165-175`).
+  */
+class CombinedNormSpec extends AnyFunSuite {
+  import graft.util.SmallFloat
+  test("quantise-then-sum-then-requantise") {
+    // small lengths are exact: q(5)+q(1)=6 -> q(6)=6
+    assert(graft.build.IndexBuilder.combinedNorm(Seq(5, 1)) == SmallFloat.intToByte4(6))
+    // larger lengths quantise first: q(1000) != 1000
+    val q1000 = SmallFloat.byte4ToInt(SmallFloat.intToByte4(1000))
+    assert(graft.build.IndexBuilder.combinedNorm(Seq(1000, 1)) ==
+      SmallFloat.intToByte4(q1000 + 1))
+    assert(graft.build.IndexBuilder.combinedNorm(Seq(0, 0)) == SmallFloat.intToByte4(0))
+  }
+}
