@@ -53,8 +53,16 @@ object Cli {
           Searcher.topK(index, "def AND class", 10).explain("formatted")
           println("=== docmeta projection (expect ReadSchema with 2 cols) ===")
           index.docmeta.select("docId", "norm").explain("formatted")
+        case "explainq" :: sfDir :: names =>
+          // plan audit for driver-catalog queries (scale-shape review):
+          // look for unpartitioned WindowExec over large inputs, missing
+          // broadcasts, full-column scans
+          names.foreach { name =>
+            println(s"=== $name ===")
+            driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
+          }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | check <dir> | explain <dir>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()
