@@ -205,4 +205,8 @@ object NaiveOracle {
     val hits = docs.flatMap(d => eval(q, d).map(s => (d.docId, s.toFloat)))
     hits.sortBy { case (id, s) => (-s, id) }.take(k)
   }
+
+  /** All matching docIds, sorted — the unscored count/docs-path oracle. */
+  def matchingDocs(docs: Seq[Doc], q0: Query): Seq[Long] =
+    search(docs, q0, Int.MaxValue).map(_._1).sorted
 }

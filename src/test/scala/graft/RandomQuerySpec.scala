@@ -74,6 +74,14 @@ class RandomQuerySpec extends SparkTest {
         val expected = NaiveOracle.search(oracleDocs, q, 10)
         val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
         assert(got == expected, s"random #$i query [$q]:\n got=$got\n exp=$expected")
+        if (i % 5 == 0) {
+          // the unscored count/docs kernel paths must agree with the
+          // scored path's match set (TotalHitCountCollector analogue)
+          val expectedDocs = NaiveOracle.matchingDocs(oracleDocs, q)
+          assert(Searcher.countQ(index, q) == expectedDocs.size, s"count #$i [$q]")
+          val gotDocs = Searcher.matchingDocs(index, q).collect().map(_.longValue).sorted.toSeq
+          assert(gotDocs == expectedDocs, s"docs #$i [$q]")
+        }
       }
     }
   }
