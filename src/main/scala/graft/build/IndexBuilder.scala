@@ -336,7 +336,7 @@ object IndexBuilder {
 
   /** Config hash for lineage: analyzer + codec + layout version. */
   val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=vbyte-delta-b${PostingCodec.BlockSize};layout=v4-kwfields"
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=for-delta-b${PostingCodec.BlockSize};layout=v5-for"
   ).take(16)
 
   /** Order-independent fingerprint of a segment's input slice

@@ -3,22 +3,30 @@ package graft.codec
 import graft.model.PostingList
 import scala.collection.mutable.ArrayBuffer
 
-/** Posting codec: delta + variable-byte encoding in 128-doc blocks over a
+/** Posting codec: delta + FOR bit-packing in 128-doc blocks over a
   * flat binary payload with primitive-array block metadata (see
   * [[graft.model.PostingList]] for the layout rationale).
   *
   * Mirrors the reference codec's *structure* — 128-doc blocks
   * (`core/codecs/lucene103/ForUtil.java:32`), docIds stored as deltas
-  * (`ForDeltaUtil.java:67-139`), positions as per-doc deltas
-  * (`Lucene103PostingsWriter.java:300`), per-block skip/impact metadata
-  * (`Lucene103PostingsFormat.java:343-353`) — with a variable-byte
-  * payload instead of SIMD FOR bit-packing (self-consistent codec; scores
-  * never depend on the encoding, only on decoded (docId, freq, norm)).
+  * then frame-of-reference bit-packed (`ForDeltaUtil.java:67-139`),
+  * positions as per-doc deltas (`Lucene103PostingsWriter.java:300`),
+  * per-block skip/impact metadata (`Lucene103PostingsFormat.java:343-353`).
+  *
+  * Block payload layout:
+  *   [varint firstDocDelta][width byte][pack(n-1 doc deltas)]
+  *   [width byte][pack(n freq-1 values)]
+  *   [n norm bytes]
+  *   [width byte][pack(sum(freq) position deltas)]   (when positions kept)
+  * The first doc delta is varint because it can carry the absolute
+  * (seg << 40)-based docId; all in-block deltas fit well under the
+  * packer's 57-bit ceiling. A width of 0 costs zero bytes — blocks of
+  * all-freq-1 postings store no freq payload at all.
   */
 object PostingCodec {
   val BlockSize = 128
 
-  // ---- varint primitives ------------------------------------------------
+  // ---- varint + bit-packing primitives -----------------------------------
 
   @inline private def writeVLong(buf: ArrayBuffer[Byte], value: Long): Unit = {
     var v = value
@@ -27,6 +35,30 @@ object PostingCodec {
       v >>>= 7
     }
     buf += v.toByte
+  }
+
+  @inline private def bitsNeeded(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** Append `n` values starting at `from`, each `width` bits (LE bit
+    * order). Caller guarantees width <= 57 (in-block deltas are < 2^40).
+    */
+  private def packBits(buf: ArrayBuffer[Byte], values: Array[Long], from: Int, n: Int, width: Int): Unit = {
+    if (width == 0 || n == 0) return
+    var acc = 0L
+    var accBits = 0
+    var i = from
+    val until = from + n
+    while (i < until) {
+      acc |= values(i) << accBits
+      accBits += width
+      while (accBits >= 8) {
+        buf += (acc & 0xff).toByte
+        acc >>>= 8
+        accBits -= 8
+      }
+      i += 1
+    }
+    if (accBits > 0) buf += (acc & 0xff).toByte
   }
 
   /** Mutable byte reader over a payload region. */
@@ -43,6 +75,27 @@ object PostingCodec {
       v
     }
     @inline def readByte(): Byte = { val b = bytes(pos); pos += 1; b }
+
+    /** Unpack `n` width-bit values into `out(offset until offset+n)`. */
+    def unpackBits(out: Array[Long], offset: Int, n: Int, width: Int): Unit = {
+      if (n == 0) return
+      if (width == 0) { java.util.Arrays.fill(out, offset, offset + n, 0L); return }
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      var acc = 0L
+      var accBits = 0
+      var i = 0
+      while (i < n) {
+        while (accBits < width) {
+          acc |= (bytes(pos) & 0xffL) << accBits
+          pos += 1
+          accBits += 8
+        }
+        out(offset + i) = acc & mask
+        acc >>>= width
+        accBits -= width
+        i += 1
+      }
+    }
   }
 
   // ---- encode -------------------------------------------------------------
@@ -74,24 +127,41 @@ object PostingCodec {
       counts(b) = until - from
       bases(b) = prevBlockLast
       maxDocs(b) = docIds(until - 1)
-      var prev = prevBlockLast
+      val count = until - from
       var maxFreq = 0
       var minNormLen = Int.MaxValue
       var minNorm: Byte = 0
+      // docId deltas: first varint (may carry the absolute seg-based id),
+      // rest FOR bit-packed at the block's max delta width
+      val deltas = new Array[Long](count)
+      var prev = prevBlockLast
       var i = from
-      while (i < until) { // docId deltas
-        writeVLong(buf, docIds(i) - prev - (if (prev < 0) 0 else 1))
+      while (i < until) {
+        deltas(i - from) = docIds(i) - prev - (if (prev < 0) 0 else 1)
         prev = docIds(i)
         i += 1
       }
+      writeVLong(buf, deltas(0))
+      var wDoc = 0
+      i = 1
+      while (i < count) { val w = bitsNeeded(deltas(i)); if (w > wDoc) wDoc = w; i += 1 }
+      buf += wDoc.toByte
+      packBits(buf, deltas, 1, count - 1, wDoc)
+      // freqs - 1, bit-packed (all-1 freq blocks cost zero payload bytes)
+      val fvals = new Array[Long](count)
       i = from
-      while (i < until) { // freqs - 1
+      while (i < until) {
         val f = freqs(i)
-        writeVLong(buf, (f - 1).toLong)
+        fvals(i - from) = (f - 1).toLong
         if (f > maxFreq) maxFreq = f
         ttf += f
         i += 1
       }
+      var wFreq = 0
+      i = 0
+      while (i < count) { val w = bitsNeeded(fvals(i)); if (w > wFreq) wFreq = w; i += 1 }
+      buf += wFreq.toByte
+      packBits(buf, fvals, 0, count, wFreq)
       i = from
       while (i < until) { // norm bytes
         val nb = norms(i)
@@ -101,18 +171,31 @@ object PostingCodec {
         i += 1
       }
       if (positions != null) {
+        // per-posting position deltas, bit-packed as ONE run (the count is
+        // derivable from the decoded freqs, so no length prefix is needed)
+        var total = 0
         i = from
-        while (i < until) { // position deltas per posting
+        while (i < until) { total += positions(i).length; i += 1 }
+        val pvals = new Array[Long](total)
+        var o = 0
+        i = from
+        while (i < until) {
           val ps = positions(i)
           var prevPos = -1
           var j = 0
           while (j < ps.length) {
-            writeVLong(buf, (ps(j) - prevPos - 1).toLong)
+            pvals(o) = (ps(j) - prevPos - 1).toLong
             prevPos = ps(j)
             j += 1
+            o += 1
           }
           i += 1
         }
+        var wPos = 0
+        i = 0
+        while (i < total) { val w = bitsNeeded(pvals(i)); if (w > wPos) wPos = w; i += 1 }
+        buf += wPos.toByte
+        packBits(buf, pvals, 0, total, wPos)
       }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
@@ -137,19 +220,28 @@ object PostingCodec {
   def decodeBlock(pl: PostingList, b: Int, withPositions: Boolean = false): Decoded = {
     val count = pl.counts(b)
     val r = new Reader(pl.payload, pl.offsets(b))
+    // docIds: varint first delta + packed rest, then prefix-sum
+    val deltas = new Array[Long](count)
+    deltas(0) = r.readVLong()
+    val wDoc = r.readByte() & 0xff
+    r.unpackBits(deltas, 1, count - 1, wDoc)
     val ids = new Array[Long](count)
     var prev = pl.baseDocIds(b)
     var i = 0
     while (i < count) {
-      ids(i) = prev + r.readVLong() + (if (prev < 0) 0 else 1)
+      ids(i) = prev + deltas(i) + (if (prev < 0) 0 else 1)
       prev = ids(i)
       i += 1
     }
+    // freqs
+    val fvals = new Array[Long](count)
+    val wFreq = r.readByte() & 0xff
+    r.unpackBits(fvals, 0, count, wFreq)
     val freqs = new Array[Int](count)
     var totalFreq = 0
     i = 0
     while (i < count) {
-      freqs(i) = (r.readVLong() + 1).toInt
+      freqs(i) = (fvals(i) + 1).toInt
       totalFreq += freqs(i)
       i += 1
     }
@@ -158,16 +250,21 @@ object PostingCodec {
     while (i < count) { norms(i) = r.readByte(); i += 1 }
     var poss: Array[Array[Int]] = null
     if (withPositions) {
+      val pvals = new Array[Long](totalFreq)
+      val wPos = r.readByte() & 0xff
+      r.unpackBits(pvals, 0, totalFreq, wPos)
       poss = new Array[Array[Int]](count)
+      var o = 0
       i = 0
       while (i < count) {
         val ps = new Array[Int](freqs(i))
         var prevPos = -1
         var j = 0
         while (j < ps.length) {
-          ps(j) = prevPos + r.readVLong().toInt + 1
+          ps(j) = prevPos + pvals(o).toInt + 1
           prevPos = ps(j)
           j += 1
+          o += 1
         }
         poss(i) = ps
         i += 1

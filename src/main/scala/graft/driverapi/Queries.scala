@@ -88,7 +88,11 @@ object Queries {
     import spark.implicits._
     var kk = k + 40
     var hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
-    while (hits.length == kk && hits.length >= k && r4d(hits.last._2) >= r4d(hits(k - 1)._2)) {
+    // constant-score roots can never need escalation: every hit has the
+    // same score, so the engine's docId-asc tie order IS the rounded order
+    val constScore = graft.query.Query.rewrite(q0).isInstanceOf[graft.query.ConstScoreQ]
+    while (!constScore && hits.length == kk && hits.length >= k &&
+        r4d(hits.last._2) >= r4d(hits(k - 1)._2)) {
       kk *= 4
       hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
     }

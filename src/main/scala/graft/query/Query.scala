@@ -255,10 +255,16 @@ object QueryParser {
         val w = s.substring(i, j)
         i = j
         val fuzzy = "^(.+)~([012])$".r
+        val fielded = "^([a-zA-Z]+):(.+)$".r
         w match {
           case "AND" => out += Tok("AND", w)
           case "OR" => out += Tok("OR", w)
           case "NOT" => out += Tok("NOT", w)
+          // fielded keyword syntax `lang:en` -> non-scoring keyword-field
+          // match (the classic parser's field:term, restricted to the
+          // indexed keyword fields)
+          case fielded(f, v) if f == "lang" =>
+            out += Tok("kw", s"#$f:${v.toLowerCase(java.util.Locale.ROOT)}")
           case _ if w.endsWith("*") && w.length > 1 &&
               !w.dropRight(1).exists(ch => ch == '*' || ch == '?') =>
             out += Tok("prefix", w.dropRight(1))
@@ -287,6 +293,8 @@ object QueryParser {
         pop()
         val Array(slop, body) = v.split(":", 2)
         PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq, slop.toInt)
+      case Some(Tok("kw", t)) =>
+        pop(); ConstScoreQ(TermQ(t), 0f) // matches, contributes no score
       case Some(Tok("prefix", p)) =>
         pop(); PrefixQ(p.toLowerCase(java.util.Locale.ROOT))
       case Some(Tok("wildcard", p)) =>
@@ -339,7 +347,7 @@ object QueryParser {
       // QueryParser default operator)
       while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
           t.kind == "phrase" || t.kind == "prefix" || t.kind == "wildcard" ||
-          t.kind == "fuzzy" || t.kind == "(")) {
+          t.kind == "fuzzy" || t.kind == "kw" || t.kind == "(")) {
         if (peek.exists(_.kind == "OR")) pop()
         clauses = clauses :+ and()
       }

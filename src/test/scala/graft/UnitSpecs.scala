@@ -265,3 +265,14 @@ class CombinedNormSpec extends AnyFunSuite {
     assert(graft.build.IndexBuilder.combinedNorm(Seq(0, 0)) == SmallFloat.intToByte4(0))
   }
 }
+
+class FieldedSyntaxSpec extends AnyFunSuite {
+  test("lang:x parses to a non-scoring keyword-field clause") {
+    assert(QueryParser.parse("lang:EN") == ConstScoreQ(TermQ("#lang:en"), 0f))
+    assert(QueryParser.parse("merge AND lang:en") ==
+      BoolQ(must = Seq(TermQ("merge"), ConstScoreQ(TermQ("#lang:en"), 0f))))
+    // unknown field prefixes stay ordinary words (analyzer splits on ':',
+    // multi-token words behave like phrases)
+    assert(QueryParser.parse("path:foo") == PhraseQ(Seq("path", "foo")))
+  }
+}
