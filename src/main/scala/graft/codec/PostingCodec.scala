@@ -118,6 +118,10 @@ object PostingCodec {
     val minNorms = new Array[Byte](numBlocks)
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ArrayBuffer[Byte](n * 3)
+    // per-block scratch, reused across blocks (encode is the build hot path)
+    val deltas = new Array[Long](BlockSize)
+    val fvals = new Array[Long](BlockSize)
+    var pvals = new Array[Long](4 * BlockSize)
     var ttf = 0L
     var from = 0
     var prevBlockLast = -1L
@@ -133,7 +137,6 @@ object PostingCodec {
       var minNorm: Byte = 0
       // docId deltas: first varint (may carry the absolute seg-based id),
       // rest FOR bit-packed at the block's max delta width
-      val deltas = new Array[Long](count)
       var prev = prevBlockLast
       var i = from
       while (i < until) {
@@ -148,7 +151,6 @@ object PostingCodec {
       buf += wDoc.toByte
       packBits(buf, deltas, 1, count - 1, wDoc)
       // freqs - 1, bit-packed (all-1 freq blocks cost zero payload bytes)
-      val fvals = new Array[Long](count)
       i = from
       while (i < until) {
         val f = freqs(i)
@@ -176,7 +178,7 @@ object PostingCodec {
         var total = 0
         i = from
         while (i < until) { total += positions(i).length; i += 1 }
-        val pvals = new Array[Long](total)
+        if (pvals.length < total) pvals = new Array[Long](total)
         var o = 0
         i = from
         while (i < until) {

@@ -186,12 +186,18 @@ object Kernel {
 
     def advance(target: Long): Long = {
       if (doc == NoMoreDocs) return doc
-      // block skip without decoding (metadata-only scan)
-      var bi = math.max(blockIdx, 0)
+      // block skip without decoding: binary search the sorted per-block
+      // maxDocIds — the log-time analogue of the reference's two skip
+      // levels (`Lucene103PostingsFormat.java:343-353` 128/4096-doc hops)
       if (blockIdx < 0 || target > pl.maxDocIds(blockIdx)) {
-        while (bi < numBlocks && pl.maxDocIds(bi) < target) bi += 1
-        if (bi >= numBlocks) { doc = NoMoreDocs; return doc }
-        if (bi != blockIdx) loadBlock(bi)
+        var lo = math.max(blockIdx + 1, 0)
+        var hi = numBlocks
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (pl.maxDocIds(m) < target) lo = m + 1 else hi = m
+        }
+        if (lo >= numBlocks) { doc = NoMoreDocs; return doc }
+        if (lo != blockIdx) loadBlock(lo)
       }
       while (i < n && decoded.docIds(i) < target) i += 1
       if (i >= n) return nextDocFromBlockEnd()
