@@ -718,21 +718,49 @@ object Kernel {
     */
   def taatTopK(cursors: Array[TermCursor], k: Int, minShouldMatch: Int = 1,
       floatMode: Boolean = false): Array[(Long, Double)] = {
-    val acc = new java.util.HashMap[java.lang.Long, Array[Double]]() // doc -> (score, matchCount)
-    cursors.foreach { c =>
-      var d = c.nextDoc()
-      while (d != NoMoreDocs) {
-        val key = java.lang.Long.valueOf(d)
-        var slot = acc.get(key)
-        if (slot == null) { slot = new Array[Double](2); acc.put(key, slot) }
-        slot(0) += c.score()
-        slot(1) += 1
-        d = c.nextDoc()
-      }
-    }
+    // windowed accumulation into primitive arrays — the reference's dense-
+    // disjunction BooleanScorer (`core/search/BooleanScorer.java:31-34`,
+    // 4096-doc windows): no per-doc boxing, sequential memory access.
+    val Window = 4096
+    val scores = new Array[Double](Window)
+    val matches = new Array[Int](Window)
     val heap = new HitHeap(k)
-    acc.forEach { (doc, slot) =>
-      if (slot(1) >= minShouldMatch) heap.insert(fin(slot(0), floatMode), doc)
+    val live = cursors.filter(_.nextDoc() != NoMoreDocs)
+    if (live.isEmpty) return heap.result()
+    var done = false
+    while (!done) {
+      var base = NoMoreDocs
+      var j = 0
+      while (j < live.length) {
+        if (live(j).doc < base) base = live(j).doc
+        j += 1
+      }
+      if (base == NoMoreDocs) done = true
+      else {
+        val end = base + Window
+        var maxOff = 0
+        j = 0
+        while (j < live.length) {
+          val c = live(j)
+          var d = c.doc
+          while (d < end && d != NoMoreDocs) {
+            val off = (d - base).toInt
+            scores(off) += c.score()
+            matches(off) += 1
+            if (off > maxOff) maxOff = off
+            d = c.nextDoc()
+          }
+          j += 1
+        }
+        var off = 0
+        while (off <= maxOff) {
+          if (matches(off) >= minShouldMatch)
+            heap.insert(fin(scores(off), floatMode), base + off)
+          scores(off) = 0d
+          matches(off) = 0
+          off += 1
+        }
+      }
     }
     heap.result()
   }
