@@ -170,6 +170,10 @@ object IndexBuilder {
   def analyze(mode: String, text: String): Array[graft.analysis.Token] = mode match {
     case "sub" => CodeAnalyzer.subTokenize(text)
     case "stop" => CodeAnalyzer.tokenizeStops(text, CodeAnalyzer.DefaultStops)
+    case "ws" => CodeAnalyzer.whitespaceTokenize(text)
+    case "letter" => CodeAnalyzer.letterTokenize(text)
+    case "keyword" => CodeAnalyzer.keywordTokenize(text)
+    case "fold" => CodeAnalyzer.tokenize(CodeAnalyzer.foldAscii(text))
     case _ => CodeAnalyzer.tokenize(text)
   }
 

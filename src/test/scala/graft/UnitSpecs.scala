@@ -276,3 +276,17 @@ class FieldedSyntaxSpec extends AnyFunSuite {
     assert(QueryParser.parse("path:foo") == PhraseQ(Seq("path", "foo")))
   }
 }
+
+/** Alternative analyzer modes build searchable indexes end-to-end. */
+class AnalyzerModesSpec extends AnyFunSuite {
+  test("analyze() dispatch covers every mode") {
+    import graft.build.IndexBuilder.analyze
+    assert(analyze("ws", "Foo bar.baz").map(_.term).toSeq == Seq("foo", "bar.baz"))
+    assert(analyze("letter", "foo2bar").map(_.term).toSeq == Seq("foo", "bar"))
+    assert(analyze("keyword", "Foo Bar").map(_.term).toSeq == Seq("foo bar"))
+    assert(analyze("fold", "café au lait").map(_.term).toSeq == Seq("cafe", "au", "lait"))
+    assert(analyze("stop", "fast the table").map(_.term).toSeq == Seq("fast", "table"))
+    assert(analyze("sub", "camelCase").map(_.term).toSeq == Seq("camel", "case"))
+    assert(analyze("std", "camelCase").map(_.term).toSeq == Seq("camelcase"))
+  }
+}
