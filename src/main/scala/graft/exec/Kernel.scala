@@ -53,7 +53,12 @@ object Kernel {
     * entry A is less competitive than B iff A.score < B.score, or equal
     * score and A.doc > B.doc.
     */
-  final class HitHeap(k: Int) {
+  final class HitHeap(k: Int, floor: Double = Double.NegativeInfinity) {
+    // `floor` is a PRE-KNOWN lower bound of the global kth score (the
+    // cross-partition min-competitive feedback, `MaxScoreAccumulator`
+    // analogue): pruning can start from it before the local heap fills.
+    // Callers must pass a value strictly below any tying score
+    // (nextDown of the primed kth), so score==kth ties still collect.
     // lazily grown up to k — callers may pass k >> matches (match-all counts)
     private var scores = new Array[Double](math.min(k, 1024))
     private var docs = new Array[Long](math.min(k, 1024))
@@ -71,7 +76,10 @@ object Kernel {
       s1 < s2 || (s1 == s2 && d1 > d2)
 
     def full: Boolean = size == k
-    def minScore: Double = if (full) scores(0) else Double.NegativeInfinity
+    def minScore: Double = if (full) math.max(scores(0), floor) else floor
+
+    /** Whether pruning may act (heap full OR a primed floor exists). */
+    def canPrune: Boolean = full || floor != Double.NegativeInfinity
 
     /** true if (score, doc) was inserted. */
     def insert(score: Double, doc: Long): Boolean = {
@@ -682,8 +690,9 @@ object Kernel {
     if (floatMode) s.toFloat.toDouble else s
 
   /** Exhaustive driver: stream every match of the root cursor into the heap. */
-  def collectAll(root: DocCursor, k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
-    val heap = new HitHeap(k)
+  def collectAll(root: DocCursor, k: Int, floatMode: Boolean = false,
+      floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+    val heap = new HitHeap(k, floor)
     var d = root.nextDoc()
     while (d != NoMoreDocs) {
       heap.insert(fin(root.score(), floatMode), d)
@@ -717,14 +726,14 @@ object Kernel {
     * cursor overhead dominate (multi-term expansions). Rank-identical.
     */
   def taatTopK(cursors: Array[TermCursor], k: Int, minShouldMatch: Int = 1,
-      floatMode: Boolean = false): Array[(Long, Double)] = {
+      floatMode: Boolean = false, floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
     // windowed accumulation into primitive arrays — the reference's dense-
     // disjunction BooleanScorer (`core/search/BooleanScorer.java:31-34`,
     // 4096-doc windows): no per-doc boxing, sequential memory access.
     val Window = 4096
     val scores = new Array[Double](Window)
     val matches = new Array[Int](Window)
-    val heap = new HitHeap(k)
+    val heap = new HitHeap(k, floor)
     val live = cursors.filter(_.nextDoc() != NoMoreDocs)
     if (live.isEmpty) return heap.result()
     var done = false
@@ -769,8 +778,9 @@ object Kernel {
     * `core/search/WANDScorer.java:55` (Broder et al. two-level retrieval),
     * with block-max skipping. Rank-identical to exhaustive evaluation.
     */
-  def wandTopK(cursors: Array[TermCursor], k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
-    val heap = new HitHeap(k)
+  def wandTopK(cursors: Array[TermCursor], k: Int, floatMode: Boolean = false,
+      floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+    val heap = new HitHeap(k, floor)
     val subs: Array[TermCursor] = cursors.filter(_.nextDoc() != NoMoreDocs)
     if (subs.isEmpty) return heap.result()
 
@@ -807,7 +817,7 @@ object Kernel {
       var j = 0
       while (j < live && p < 0) {
         acc += ub(order(j))
-        if (!heap.full || fin(acc, floatMode) > threshold) p = j
+        if (!heap.canPrune || fin(acc, floatMode) > threshold) p = j
         j += 1
       }
       if (p < 0) return heap.result() // nothing can be competitive any more
@@ -821,7 +831,7 @@ object Kernel {
         var blockUb = 0d
         var jj = 0
         while (jj <= p) { blockUb += subs(order(jj)).blockMaxScore; jj += 1 }
-        if (!heap.full || fin(blockUb, floatMode) > threshold) {
+        if (!heap.canPrune || fin(blockUb, floatMode) > threshold) {
           // score pivotDoc fully: advance all cursors to pivotDoc
           var s = 0d
           var m = 0
@@ -874,13 +884,13 @@ object Kernel {
     * exhaustive evaluation.
     */
   def conjunctionTopK(cursors: Array[TermCursor], k: Int,
-      floatMode: Boolean = false): Array[(Long, Double)] = {
-    val heap = new HitHeap(k)
+      floatMode: Boolean = false, floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+    val heap = new HitHeap(k, floor)
     val sorted = cursors // caller orders by cost (rarest lead)
     val conj = new ConjunctionCursor(sorted.map(x => x: DocCursor))
     var d = conj.nextDoc()
     while (d != NoMoreDocs) {
-      if (heap.full) {
+      if (heap.canPrune) {
         // block-max check before scoring
         var ub = 0d
         var j = 0
@@ -895,11 +905,12 @@ object Kernel {
   /** Single term with impact-based block skipping once the heap is full —
     * `core/search/TermScorer.java:35` + `ImpactsDISI.java:74-97`.
     */
-  def termTopK(cursor: TermCursor, k: Int, floatMode: Boolean = false): Array[(Long, Double)] = {
-    val heap = new HitHeap(k)
+  def termTopK(cursor: TermCursor, k: Int, floatMode: Boolean = false,
+      floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+    val heap = new HitHeap(k, floor)
     var d = cursor.nextDoc()
     while (d != NoMoreDocs) {
-      if (heap.full && fin(cursor.blockMaxScore, floatMode) <= heap.minScore) {
+      if (heap.canPrune && fin(cursor.blockMaxScore, floatMode) <= heap.minScore) {
         // whole block non-competitive -> skip it
         d = cursor.advance(cursor.blockLastDoc + 1)
       } else {

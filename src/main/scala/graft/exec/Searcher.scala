@@ -284,14 +284,18 @@ object Searcher {
     Some(Plan(query, scorers, terms))
   }
 
-  /** Per-segment posting rows for the plan's terms, grouped by segment. */
-  private def segmentTerms(index: Index, terms: Set[String]) = {
+  /** Per-segment posting rows for the plan's terms, grouped by segment.
+    * `onlySeg` / `skipSeg` (-1 = unset) restrict the scan (priming pass /
+    * already-primed segment).
+    */
+  private def segmentTerms(index: Index, terms: Set[String],
+      onlySeg: Int = -1, skipSeg: Int = -1) = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    index.postings
-      .filter($"term".isin(terms.toSeq: _*))
-      .as[PostingList]
-      .groupByKey(_.seg)
+    var scan = index.postings.filter($"term".isin(terms.toSeq: _*))
+    if (onlySeg >= 0) scan = scan.filter($"seg" === onlySeg)
+    if (skipSeg >= 0) scan = scan.filter($"seg" =!= skipSeg)
+    scan.as[PostingList].groupByKey(_.seg)
   }
 
   /** A term may span multiple rows (mega-term salt split / merge output);
@@ -303,7 +307,8 @@ object Searcher {
       else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
     }
 
-  def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false): DataFrame = {
+  def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false,
+      primeThreshold: Boolean = false): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     val pl = plan(index, query0, doubleMode) match {
@@ -314,13 +319,47 @@ object Searcher {
     val kk = k
     val q = pl.query
     val live = index.liveFilter
+
+    // optional cross-partition min-competitive priming (the
+    // `MaxScoreAccumulator` analogue, `core/search/MaxScoreAccumulator.java`):
+    // run the kernel on the densest segment first; its kth score is a
+    // valid lower bound of the GLOBAL kth score, so every other segment
+    // starts pruning from it instead of from an empty heap. Worth its two
+    // extra small jobs only on large corpora; rank-identical either way
+    // (the floor is nextDown'd so kth-score ties still collect).
+    var floor = Double.NegativeInfinity
+    var primedRows: Seq[ScoredDocD] = Nil
+    var primedSeg = -1
+    if (primeThreshold) {
+      val bySeg = index.postings
+        .filter($"term".isin(pl.terms.toSeq: _*))
+        .groupBy($"seg").agg(sum($"df").as("c"))
+        .orderBy(desc("c")).limit(1)
+        .select($"seg").as[Int].collect()
+      if (bySeg.nonEmpty) {
+        primedSeg = bySeg.head
+        val ps = primedSeg
+        primedRows = segmentTerms(index, pl.terms, onlySeg = ps)
+          .flatMapGroups { (seg, rows) =>
+            SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
+                floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
+              .iterator.map { case (d, s) => ScoredDocD(d, s) }
+          }.collect().toSeq
+        if (primedRows.length >= k) floor = Math.nextDown(primedRows.map(_.score).min)
+      }
+    }
+    val fl = floor
+    val skipSeg = primedSeg
+
     // 3. per-segment kernels over the pruned postings scan
-    val localTopK = segmentTerms(index, pl.terms)
+    val localTopK = segmentTerms(index, pl.terms, skipSeg = skipSeg)
       .flatMapGroups { (seg, rows) =>
         SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
+            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
+            floor = fl)
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
+      .union(spark.createDataset(primedRows))
 
     // 4. global reduce (partial top-k per partition via sort+limit)
     val merged = localTopK.toDF()
@@ -439,7 +478,8 @@ object SegmentKernel {
       k: Int,
       floatMode: Boolean = false,
       deletedOrds: Array[Long] = null,
-      seg: Int = -1
+      seg: Int = -1,
+      floor: Double = Double.NegativeInfinity
   ): Array[(Long, Double)] = {
     val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
     val hasDeletes = deletedOrds != null && deletedOrds.nonEmpty
@@ -452,7 +492,7 @@ object SegmentKernel {
     q match {
       case TermQ(t) if !hasDeletes =>
         termCursor(t, needPos = false) match {
-          case Some(c) => termTopK(c, k, floatMode)
+          case Some(c) => termTopK(c, k, floatMode, floor)
           case None => Array.empty
         }
       case BoolQ(must, Nil, Nil, _, Nil) if !hasDeletes && must.nonEmpty &&
@@ -464,7 +504,7 @@ object SegmentKernel {
           // `ConjunctionDISI` cost ordering
           val sorted = ts.sortBy(t => byTerm(t).df)
             .map(t => new TermCursor(byTerm(t), scorers.term(t))).toArray
-          conjunctionTopK(sorted, k, floatMode)
+          conjunctionTopK(sorted, k, floatMode, floor)
         }
       case BoolQ(Nil, should, Nil, msm, Nil) if !hasDeletes && msm <= 1 && should.nonEmpty &&
           should.forall(_.isInstanceOf[TermQ]) =>
@@ -473,15 +513,15 @@ object SegmentKernel {
         // dense many-clause disjunctions (multi-term expansions): term-at-a-
         // time accumulation beats document-at-a-time WAND
         // (`BooleanScorerSupplier.java:176-223` makes the same choice)
-        else if (cs.size > 16) taatTopK(cs.toArray, k, 1, floatMode)
-        else wandTopK(cs.toArray, k, floatMode)
+        else if (cs.size > 16) taatTopK(cs.toArray, k, 1, floatMode, floor)
+        else wandTopK(cs.toArray, k, floatMode, floor)
       case BoolQ(Nil, should, Nil, msm, Nil) if !hasDeletes && should.nonEmpty &&
           should.size > 16 && should.forall(_.isInstanceOf[TermQ]) =>
         val cs = should.collect { case TermQ(t) => termCursor(t, needPos = false) }.flatten
-        if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm, floatMode)
+        if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm, floatMode, floor)
       case other =>
         buildCursor(other, byTerm, scorers) match {
-          case Some(c) => collectAll(withLiveDocs(c, deletedOrds), k, floatMode)
+          case Some(c) => collectAll(withLiveDocs(c, deletedOrds), k, floatMode, floor)
           case None => Array.empty
         }
     }

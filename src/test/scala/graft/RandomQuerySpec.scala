@@ -74,6 +74,12 @@ class RandomQuerySpec extends SparkTest {
         val expected = NaiveOracle.search(oracleDocs, q, 10)
         val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
         assert(got == expected, s"random #$i query [$q]:\n got=$got\n exp=$expected")
+        if (i % 7 == 0) {
+          // cross-partition min-competitive priming must be rank-identical
+          val primed = Searcher.topKQ(index, q, 10, primeThreshold = true)
+            .as[(Long, Float)].collect().toSeq
+          assert(primed == expected, s"primed #$i [$q]:\n got=$primed\n exp=$expected")
+        }
         if (i % 5 == 0) {
           // the unscored count/docs kernel paths must agree with the
           // scored path's match set (TotalHitCountCollector analogue)
