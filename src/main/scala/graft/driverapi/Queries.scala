@@ -1323,6 +1323,23 @@ object Queries {
         .orderBy($"doc_id")
     }, None)),
 
+    // frame sampling (flatMap generator over the opaque video payload):
+    // 1 + doc_id % 4 frames per video, frame key = md5(hex(payload)-idx) —
+    // deterministic, so the oracle reproduces it with generate_series
+    "multimodal_frames" -> (((spark, dir) => {
+      import spark.implicits._
+      graft.pipeline.Multimodal.sampleFrames(
+          graft.pipeline.Multimodal.fromDocuments(spark, dir))
+        .toDF()
+        .select($"doc_id", $"frame_idx".cast("long").as("frame_idx"), $"frame_key")
+        .orderBy($"doc_id", $"frame_idx")
+    }, Some(
+      """SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |       md5(lower(hex(unhex(md5(text)))) || '-' || j) AS frame_key
+        |FROM documents, generate_series(0, 3) g(j)
+        |WHERE doc_id % 3 = 2 AND j < 1 + doc_id % 4
+        |ORDER BY doc_id, frame_idx""".stripMargin))),
+
     "multimodal_stub" -> (((spark, dir) => {
       import spark.implicits._
       // binary-column plumbing: opaque bytes + typed metadata, decode stubbed

@@ -64,4 +64,51 @@ object Multimodal {
         unhex(md5($"text")).as("payload"))
       .as[MediaRow]
   }
+
+  final case class ResizedFeatures(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      rWidth: Int,
+      rHeight: Int,
+      rByteLen: Long
+  )
+
+  /** Resize stage (stub codec, real plumbing): aspect-preserving fit into
+    * (maxW, maxH); the "resized payload size" scales with the area ratio.
+    * Batched like decode — a real implementation re-encodes pixels here.
+    */
+  def resizeTo(features: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[ResizedFeatures] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { batch =>
+      batch.map { f =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+        val rw = math.max(1, math.floor(f.width * scale).toInt)
+        val rh = math.max(1, math.floor(f.height * scale).toInt)
+        val rLen = math.max(1L, (f.byteLen.toLong * rw * rh) / (f.width.toLong * f.height))
+        ResizedFeatures(f.doc_id, f.width, f.height, rw, rh, rLen)
+      }
+    }
+  }
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_key: String)
+
+  /** Frame sampling for video rows: 1 + doc_id % 4 frames per video, each
+    * identified by a deterministic md5 over (hex(payload), frame index) —
+    * a real codec would seek+decode the frame here. flatMap = one output
+    * row per frame (the generator/UDTF shape).
+    */
+  def sampleFrames(media: Dataset[MediaRow]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.mediaType == "video").flatMap { r =>
+      val hexPayload = r.payload.map("%02x".format(_)).mkString
+      val n = 1 + (r.doc_id % 4).toInt
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { j =>
+        md.reset()
+        val d = md.digest(s"$hexPayload-$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Frame(r.doc_id, j, d.map("%02x".format(_)).mkString)
+      }
+    }
+  }
 }

@@ -19,4 +19,33 @@ class MultimodalSpec extends SparkTest {
     val again = Multimodal.decodeFeatures(media).collect()
     assert(feats.map(_.width).toSeq == again.map(_.width).toSeq)
   }
+
+  test("resize stage: aspect-preserving fit, never upscales, byte size scales with area") {
+    val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val resized = Multimodal.resizeTo(Multimodal.decodeFeatures(media), 32, 32).collect()
+    assert(resized.length == 500)
+    resized.foreach { r =>
+      assert(r.rWidth <= 32 && r.rHeight <= 32 && r.rWidth >= 1 && r.rHeight >= 1)
+      assert(r.rWidth <= r.width && r.rHeight <= r.height) // fit, no upscale
+      // aspect preserved within integer-floor tolerance
+      val s = math.min(1.0, math.min(32.0 / r.width, 32.0 / r.height))
+      assert(r.rWidth == math.max(1, math.floor(r.width * s).toInt))
+      assert(r.rByteLen >= 1)
+    }
+  }
+
+  test("frame sampling: 1 + doc_id % 4 frames per VIDEO row, deterministic keys") {
+    val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+    val frames = Multimodal.sampleFrames(media).collect()
+    val videos = media.filter(_.mediaType == "video").collect()
+    assert(frames.map(_.doc_id).toSet == videos.map(_.doc_id).toSet)
+    val byDoc = frames.groupBy(_.doc_id)
+    byDoc.foreach { case (id, fs) =>
+      assert(fs.length == 1 + (id % 4).toInt, s"doc $id")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length).toSeq)
+      assert(fs.map(_.frame_key).distinct.length == fs.length)
+    }
+    assert(Multimodal.sampleFrames(media).collect().map(_.frame_key).sorted.toSeq ==
+      frames.map(_.frame_key).sorted.toSeq)
+  }
 }
