@@ -1112,6 +1112,49 @@ object Queries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin))),
 
+    // embedding-cosine near-dup: candidate pairs come from shared IVF
+    // cells (bucket join — never an all-pairs self-join; cell count
+    // scales with data so cells stay bounded), verified by exact cosine
+    "dedup_embedding_cosine" -> (((spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val seeds = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"v".as("cv"))
+      def cosE(a: String, bC: String) =
+        expr(s"aggregate(zip_with($a, $bC, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+          (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+            sqrt(expr(s"aggregate(transform($bC, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
+      val assign = emb.crossJoin(broadcast(seeds))
+        .withColumn("cos", cosE("v", "cv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"cid")
+      val withVec = assign.join(emb, "vec_id")
+      withVec.as("x").join(withVec.as("y"),
+          $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
+        .withColumn("c",
+          expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
+              sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))))
+        .filter($"c" >= 0.45)
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), r4($"c").as("cos"))
+        .orderBy($"a", $"b")
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
+        |     s.cid) AS rn
+        |   FROM e, seeds s) WHERE rn = 1),
+        |w AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |   list_dot_product(x.v, y.v)/(sqrt(list_dot_product(x.v, x.v))*sqrt(list_dot_product(y.v, y.v))) AS c
+        |   FROM w x JOIN w y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |SELECT a, b, floor((c) * 10000 + 0.5)/10000 AS cos
+        |FROM pairs WHERE c >= 0.45 ORDER BY a, b""".stripMargin))),
+
     "ann_cosine_topk" -> (((spark, dir) => {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
