@@ -653,6 +653,28 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin))),
 
+    // 3-way star join over the remaining dims: revenue by part brand and
+    // supplier nation (broadcast part+supplier, shuffle only lineitem)
+    "star_join_brand" -> (((spark, dir) => {
+      import spark.implicits._
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val part = spark.read.parquet(s"$dir/part.parquet")
+      val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"p_brand", $"s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("p_brand"), asc("s_nationkey"))
+        .limit(10)
+    }, Some(
+      """SELECT p_brand, s_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  floor((sum(l_extendedprice * (1.0 - l_discount))) * 100 + 0.5)/100 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY revenue DESC, p_brand, s_nationkey LIMIT 10""".stripMargin))),
+
     "semi_join" -> (((spark, dir) => {
       import spark.implicits._
       val cust = spark.read.parquet(s"$dir/customer.parquet")
