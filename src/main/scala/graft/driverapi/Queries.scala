@@ -1361,6 +1361,24 @@ object Queries {
         |       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS BIGINT) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // training-tokenizer-shaped counts: whitespace tokens + a BPE-ish
+    // GPT-2-style regex (contractions, letter runs, digit runs,
+    // punctuation runs with the leading-space idiom)
+    "token_count_bpe" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws"),
+          size(expr(
+            "regexp_extract_all(text, '\\'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\\\sa-zA-Z0-9]+|\\\\s+', 0)"))
+            .cast("long").as("n_bpe"))
+        .orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin))),
+
     "doc_fingerprint" -> (((spark, dir) => {
       import spark.implicits._
       // winnowing-style fingerprint: min md5 over 5-token shingles
