@@ -1379,6 +1379,64 @@ object Queries {
         |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin))),
 
+    // true ROLLING hash fingerprint (Rabin-Karp over 5-token windows):
+    // the engine computes the O(1)-per-step rolling recurrence inside
+    // mapPartitions; the oracle evaluates the direct polynomial — their
+    // equality IS the differential check. All arithmetic mod 1e9+7 in
+    // BIGINT, exact on both engines.
+    "doc_fingerprint_rolling" -> (((spark, dir) => {
+      import spark.implicits._
+      val P = 1000000007L
+      val B = 31L
+      val B4 = (B * B * B * B) % P // drop-out factor for the leading token
+      Corpus.docTokens(spark, dir).select($"doc_id", $"ts").as[(Long, Seq[String])]
+        .mapPartitions { rows =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def tokHash(t: String): Long = {
+            md.reset()
+            val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 60 bits of the md5, like conv(substr(md5,1,15),16,10)
+            var v = 0L
+            var i = 0
+            while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            ((v >>> 4) % P + P) % P
+          }
+          rows.flatMap { case (docId, ts) =>
+            if (ts.length < 5) None
+            else {
+              val th = ts.map(tokHash).toArray
+              // initial window
+              var h = 0L
+              var j = 0
+              while (j < 5) { h = (h * B + th(j)) % P; j += 1 }
+              var min = h
+              // roll: drop th(i-5), add th(i)
+              var i = 5
+              while (i < th.length) {
+                h = (((h - th(i - 5) * B4 % P + P) % P) * B + th(i)) % P
+                if (h < min) min = h
+                i += 1
+              }
+              Some((docId, min))
+            }
+          }
+        }
+        .toDF("doc_id", "fp_roll")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte,
+         |th AS (SELECT doc_id, p,
+         |         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 1000000007 AS h
+         |       FROM pos),
+         |win AS (SELECT a.doc_id,
+         |          (a.h*923521 + b.h*29791 + c.h*961 + d.h*31 + e.h) % 1000000007 AS wh
+         |        FROM th a
+         |        JOIN th b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+         |        JOIN th c ON c.doc_id = a.doc_id AND c.p = a.p + 2
+         |        JOIN th d ON d.doc_id = a.doc_id AND d.p = a.p + 3
+         |        JOIN th e ON e.doc_id = a.doc_id AND e.p = a.p + 4)
+         |SELECT doc_id, min(wh) AS fp_roll FROM win GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
+
     "doc_fingerprint" -> (((spark, dir) => {
       import spark.implicits._
       // winnowing-style fingerprint: min md5 over 5-token shingles
