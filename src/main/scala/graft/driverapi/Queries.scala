@@ -1135,13 +1135,15 @@ object Queries {
          |ORDER BY a, b""".stripMargin))),
 
     // embedding-cosine near-dup: candidate pairs come from shared IVF
-    // cells (bucket join — never an all-pairs self-join; cell count
-    // scales with data so cells stay bounded), verified by exact cosine
+    // cells (bucket join — never an all-pairs self-join). The cell count
+    // SCALES with the table (greatest(8, n/64), identical on both
+    // engines) so cells stay ~64 vectors regardless of data size.
     "dedup_embedding_cosine" -> (((spark, dir) => {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val seeds = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"v".as("cv"))
+      val nCells = math.max(8L, emb.count() / 64L)
+      val seeds = emb.filter($"vec_id" < nCells).select($"vec_id".as("cid"), $"v".as("cv"))
       def cosE(a: String, bC: String) =
         expr(s"aggregate(zip_with($a, $bC, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
           (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
@@ -1164,7 +1166,8 @@ object Queries {
         .orderBy($"a", $"b")
     }, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id < (SELECT greatest(8, count(*)//64) FROM e)),
         |a1 AS (SELECT vec_id, cid FROM (
         |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
@@ -1247,7 +1250,9 @@ object Queries {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val seeds = emb.filter($"vec_id" < 8).select($"vec_id".as("cid"), $"v".as("cv"))
+      // cell count scales with the table so cells stay ~64 vectors
+      val nCells = math.max(8L, emb.count() / 64L)
+      val seeds = emb.filter($"vec_id" < nCells).select($"vec_id".as("cid"), $"v".as("cv"))
       def cosExpr(a: String, b: String) =
         expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
           (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
@@ -1286,7 +1291,8 @@ object Queries {
         .orderBy($"rank")
     }, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id < (SELECT greatest(8, count(*)//64) FROM e)),
         |a1 AS (SELECT vec_id, cid FROM (
         |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
         |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
