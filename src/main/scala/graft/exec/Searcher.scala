@@ -352,14 +352,16 @@ object Searcher {
     val skipSeg = primedSeg
 
     // 3. per-segment kernels over the pruned postings scan
-    val localTopK = segmentTerms(index, pl.terms, skipSeg = skipSeg)
+    val fanout = segmentTerms(index, pl.terms, skipSeg = skipSeg)
       .flatMapGroups { (seg, rows) =>
         SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
             floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
             floor = fl)
           .iterator.map { case (d, s) => ScoredDocD(d, s) }
       }
-      .union(spark.createDataset(primedRows))
+    val localTopK =
+      if (primedRows.isEmpty) fanout
+      else fanout.union(spark.createDataset(primedRows))
 
     // 4. global reduce (partial top-k per partition via sort+limit)
     val merged = localTopK.toDF()
