@@ -64,6 +64,27 @@ object CodeAnalyzer {
   /** Terms only, no positions (cheaper for inversion without phrases). */
   def terms(text: String): Array[String] = tokenize(text).map(_.term)
 
+  /** Allocation-free streaming variant of [[tokenize]] (no Token objects,
+    * no ArrayBuffer) for the inversion hot loop; emits the SAME
+    * (term, position) stream. Returns the token count (= field length).
+    */
+  def foreachToken(text: String)(f: (String, Int) => Unit): Int = {
+    if (text == null || text.isEmpty) return 0
+    var i = 0
+    var pos = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && !isWordChar(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && isWordChar(text.charAt(i))) i += 1
+      if (i > start && i - start <= MaxTokenLength) {
+        f(text.substring(start, i).toLowerCase(java.util.Locale.ROOT), pos)
+        pos += 1
+      }
+    }
+    pos
+  }
+
   /** Sub-token ("word delimiter") analyzer for source code: word runs are
     * split at camelCase transitions, acronym boundaries, letter<->digit
     * transitions, and underscores; each part is emitted lowercased at its

@@ -115,8 +115,6 @@ object IndexBuilder {
 
   private val HexChars = "0123456789abcdef".toCharArray
 
-  private val SingleZeroPos = Array(0)
-
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -132,36 +130,51 @@ object IndexBuilder {
 
   /** Growable primitive postings buffer — avoids boxing in the inversion
     * hot loop (the byte-slice pools of `core/index/TermsHashPerField.java:35`
-    * play the same role in the reference).
+    * play the same role in the reference). Positions live in ONE flat int
+    * buffer with per-posting offsets (no per-posting array allocation);
+    * the norm byte is patched in at end-of-doc once the field length is
+    * known.
     */
   private final class Postings {
     var docIds = new Array[Long](4)
     var freqs = new Array[Int](4)
     var norms = new Array[Byte](4)
-    var positions = new Array[Array[Int]](4)
+    var posOff = new Array[Int](4)
     var n = 0
-    var ttf = 0L
-    def add(docId: Long, freq: Int, norm: Byte, pos: Array[Int]): Unit = {
+    var posFlat = new Array[Int](8)
+    var posN = 0
+
+    @inline def lastDocId: Long = docIds(n - 1)
+
+    @inline private def addPos(p: Int): Unit = {
+      if (posN == posFlat.length) posFlat = java.util.Arrays.copyOf(posFlat, posN * 2)
+      posFlat(posN) = p
+      posN += 1
+    }
+
+    /** New posting for `docId` with its first position. */
+    def start(docId: Long, pos: Int): Unit = {
       if (n == docIds.length) {
         val cap = n * 2
         docIds = java.util.Arrays.copyOf(docIds, cap)
         freqs = java.util.Arrays.copyOf(freqs, cap)
         norms = java.util.Arrays.copyOf(norms, cap)
-        positions = java.util.Arrays.copyOf(positions, cap)
+        posOff = java.util.Arrays.copyOf(posOff, cap)
       }
-      docIds(n) = docId; freqs(n) = freq; norms(n) = norm; positions(n) = pos
+      docIds(n) = docId; freqs(n) = 1; norms(n) = 0; posOff(n) = posN
       n += 1
-      ttf += freq
+      addPos(pos)
     }
-    def trimmed: (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = (
-      java.util.Arrays.copyOf(docIds, n), java.util.Arrays.copyOf(freqs, n),
-      java.util.Arrays.copyOf(norms, n), java.util.Arrays.copyOf(positions, n))
+
+    /** Another occurrence in the same (last) doc. */
+    def bump(pos: Int): Unit = {
+      freqs(n - 1) += 1
+      addPos(pos)
+    }
+
+    def setLastNorm(b: Byte): Unit = norms(n - 1) = b
   }
 
-  /** Invert one segment; emits the meta row then sorted posting rows.
-    * One tokenize pass per doc; per-doc term grouping via a stable sort of
-    * the token array (positions stay ascending within each run).
-    */
   /** Analyzer modes: "std" (word+lower), "sub" (word-delimiter
     * sub-tokens), "stop" (std + position-preserving StopFilter with
     * [[CodeAnalyzer.DefaultStops]]), "all" (combined content+path field —
@@ -195,10 +208,24 @@ object IndexBuilder {
     val sorted = if (preSorted) docs.toArray else docs.toArray.sortBy(_.sortKey)
     val inv = new java.util.HashMap[String, Postings]()
     val metas = new mutable.ArrayBuffer[BuildRow](sorted.length)
+    // term buffers that gained a NEW posting this doc — their norm byte is
+    // patched once the field length is known at end-of-doc
+    val touched = new mutable.ArrayBuffer[Postings](128)
     var ord = 0L
     sorted.foreach { d =>
       val docId = (seg.toLong << SegShift) | ord
       ord += 1
+      touched.clear()
+      // streaming inversion: tokens arrive in position order, so a term's
+      // occurrences in one doc are consecutive appends to its buffer —
+      // no per-doc sort, no per-run position arrays (the reference's
+      // TermsHashPerField does the same hash-then-append)
+      val handle: (String, Int) => Unit = (term, pos) => {
+        var buf = inv.get(term)
+        if (buf == null) { buf = new Postings; inv.put(term, buf) }
+        if (buf.n > 0 && buf.lastDocId == docId) buf.bump(pos)
+        else { buf.start(docId, pos); touched += buf }
+      }
       // "all" mode = the CombinedFieldQuery/BM25F materialisation
       // (`core/search/CombinedFieldQuery.java:79`, weights 1.0): one
       // combined content+path field — freq is the per-term sum across
@@ -207,44 +234,34 @@ object IndexBuilder {
       // df is the union df (the reference approximates with max df,
       // `CombinedFieldQuery.java:284` — union is exact; documented
       // divergence). Searching the path field costs no second query.
-      val (tokens, norm) =
-        if (analyzerMode == "all") {
-          val ct = CodeAnalyzer.tokenize(d.content)
-          val pt = CodeAnalyzer.tokenize(d.path)
-          (ct ++ pt.map(t => t.copy(pos = t.pos + ct.length)),
-            combinedNorm(Seq(ct.length, pt.length)))
-        } else {
-          val ts = analyze(analyzerMode, d.content)
-          (ts, SmallFloat.intToByte4(ts.length))
-        }
-      // group tokens by term: stable sort keeps positions ascending per run
-      java.util.Arrays.sort(tokens, (a: graft.analysis.Token, b: graft.analysis.Token) =>
-        a.term.compareTo(b.term))
-      var i = 0
-      while (i < tokens.length) {
-        val term = tokens(i).term
-        var j = i
-        while (j < tokens.length && tokens(j).term == term) j += 1
-        val ps = new Array[Int](j - i)
-        var k = i
-        while (k < j) { ps(k - i) = tokens(k).pos; k += 1 }
-        var buf = inv.get(term)
-        if (buf == null) { buf = new Postings; inv.put(term, buf) }
-        buf.add(docId, j - i, norm, ps)
-        i = j
+      val (tokenCount, norm) = analyzerMode match {
+        case "std" =>
+          val c = CodeAnalyzer.foreachToken(d.content)(handle)
+          (c, SmallFloat.intToByte4(c))
+        case "all" =>
+          val c = CodeAnalyzer.foreachToken(d.content)(handle)
+          val p = CodeAnalyzer.foreachToken(d.path)((t, pos) => handle(t, pos + c))
+          (c + p, combinedNorm(Seq(c, p)))
+        case m =>
+          val ts = analyze(m, d.content)
+          ts.foreach(t => handle(t.term, t.pos))
+          (ts.length, SmallFloat.intToByte4(ts.length))
       }
+      var ti = 0
+      while (ti < touched.length) { touched(ti).setLastNorm(norm); ti += 1 }
       // keyword field: one freq-1 posting per doc under the reserved
       // '#lang:' pseudo-term (content stats/norms unaffected)
       if (d.lang != null && d.lang.nonEmpty) {
         val kt = langTerm(d.lang)
         var buf = inv.get(kt)
         if (buf == null) { buf = new Postings; inv.put(kt, buf) }
-        buf.add(docId, 1, norm, SingleZeroPos)
+        buf.start(docId, 0)
+        buf.setLastNorm(norm)
       }
       metas += BuildRow(
         kind = "m", seg = seg, docId = docId, repo = d.repo, path = d.path,
         commit = d.commit, lang = d.lang, sha256 = sha256Hex(d.content),
-        tokenCount = tokens.length, norm = norm,
+        tokenCount = tokenCount, norm = norm,
         term = null, df = 0, ttf = 0L, counts = null, baseDocIds = null,
         maxDocIds = null, maxFreqs = null, minNorms = null, offsets = null,
         payload = null
@@ -254,8 +271,8 @@ object IndexBuilder {
     java.util.Arrays.sort(terms.asInstanceOf[Array[Object]])
     val posts = terms.iterator.map { term =>
       val buf = inv.get(term)
-      val (ids, freqs, norms, poss) = buf.trimmed
-      val pl = PostingCodec.encode(seg, term, ids, freqs, norms, poss)
+      val pl = PostingCodec.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
+        buf.n, buf.posFlat, buf.posOff, buf.posN)
       BuildRow(
         kind = "p", seg = seg, docId = -1L, repo = null, path = null, commit = null,
         lang = null, sha256 = null, tokenCount = 0, norm = 0,

@@ -210,6 +210,118 @@ object PostingCodec {
       offsets, buf.toArray)
   }
 
+  /** [[encode]] over FLAT position storage (one shared int buffer with
+    * per-posting offsets) — the inversion hot path writes positions this
+    * way to avoid one array allocation per posting. Produces byte-for-byte
+    * the same PostingList as [[encode]] with nested positions.
+    * `posOff(i)` is posting i's start in `posFlat`; posting n-1 ends at
+    * `posEnd`.
+    */
+  def encodeFlat(
+      seg: Int,
+      term: String,
+      docIds: Array[Long],
+      freqs: Array[Int],
+      norms: Array[Byte],
+      n: Int,
+      posFlat: Array[Int],
+      posOff: Array[Int],
+      posEnd: Int
+  ): PostingList = {
+    val numBlocks = (n + BlockSize - 1) / BlockSize
+    val counts = new Array[Int](numBlocks)
+    val bases = new Array[Long](numBlocks)
+    val maxDocs = new Array[Long](numBlocks)
+    val maxFreqs = new Array[Int](numBlocks)
+    val minNorms = new Array[Byte](numBlocks)
+    val offsets = new Array[Int](numBlocks + 1)
+    val buf = new ArrayBuffer[Byte](n * 3)
+    val deltas = new Array[Long](BlockSize)
+    val fvals = new Array[Long](BlockSize)
+    var pvals = new Array[Long](4 * BlockSize)
+    var ttf = 0L
+    var from = 0
+    var prevBlockLast = -1L
+    var b = 0
+    while (from < n) {
+      val until = math.min(from + BlockSize, n)
+      counts(b) = until - from
+      bases(b) = prevBlockLast
+      maxDocs(b) = docIds(until - 1)
+      val count = until - from
+      var maxFreq = 0
+      var minNormLen = Int.MaxValue
+      var minNorm: Byte = 0
+      var prev = prevBlockLast
+      var i = from
+      while (i < until) {
+        deltas(i - from) = docIds(i) - prev - (if (prev < 0) 0 else 1)
+        prev = docIds(i)
+        i += 1
+      }
+      writeVLong(buf, deltas(0))
+      var wDoc = 0
+      i = 1
+      while (i < count) { val w = bitsNeeded(deltas(i)); if (w > wDoc) wDoc = w; i += 1 }
+      buf += wDoc.toByte
+      packBits(buf, deltas, 1, count - 1, wDoc)
+      i = from
+      while (i < until) {
+        val f = freqs(i)
+        fvals(i - from) = (f - 1).toLong
+        if (f > maxFreq) maxFreq = f
+        ttf += f
+        i += 1
+      }
+      var wFreq = 0
+      i = 0
+      while (i < count) { val w = bitsNeeded(fvals(i)); if (w > wFreq) wFreq = w; i += 1 }
+      buf += wFreq.toByte
+      packBits(buf, fvals, 0, count, wFreq)
+      i = from
+      while (i < until) {
+        val nb = norms(i)
+        buf += nb
+        val len = graft.util.SmallFloat.byte4ToInt(nb)
+        if (len < minNormLen) { minNormLen = len; minNorm = nb }
+        i += 1
+      }
+      // positions for this block: posFlat[posOff(from) .. blockPosEnd)
+      val blockPosStart = posOff(from)
+      val blockPosEnd = if (until < n) posOff(until) else posEnd
+      val total = blockPosEnd - blockPosStart
+      if (pvals.length < total) pvals = new Array[Long](total)
+      var o = 0
+      i = from
+      while (i < until) {
+        val pStart = posOff(i)
+        val pEnd = if (i + 1 < n) posOff(i + 1) else posEnd
+        var prevPos = -1
+        var j = pStart
+        while (j < pEnd) {
+          pvals(o) = (posFlat(j) - prevPos - 1).toLong
+          prevPos = posFlat(j)
+          j += 1
+          o += 1
+        }
+        i += 1
+      }
+      var wPos = 0
+      i = 0
+      while (i < total) { val w = bitsNeeded(pvals(i)); if (w > wPos) wPos = w; i += 1 }
+      buf += wPos.toByte
+      packBits(buf, pvals, 0, total, wPos)
+      maxFreqs(b) = maxFreq
+      minNorms(b) = minNorm
+      offsets(b + 1) = buf.length
+      prevBlockLast = docIds(until - 1)
+      from = until
+      b += 1
+    }
+    PostingList(seg, term, n, ttf, counts, bases, maxDocs, maxFreqs, minNorms,
+      offsets, buf.toArray)
+  }
+
   /** Decoded postings of one block. `positions` null unless requested. */
   final case class Decoded(
       docIds: Array[Long],
