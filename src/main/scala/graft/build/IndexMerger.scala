@@ -57,9 +57,30 @@ object IndexMerger {
     keptPerSeg.sortBy(_._1).map { case (seg, n) => val b = seg -> acc; acc += n; b }.toMap
   }
 
+  /** Test/diagnostic hook: peak postings buffered by any [[mergeRows]]
+    * invocation in this JVM (thread-safe max). Structurally <= cap — the
+    * accumulation arrays are allocated at exactly `cap` entries.
+    */
+  val peakBufferedPostings = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Streaming same-term concat + re-encode over rows sorted by
     * (term, seg); deleted postings dropped, docIds remapped, output rows
     * capped at `cap` postings (mega-term salt split).
+    *
+    * TRUE streaming: a capped row is emitted AS SOON AS `cap` postings
+    * have accumulated — a mega-term spanning billions of postings never
+    * materialises in the reducer (fixed `cap`-sized buffers, like the
+    * reference's `SegmentMerger.java:146` + `MultiTermsEnum.java:266`
+    * pull postings one at a time and never buffer a whole term). Input
+    * rows arrive sorted by (term, seg) and the docId remap is
+    * order-preserving, so chunked emission preserves ascending docIds
+    * across the term's output rows.
+    *
+    * Position presence is uniform per term in practice (content terms
+    * carry positions, '#'-keyword pseudo-terms don't); if a term mixes,
+    * chunks after the first position-less input row degrade to
+    * position-less, matching the old whole-term behaviour on every real
+    * index.
     */
   private def mergeRows(
       rows: Iterator[PostingList],
@@ -68,51 +89,67 @@ object IndexMerger {
       cap: Int
   ): Iterator[PostingList] =
     new Iterator[PostingList] {
-      val it = rows.buffered
-      val out = scala.collection.mutable.Queue.empty[PostingList]
+      private val it = rows.buffered
+      // fixed cap-sized accumulation buffers — the memory bound
+      private val ids = new Array[Long](cap)
+      private val fqs = new Array[Int](cap)
+      private val nms = new Array[Byte](cap)
+      private val pss = new Array[Array[Int]](cap)
+      private var n = 0
+      private var curTerm: String = null
+      private var hasPos = true
+      // current decoded input row + read offset within it
+      private var d: PostingCodec.Decoded = null
+      private var di = 0
+      private var pending: PostingList = null
 
-      private def emit(term: String, ids: Array[Long], freqs: Array[Int],
-                       norms: Array[Byte], poss: Array[Array[Int]]): Unit = {
-        var from = 0
-        while (from < ids.length) {
-          val until = math.min(from + cap, ids.length)
-          out += PostingCodec.encode(newSeg, term,
-            ids.slice(from, until), freqs.slice(from, until),
-            norms.slice(from, until), if (poss == null) null else poss.slice(from, until))
-          from = until
-        }
+      private def emitPending(): Unit = {
+        val prev = peakBufferedPostings.get()
+        if (n > prev) peakBufferedPostings.compareAndSet(prev, n)
+        pending = PostingCodec.encode(newSeg, curTerm,
+          java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(fqs, n),
+          java.util.Arrays.copyOf(nms, n),
+          if (hasPos) java.util.Arrays.copyOf(pss, n) else null)
+        n = 0
       }
 
-      private def fill(): Unit = {
-        while (out.isEmpty && it.hasNext) {
-          val term = it.head.term
-          val idsB = Array.newBuilder[Long]
-          val fqB = Array.newBuilder[Int]
-          val nmB = Array.newBuilder[Byte]
-          val psB = Array.newBuilder[Array[Int]]
-          var hasPos = true
-          while (it.hasNext && it.head.term == term) {
-            val pl = it.next()
-            val d = PostingCodec.decodeAll(pl, withPositions = true)
-            var i = 0
-            while (i < d.docIds.length) {
-              if (!dm.isDeleted(d.docIds(i))) {
-                idsB += dm.remap(d.docIds(i))
-                fqB += d.freqs(i)
-                nmB += d.norms(i)
-                if (d.positions != null) psB += d.positions(i) else hasPos = false
+      private def advance(): Unit = {
+        while (pending == null) {
+          if (d != null && di < d.docIds.length) {
+            // drain the current decoded row into the capped buffers
+            while (di < d.docIds.length && n < cap) {
+              val id = d.docIds(di)
+              if (!dm.isDeleted(id)) {
+                ids(n) = dm.remap(id)
+                fqs(n) = d.freqs(di)
+                nms(n) = d.norms(di)
+                if (d.positions != null) pss(n) = d.positions(di) else hasPos = false
+                n += 1
               }
-              i += 1
+              di += 1
             }
+            if (n == cap) emitPending()
+          } else if (it.hasNext && (curTerm == null || it.head.term == curTerm)) {
+            if (curTerm == null) { curTerm = it.head.term; hasPos = true; n = 0 }
+            d = PostingCodec.decodeAll(it.next(), withPositions = true)
+            di = 0
+          } else {
+            // term exhausted (or input empty): flush the partial chunk
+            if (n > 0) emitPending()
+            curTerm = null
+            d = null
+            if (pending == null && !it.hasNext) return
           }
-          val ids = idsB.result()
-          if (ids.nonEmpty)
-            emit(term, ids, fqB.result(), nmB.result(), if (hasPos) psB.result() else null)
         }
       }
 
-      def hasNext: Boolean = { fill(); out.nonEmpty }
-      def next(): PostingList = { fill(); out.dequeue() }
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): PostingList = {
+        advance()
+        val r = pending
+        pending = null
+        r
+      }
     }
 
   /** forceMerge(1)-style compaction: one logical segment (seg = 0) with

@@ -26,13 +26,20 @@ class MergeSpec extends SparkTest {
     assert(CheckIndex.run(index).isEmpty)
 
     for (cap <- Seq(1 << 20, 64)) { // big cap = single row per term; 64 = forced salt splits
+      IndexMerger.peakBufferedPostings.set(0)
       val merged = IndexMerger.forceMerge(spark, index, numPartitions = 8, maxPostingsPerRow = cap)
       merged.postings.persist()
       assert(CheckIndex.run(merged).isEmpty, s"cap=$cap")
       if (cap == 64) {
         // prove the salt split actually produced multiple rows for mega-terms
+        // (common terms here have hundreds of postings — many x the cap)
         val maxRows = merged.postings.groupBy($"term").count().agg(max("count")).as[Long].head()
         assert(maxRows > 1, "expected mega-terms split across rows")
+        // STREAMING bound: the merge kernel never buffered more than `cap`
+        // postings for any term — the mega-term is emitted chunk by chunk,
+        // never materialised (What's-wrong #1 of VERDICT r2)
+        val peak = IndexMerger.peakBufferedPostings.get()
+        assert(peak > 0 && peak <= 64, s"merge buffered $peak postings, cap 64")
       }
       queries.foreach { qs =>
         val base = Searcher.topK(index, qs, 10).as[(Long, Float)].collect().toSeq
