@@ -457,10 +457,15 @@ object Kernel {
     * is 1/(1+matchLength); the doc's sloppy freq is the float sum of match
     * weights (`PhraseScorer`), scored like a phrase pseudo-term.
     *
-    * Limitation (documented divergence): repeated terms in a sloppy phrase
-    * are rejected — the reference's repeat-collision handling
-    * (`SloppyPhraseMatcher` rptGroups) is explicitly heuristic
-    * (`SloppyPhraseMatcher.java:46-52`) and out of scope.
+    * Repeated terms (e.g. `"foo bar foo"~2`): each repeated slot walks its
+    * OWN offset-adjusted copy of the shared position stream through the
+    * same greedy minimisation — deterministic and never throwing.
+    * Documented divergence: the reference resolves repeat collisions with
+    * its rptGroups heuristic (`SloppyPhraseMatcher.java:46-52`, itself
+    * documented as approximate), so two slots of the same term here may
+    * both be satisfied by ONE occurrence when the slop allows it; the
+    * differential oracle (NaiveOracle.sloppyFreq) implements the identical
+    * greedy walk, so engine and oracle agree on every repeated-term shape.
     */
   final class SloppyPhraseCursor(terms: Array[TermCursor], slop: Int, scorer: AnyScorer)
       extends DocCursor {

@@ -119,29 +119,39 @@ object Searcher {
     import index.postings.sparkSession.implicits._
     val t = f.term
     val maxEdits = f.maxEdits
-    val osa = udf((cand: String) => graft.util.EditDistance.osa(cand, t, maxEdits))
-    val cands = index.termStats
+    // edit distance + the reference's FLOAT similarity boost
+    // (`FuzzyTermsEnum.java:251-258`) computed executor-side so the top-N
+    // selection can run distributed
+    val osa = udf { (cand: String) =>
+      val ed = graft.util.EditDistance.osa(cand, t, maxEdits)
+      val boost =
+        if (ed == 0) 1f
+        else 1f - ed.toFloat / math.min(cand.length, t.length).toFloat
+      (ed, boost)
+    }
+    // BOUNDED selection: top maxExpansions by (float boost desc, term asc)
+    // — the reference's ScoreTerm.compareTo order (TopTermsRewrite.java:200)
+    // — via orderBy+limit (TakeOrderedAndProject: per-partition partial
+    // top-N, tiny driver merge). On a 10^9-term dictionary the driver
+    // receives at most maxExpansions rows, never the full candidate set.
+    val lim = math.min(f.maxExpansions, Query.MaxClauseCount)
+    val top0 = index.termStats
       .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
       .filter(length($"term") >= length(lit(t)) - maxEdits &&
         length($"term") <= length(lit(t)) + maxEdits)
-      .withColumn("ed", osa($"term"))
-      .filter($"ed" <= maxEdits)
-      .select($"term", $"df", $"ed")
-      .as[(String, Long, Int)].collect()
-    if (cands.isEmpty) return MatchNone
-    val boosted = cands.map { case (term, df, ed) =>
-      val boost =
-        if (ed == 0) 1f
-        else 1f - ed.toFloat / math.min(term.length, t.length).toFloat
+      .withColumn("eb", osa($"term"))
+      .filter($"eb._1" <= maxEdits)
+      .select($"term", $"df", $"eb._1".as("ed"), $"eb._2".as("boost"))
+      .orderBy(desc("boost"), asc("term"))
+      .limit(lim)
+      .as[(String, Long, Int, Float)].collect()
+    if (top0.isEmpty) return MatchNone
+    val top = top0.map { case (term, df, ed, boost) =>
       val boostD =
         if (ed == 0) 1d
         else 1d - ed.toDouble / math.min(term.length, t.length).toDouble
       (term, df, boost, boostD)
     }
-    // selection order (boost desc, term asc) compares FLOAT boosts — the
-    // reference's ScoreTerm.compareTo is on float (TopTermsRewrite.java:200)
-    val top = boosted.sortBy { case (term, _, boost, _) => (-boost, term) }
-      .take(math.min(f.maxExpansions, Query.MaxClauseCount))
     val dfBlended = top.map(_._2).max
     BoolQ(should = top.toSeq.sortBy(_._1).map { case (term, _, boost, boostD) =>
       BoostTermQ(term, boost, dfBlended, boostD)
@@ -577,11 +587,7 @@ object SegmentKernel {
         new TermCursor(pl, scorers.term(t), needPositions = true)))
       if (cs.exists(_.isEmpty)) None
       else if (slop <= 0) Some(new PhraseCursor(cs.flatten.toArray, scorers.phrase(ts)))
-      else {
-        require(ts.distinct.size == ts.size,
-          s"sloppy phrase with repeated terms is not supported: $ts")
-        Some(new SloppyPhraseCursor(cs.flatten.toArray, slop, scorers.phrase(ts)))
-      }
+      else Some(new SloppyPhraseCursor(cs.flatten.toArray, slop, scorers.phrase(ts)))
     case SynonymQ(ts) =>
       val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t))))
       if (cs.isEmpty) None

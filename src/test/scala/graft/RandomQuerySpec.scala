@@ -34,9 +34,16 @@ class RandomQuerySpec extends SparkTest {
       case 3 => SynonymQ(Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length))))
       case 4 => DisMaxQ(Seq.fill(1 + rnd.nextInt(3))(randomQuery(rnd, depth - 1)),
         Seq(0d, 0.5d)(rnd.nextInt(2)))
-      case 5 => FuzzyQ(vocab(rnd.nextInt(vocab.length)).dropRight(rnd.nextInt(2)), 1 + rnd.nextInt(2))
-      // sloppy phrase over DISTINCT terms (repeated-term sloppy unsupported)
-      case 6 => PhraseQ(distinctTerms(2 + rnd.nextInt(2)), slop = 1 + rnd.nextInt(3))
+      // small maxExpansions half the time: the distributed top-N selection
+      // boundary (float boost desc, term asc) must match the oracle's
+      case 5 => FuzzyQ(vocab(rnd.nextInt(vocab.length)).dropRight(rnd.nextInt(2)),
+        1 + rnd.nextInt(2), maxExpansions = Seq(3, 50)(rnd.nextInt(2)))
+      // sloppy phrase — half the time with a REPEATED term ("foo bar foo"
+      // shapes), exercising the duplicated-stream greedy matcher
+      case 6 =>
+        val base = distinctTerms(2 + rnd.nextInt(2))
+        val ts = if (rnd.nextBoolean()) base :+ base(rnd.nextInt(base.size)) else base
+        PhraseQ(ts, slop = 1 + rnd.nextInt(3))
       case 7 => WildcardQ(Seq("ident_?", "*name1", "c?mel*", "i?ent_2*", "zz*q")(rnd.nextInt(5)))
       case 8 => ConstScoreQ(randomQuery(rnd, depth - 1),
         Seq(1f, 0.5f, 2f)(rnd.nextInt(3)))
