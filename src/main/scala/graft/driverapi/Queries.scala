@@ -1021,6 +1021,138 @@ object Queries {
       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Cosine over DOUBLE arrays as a sequential left fold — the element
+    * order and op order match DuckDB's `list_dot_product`, so scores are
+    * bit-identical across engines.
+    */
+  private def cosExpr(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+      (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+        sqrt(expr(s"aggregate(transform($b, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
+
+  /** Scale-safe trained IVF shared by `ann_ivf_topk` and
+    * `dedup_embedding_cosine` (reference analogue: IVF codebook training +
+    * nprobe search, cf. `ann_ivf_topk` survey row). Shapes, all bounded:
+    *
+    *   - k = max(8, min(4096, floor(sqrt(n)))) fine cells — CAPPED, so the
+    *     centroid table, its broadcast, and the one lineage-cutting
+    *     collect are bounded (<= 4096 rows) regardless of table size.
+    *   - training runs 2 k-means iterations on a DETERMINISTIC sample of
+    *     ~32k vectors (vec_id % smod = 0, smod = max(1, n/(32k))) — cost
+    *     O(32k * k * iters), a constant once k hits the cap. Centroid
+    *     updates use integer-quantised per-dimension sums, so the DuckDB
+    *     oracle reproduces the trained centroids bit-for-bit.
+    *   - full-table assignment is COARSE-TO-FINE: g = ceil(sqrt(k)) coarse
+    *     probes (the g lowest-cid trained centroids), each vector scores
+    *     its top-2 coarse groups, then only the fine centroids mapped to
+    *     those groups — O(n * (g + 2k/g)) = O(n * sqrt(k)) cosine evals,
+    *     never O(n * k), never O(n^2 / 64).
+    *
+    * Returns (emb, assign(vec_id, cid), centLocal(cid, cv)).
+    */
+  private def ivfTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val n = emb.count()
+    val k = math.max(8L, math.min(4096L, math.floor(math.sqrt(n.toDouble)).toLong))
+    val g = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val smod = math.max(1L, n / (32L * k))
+    val samp = emb.filter($"vec_id" % smod === 0)
+    // seeds: the k lowest vec_ids in the sample (TakeOrderedAndProject)
+    var cents: DataFrame = samp.orderBy($"vec_id").limit(k.toInt)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    for (_ <- 1 to 2) {
+      val a = samp.crossJoin(broadcast(cents))
+        .withColumn("cos", cosExpr("v", "cv"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
+        .filter($"rn" === 1).select($"vec_id", $"cid")
+      cents = samp.join(a, "vec_id")
+        .select($"cid", posexplode($"v").as(Seq("j", "x")))
+        .withColumn("qx", floor($"x" * 1000d + 0.5d).cast("long"))
+        .groupBy($"cid", $"j").agg(sum($"qx").as("s"), count(lit(1)).as("cnt"))
+        .withColumn("c", $"s".cast("double") / (lit(1000d) * $"cnt"))
+        .groupBy($"cid")
+        .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)").as("cv"))
+    }
+    // lineage cut: <= 4096 rows collected (bounded by the k cap, NOT by n)
+    val centLocal = spark.createDataset(
+      cents.select($"cid", $"cv").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1))
+      .toDF("cid", "cv")
+    val coarse = centLocal.orderBy($"cid").limit(g.toInt)
+      .select($"cid".as("gid"), $"cv".as("gv"))
+    // fine centroid -> coarse group (k x g rows, tiny)
+    val cmap = centLocal.crossJoin(broadcast(coarse))
+      .withColumn("cos", cosExpr("cv", "gv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy(desc("cos"), asc("gid"))))
+      .filter($"rn" === 1).select($"cid", $"gid")
+    // coarse-to-fine assignment over the FULL table
+    val top2 = emb.crossJoin(broadcast(coarse))
+      .withColumn("cos", cosExpr("v", "gv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("gid"))))
+      .filter($"rn" <= 2).select($"vec_id", $"v", $"gid")
+    val fineByG = cmap.join(centLocal, "cid").select($"gid", $"cid", $"cv")
+    val assign = top2.join(broadcast(fineByG), "gid")
+      .withColumn("cos", cosExpr("v", "cv"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter($"rn" === 1).select($"vec_id", $"cid")
+    (emb, assign, centLocal)
+  }
+
+  /** DuckDB twin of [[ivfTrained]]: CTE list ending in `assign`, also
+    * exposing `e` (vectors) and `cvf` (trained centroids).
+    */
+  private val ivfSql: String = {
+    def cosSql(a: String, b: String) =
+      s"list_dot_product($a, $b)/(sqrt(list_dot_product($a, $a))*sqrt(list_dot_product($b, $b)))"
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT count(*) AS n,
+       |             greatest(8, least(4096, CAST(floor(sqrt(count(*))) AS BIGINT))) AS k
+       |      FROM e),
+       |p2 AS (SELECT n, k, greatest(4, CAST(ceil(sqrt(k)) AS BIGINT)) AS g,
+       |              greatest(1, n // (32*k)) AS smod FROM p),
+       |samp AS (SELECT vec_id, v FROM e WHERE vec_id % (SELECT smod FROM p2) = 0),
+       |seed AS (SELECT cid, cv FROM (
+       |    SELECT vec_id AS cid, v AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM samp)
+       |  WHERE rn <= (SELECT k FROM p2)),
+       |a1 AS (SELECT vec_id, cid FROM (
+       |    SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      ${cosSql("s.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM samp s, seed c) WHERE rn = 1),
+       |d1 AS (SELECT vec_id, j, CAST(floor(v[j]*1000 + 0.5) AS BIGINT) AS qx
+       |       FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS j FROM samp)),
+       |c1 AS (SELECT cid, j, CAST(sum(qx) AS DOUBLE)/(1000.0*count(*)) AS c
+       |       FROM d1 JOIN a1 USING (vec_id) GROUP BY cid, j),
+       |cv1 AS (SELECT cid, list(c ORDER BY j) AS cv FROM c1 GROUP BY cid),
+       |a2 AS (SELECT vec_id, cid FROM (
+       |    SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      ${cosSql("s.v", "c.cv")} DESC, c.cid) AS rn
+       |    FROM samp s, cv1 c) WHERE rn = 1),
+       |c2 AS (SELECT cid, j, CAST(sum(qx) AS DOUBLE)/(1000.0*count(*)) AS c
+       |       FROM d1 JOIN a2 USING (vec_id) GROUP BY cid, j),
+       |cvf AS (SELECT cid, list(c ORDER BY j) AS cv FROM c2 GROUP BY cid),
+       |coarse AS (SELECT gid, gv FROM (
+       |    SELECT cid AS gid, cv AS gv, row_number() OVER (ORDER BY cid) AS rn FROM cvf)
+       |  WHERE rn <= (SELECT g FROM p2)),
+       |cmap AS (SELECT cid, gid FROM (
+       |    SELECT f.cid, co.gid, row_number() OVER (PARTITION BY f.cid ORDER BY
+       |      ${cosSql("f.cv", "co.gv")} DESC, co.gid) AS rn
+       |    FROM cvf f, coarse co) WHERE rn = 1),
+       |top2 AS (SELECT vec_id, v, gid FROM (
+       |    SELECT e.vec_id, e.v, co.gid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${cosSql("e.v", "co.gv")} DESC, co.gid) AS rn
+       |    FROM e, coarse co) WHERE rn <= 2),
+       |fbg AS (SELECT m.gid, m.cid, f.cv FROM cmap m JOIN cvf f USING (cid)),
+       |assign AS (SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, f.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |      ${cosSql("t.v", "f.cv")} DESC, f.cid) AS rn
+       |    FROM top2 t JOIN fbg f USING (gid)) WHERE rn = 1)""".stripMargin
+  }
+
   val pipeline: Map[String, (QFn, Option[String])] = Map(
     "dedup_exact" -> (((spark, dir) => {
       import spark.implicits._
@@ -1134,26 +1266,12 @@ object Queries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin))),
 
-    // embedding-cosine near-dup: candidate pairs come from shared IVF
-    // cells (bucket join — never an all-pairs self-join). The cell count
-    // SCALES with the table (greatest(8, n/64), identical on both
-    // engines) so cells stay ~64 vectors regardless of data size.
+    // embedding-cosine near-dup: candidate pairs come from shared TRAINED
+    // IVF cells (bucket join — never an all-pairs self-join). Cell count,
+    // training, and assignment shapes are all bounded — see [[ivfTrained]].
     "dedup_embedding_cosine" -> (((spark, dir) => {
       import spark.implicits._
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val nCells = math.max(8L, emb.count() / 64L)
-      val seeds = emb.filter($"vec_id" < nCells).select($"vec_id".as("cid"), $"v".as("cv"))
-      def cosE(a: String, bC: String) =
-        expr(s"aggregate(zip_with($a, $bC, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-          (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
-            sqrt(expr(s"aggregate(transform($bC, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      val assign = emb.crossJoin(broadcast(seeds))
-        .withColumn("cos", cosE("v", "cv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cid")
+      val (emb, assign, _) = ivfTrained(spark, dir)
       val withVec = assign.join(emb, "vec_id")
       withVec.as("x").join(withVec.as("y"),
           $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
@@ -1165,15 +1283,8 @@ object Queries {
         .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), r4($"c").as("cos"))
         .orderBy($"a", $"b")
     }, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e
-        |          WHERE vec_id < (SELECT greatest(8, count(*)//64) FROM e)),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
-        |     s.cid) AS rn
-        |   FROM e, seeds s) WHERE rn = 1),
-        |w AS (SELECT a1.vec_id, a1.cid, e.v FROM a1 JOIN e USING (vec_id)),
+      s"""WITH $ivfSql,
+        |w AS (SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)),
         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
         |   list_dot_product(x.v, y.v)/(sqrt(list_dot_product(x.v, x.v))*sqrt(list_dot_product(y.v, y.v))) AS c
         |   FROM w x JOIN w y ON x.cid = y.cid AND x.vec_id < y.vec_id)
@@ -1241,41 +1352,17 @@ object Queries {
         |GROUP BY cid ORDER BY cid""".stripMargin))),
 
     // IVF with TRAINED centroids and the inverted lists actually probed:
-    // one k-means iteration from the 8 seed vectors (centroid update uses
-    // integer-quantised sums — exact on both engines, so the oracle
-    // reproduces the centroids bit-for-bit), then nprobe=2 cells are
-    // searched exactly. Scale shape: broadcast centroids, per-row assign,
-    // the probe restricts the exact scan to ~2/8 of the data.
+    // 2 sampled k-means iterations with integer-quantised centroid updates
+    // (exact on both engines, so the oracle reproduces the centroids
+    // bit-for-bit), coarse-to-fine assignment, then nprobe=2 cells are
+    // searched exactly. All shapes bounded — see [[ivfTrained]].
     "ann_ivf_topk" -> (((spark, dir) => {
       import spark.implicits._
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // cell count scales with the table so cells stay ~64 vectors
-      val nCells = math.max(8L, emb.count() / 64L)
-      val seeds = emb.filter($"vec_id" < nCells).select($"vec_id".as("cid"), $"v".as("cv"))
-      def cosExpr(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-          (sqrt(expr(s"aggregate(transform($a, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
-            sqrt(expr(s"aggregate(transform($b, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))
-      // assignment to seed centroids (argmax cosine, tie -> smaller cid)
-      val assign = emb.crossJoin(broadcast(seeds))
-        .withColumn("cos", cosExpr("v", "cv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"cid")
-      // centroid update: integer-quantised per-dimension sums (exact)
-      val dims = emb.join(assign, "vec_id")
-        .select($"cid", posexplode($"v").as(Seq("j", "x")))
-        .withColumn("qx", floor($"x" * 1000d + 0.5d).cast("long"))
-      val cents = dims.groupBy($"cid", $"j")
-        .agg(sum($"qx").as("s"), count(lit(1)).as("n"))
-        .withColumn("c", $"s".cast("double") / (lit(1000d) * $"n"))
-        .groupBy($"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)").as("cv"))
-      // probe: 2 nearest trained centroids to the query vector
+      val (emb, assign, centLocal) = ivfTrained(spark, dir)
+      // probe: 2 nearest trained centroids to the query vector (<= 4096
+      // candidates — the k cap bounds this scan)
       val q = emb.filter($"vec_id" === 0).select($"v").head().getSeq[Double](0).toArray
-      val probeCids = cents
+      val probeCids = centLocal
         .withColumn("qv", typedLit(q.toSeq))
         .withColumn("cos", cosExpr("cv", "qv"))
         .orderBy(desc("cos"), asc("cid")).limit(2)
@@ -1290,26 +1377,14 @@ object Queries {
         .withColumn("rank", row_number().over(Window.orderBy(desc("cos"), asc("vec_id"))).cast("long"))
         .orderBy($"rank")
     }, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |seeds AS (SELECT vec_id AS cid, v AS cv FROM e
-        |          WHERE vec_id < (SELECT greatest(8, count(*)//64) FROM e)),
-        |a1 AS (SELECT vec_id, cid FROM (
-        |   SELECT e.vec_id, s.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_dot_product(e.v, s.cv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(s.cv, s.cv))) DESC,
-        |     s.cid) AS rn
-        |   FROM e, seeds s) WHERE rn = 1),
-        |dims AS (SELECT vec_id, j, CAST(floor(v[j]*1000 + 0.5) AS BIGINT) AS qx
-        |         FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS j FROM e)),
-        |cent AS (SELECT cid, j, CAST(sum(qx) AS DOUBLE)/(1000.0*count(*)) AS c
-        |         FROM dims JOIN a1 USING (vec_id) GROUP BY cid, j),
-        |cv AS (SELECT cid, list(c ORDER BY j) AS cv2 FROM cent GROUP BY cid),
+      s"""WITH $ivfSql,
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |probe AS (SELECT cid FROM cv, q ORDER BY
-        |   list_dot_product(cv2, qv)/(sqrt(list_dot_product(cv2, cv2))*sqrt(list_dot_product(qv, qv))) DESC,
+        |probe AS (SELECT cid FROM cvf, q ORDER BY
+        |   list_dot_product(cv, qv)/(sqrt(list_dot_product(cv, cv))*sqrt(list_dot_product(qv, qv))) DESC,
         |   cid LIMIT 2),
         |sc AS (SELECT e.vec_id,
         |   list_dot_product(e.v, q.qv)/(sqrt(list_dot_product(e.v, e.v))*sqrt(list_dot_product(q.qv, q.qv))) AS c
-        |   FROM e JOIN a1 USING (vec_id), q WHERE a1.cid IN (SELECT cid FROM probe))
+        |   FROM e JOIN assign USING (vec_id), q WHERE assign.cid IN (SELECT cid FROM probe))
         |SELECT vec_id, floor((c) * 10000 + 0.5)/10000 AS cos,
         |       CAST(row_number() OVER (ORDER BY floor((c) * 10000 + 0.5)/10000 DESC, vec_id) AS BIGINT) AS rank
         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
