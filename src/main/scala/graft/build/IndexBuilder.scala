@@ -108,6 +108,45 @@ object IndexBuilder {
   val KeywordPrefix = "#"
   def langTerm(lang: String): String = s"#lang:$lang"
 
+  /** Scored-field pseudo-term prefix: a field F's token T is indexed as
+    * `@F:T` with F's OWN norm byte on each posting — the per-field
+    * postings+norms of the reference indexing chain
+    * (`core/index/IndexingChain.java:553-726`) re-expressed in the one
+    * postings table ('@' sorts below analyzer output and '#', never
+    * collides). The default (unprefixed) field is `content`. Dictionary
+    * expansions stay within one field: an unprefixed pattern excludes
+    * '@'/'#' terms; a `@F:`-prefixed pattern is already namespace-anchored.
+    */
+  val FieldPrefix = "@"
+  def fieldTerm(field: String, token: String): String = s"@$field:$token"
+
+  /** Per-segment per-field norms sidecar, stored AS a posting list under
+    * the reserved pseudo-term `@norms:F`: one posting per doc that has
+    * field F, with freq = F's EXACT token count and the norm byte = F's
+    * quantised length (the doc-values norms file of the reference,
+    * `Lucene90NormsFormat.java:83`). Because freq is the field length,
+    * the row's df/ttf ARE the field's (docCount, sumTotalTermFreq) — so
+    * per-field collection stats aggregate through the ordinary termStats
+    * pipeline, and merges (which drop deleted postings and re-sum freqs)
+    * keep them exact for free. Norms rows are the ONLY position-less
+    * rows in the index (positions would have to match freq); every
+    * decoder must pass withPositions=false for `@norms:` terms —
+    * see [[hasPositions]]. Consumed by query-time weighted BM25F
+    * (`CombinedFieldQ`), which needs BOTH fields' lengths for every
+    * candidate doc.
+    */
+  def normsTerm(field: String): String = s"@norms:$field"
+
+  /** Whether a stored term's postings carry a positions section. */
+  def hasPositions(term: String): Boolean = !term.startsWith("@norms:")
+
+  /** Field of a stored term: `@F:...` -> F, else the default content field. */
+  def fieldOf(term: String): String =
+    if (term.length > 1 && term.charAt(0) == '@') {
+      val i = term.indexOf(':', 1)
+      if (i > 1) term.substring(1, i) else "content"
+    } else "content"
+
   val DocBits: Long = (1L << SegShift) - 1
 
   def segOf(docId: Long): Int = (docId >> SegShift).toInt
@@ -173,6 +212,9 @@ object IndexBuilder {
     }
 
     def setLastNorm(b: Byte): Unit = norms(n - 1) = b
+
+    /** Override the last posting's freq (norms sidecars: freq = field length). */
+    def setFreq(f: Int): Unit = freqs(n - 1) = f
   }
 
   /** Analyzer modes: "std" (word+lower), "sub" (word-delimiter
@@ -211,11 +253,18 @@ object IndexBuilder {
     // term buffers that gained a NEW posting this doc — their norm byte is
     // patched once the field length is known at end-of-doc
     val touched = new mutable.ArrayBuffer[Postings](128)
+    // path-field buffers touched this doc (patched with the PATH norm)
+    val touchedP = new mutable.ArrayBuffer[Postings](8)
+    // per-field norms sidecars ("std" mode)
+    val normsContent = new Postings
+    val normsPath = new Postings
+    val pathPrefix = FieldPrefix + "path:"
     var ord = 0L
     sorted.foreach { d =>
       val docId = (seg.toLong << SegShift) | ord
       ord += 1
       touched.clear()
+      touchedP.clear()
       // streaming inversion: tokens arrive in position order, so a term's
       // occurrences in one doc are consecutive appends to its buffer —
       // no per-doc sort, no per-run position arrays (the reference's
@@ -237,7 +286,31 @@ object IndexBuilder {
       val (tokenCount, norm) = analyzerMode match {
         case "std" =>
           val c = CodeAnalyzer.foreachToken(d.content)(handle)
-          (c, SmallFloat.intToByte4(c))
+          // per-field indexing (IndexingChain per-field postings+norms):
+          // path tokens as `@path:` terms carrying the PATH norm byte
+          val p =
+            if (d.path == null) 0
+            else CodeAnalyzer.foreachToken(d.path) { (tok, pos) =>
+              val term = pathPrefix + tok
+              var buf = inv.get(term)
+              if (buf == null) { buf = new Postings; inv.put(term, buf) }
+              if (buf.n > 0 && buf.lastDocId == docId) buf.bump(pos)
+              else { buf.start(docId, pos); touchedP += buf }
+            }
+          val cNorm = SmallFloat.intToByte4(c)
+          val pNorm = SmallFloat.intToByte4(p)
+          var pi = 0
+          while (pi < touchedP.length) { touchedP(pi).setLastNorm(pNorm); pi += 1 }
+          // norms sidecar postings: freq = EXACT field length (no positions)
+          if (c > 0) {
+            normsContent.start(docId, 0); normsContent.setFreq(c)
+            normsContent.setLastNorm(cNorm)
+          }
+          if (p > 0) {
+            normsPath.start(docId, 0); normsPath.setFreq(p)
+            normsPath.setLastNorm(pNorm)
+          }
+          (c, cNorm)
         case "all" =>
           val c = CodeAnalyzer.foreachToken(d.content)(handle)
           val p = CodeAnalyzer.foreachToken(d.path)((t, pos) => handle(t, pos + c))
@@ -267,12 +340,22 @@ object IndexBuilder {
         payload = null
       )
     }
+    // norms sidecars join the ordinary term emit (position-less rows:
+    // freq = field length, so df/ttf = field docCount/sumTotalTermFreq)
+    if (normsContent.n > 0) inv.put(normsTerm("content"), normsContent)
+    if (normsPath.n > 0) inv.put(normsTerm("path"), normsPath)
     val terms = inv.keySet().toArray(new Array[String](0))
     java.util.Arrays.sort(terms.asInstanceOf[Array[Object]])
     val posts = terms.iterator.map { term =>
       val buf = inv.get(term)
-      val pl = PostingCodec.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
-        buf.n, buf.posFlat, buf.posOff, buf.posN)
+      val pl =
+        if (hasPositions(term))
+          PostingCodec.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
+            buf.n, buf.posFlat, buf.posOff, buf.posN)
+        else PostingCodec.encode(seg, term,
+          java.util.Arrays.copyOf(buf.docIds, buf.n),
+          java.util.Arrays.copyOf(buf.freqs, buf.n),
+          java.util.Arrays.copyOf(buf.norms, buf.n), positions = null)
       BuildRow(
         kind = "p", seg = seg, docId = -1L, repo = null, path = null, commit = null,
         lang = null, sha256 = null, tokenCount = 0, norm = 0,
@@ -357,7 +440,7 @@ object IndexBuilder {
 
   /** Config hash for lineage: analyzer + codec + layout version. */
   val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=for-delta-b${PostingCodec.BlockSize};layout=v5-for"
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=for-delta-b${PostingCodec.BlockSize};layout=v6-fields"
   ).take(16)
 
   /** Order-independent fingerprint of a segment's input slice

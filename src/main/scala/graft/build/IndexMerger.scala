@@ -130,8 +130,14 @@ object IndexMerger {
             }
             if (n == cap) emitPending()
           } else if (it.hasNext && (curTerm == null || it.head.term == curTerm)) {
-            if (curTerm == null) { curTerm = it.head.term; hasPos = true; n = 0 }
-            d = PostingCodec.decodeAll(it.next(), withPositions = true)
+            if (curTerm == null) {
+              curTerm = it.head.term
+              // `@norms:` sidecar rows are position-less by layout
+              // convention (freq = field length, no positions section)
+              hasPos = IndexBuilder.hasPositions(curTerm)
+              n = 0
+            }
+            d = PostingCodec.decodeAll(it.next(), withPositions = hasPos)
             di = 0
           } else {
             // term exhausted (or input empty): flush the partial chunk

@@ -46,8 +46,8 @@ object Corpus {
     }
 
   /** Combined content+path field variant — the BM25F/CombinedFieldQuery
-    * materialisation (`ft_bm25f_topk`): path here is the doc_id string,
-    * so numeric terms hit via the path field.
+    * materialisation (`ft_bm25f_topk`): path carries the source column,
+    * so `srcN` terms hit via the path field.
     */
   def getCombinedField(spark: SparkSession, dir: String): (Index, DataFrame) =
     cached(spark, s"all:$dir") {
@@ -78,16 +78,21 @@ object Corpus {
         .persist()
     })
 
+  /** `path` carries the table's `source` column — the second SCORED field
+    * (`@path:` terms + `@norms:path` sidecar, see IndexBuilder.fieldTerm);
+    * `commit` carries doc_id for the docId<->doc_id mapping.
+    */
   private def build(spark: SparkSession, docs: DataFrame, analyzerMode: String): (Index, DataFrame) = {
     import spark.implicits._
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val span = maxId / numSegments(maxId + 1) + 1
-    val input = docs.select($"doc_id", $"text", $"lang").as[(Long, String, String)]
-      .map { case (id, text, lang) =>
+    val input = docs.select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
         InputDoc(
           seg = (id / span).toInt,
           sortKey = f"$id%012d",
-          repo = "documents", path = id.toString, commit = "", lang = lang,
+          repo = "documents", path = source, commit = id.toString, lang = lang,
           content = text)
       }
     val index = IndexBuilder.buildInMemory(spark, input, analyzerMode)
@@ -95,7 +100,7 @@ object Corpus {
     index.docmeta.persist()
     index.termStats.persist()
     val mapping = index.docmeta
-      .select($"docId", $"path".cast("long").as("doc_id"))
+      .select($"docId", $"commit".cast("long").as("doc_id"))
       .persist()
     (index, mapping)
   }

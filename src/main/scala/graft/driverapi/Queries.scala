@@ -249,10 +249,12 @@ object Queries {
     "ft_collection_stats" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
-      // content-field terms only ('#'-prefixed keyword pseudo-terms are a
-      // separate field — per-field stats like the reference's)
+      // content-field terms only ('#' keyword and '@' field/norms
+      // pseudo-terms are separate fields — per-field stats like the
+      // reference's)
       val nTerms = index.termStats
-        .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix)).count()
+        .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+        .filter(!$"term".startsWith(graft.build.IndexBuilder.FieldPrefix)).count()
       val fs = index.fieldStats
       Seq((fs.docCount, fs.sumTotalTermFreq, nTerms))
         .toDF("doc_count", "sum_ttf", "n_terms")
@@ -466,17 +468,17 @@ object Queries {
     // index-time combined content+path field (weights 1.0): freq sums
     // across fields, the norm byte uses the reference's quantise-sum-
     // requantise combination (MultiNormsLeafSimScorer.java:165-175);
-    // `42` only exists in the path field (doc_id string), `merge` in
-    // content — one query ranks across both fields
+    // `src3` only exists in the path field (the source column), `merge`
+    // in content — one query ranks across both fields
     "ft_bm25f_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.BoolQ(should = Seq(
-          graft.query.TermQ("merge"), graft.query.TermQ("42")), minShouldMatch = 1),
+          graft.query.TermQ("merge"), graft.query.TermQ("src3")), minShouldMatch = 1),
         10, variant = "all")(spark, dir)
     }, Some(
       s"""WITH tokc AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
          |              FROM documents),
          |toka AS (SELECT doc_id, term FROM tokc
-         |         UNION ALL SELECT doc_id, CAST(doc_id AS VARCHAR) FROM documents),
+         |         UNION ALL SELECT doc_id, lower(source) FROM documents),
          |dl AS (SELECT doc_id, count(*) AS len FROM tokc GROUP BY doc_id),
          |st AS (SELECT (SELECT count(*) FROM documents) AS n,
          |              CAST((SELECT count(*) FROM toka) AS DOUBLE) AS sttf),
@@ -484,7 +486,7 @@ object Queries {
          |q2 AS (SELECT doc_id, qc + 1 AS len FROM q1),
          |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM q2),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toka
-         |       WHERE term IN ('merge', '42') GROUP BY doc_id, term),
+         |       WHERE term IN ('merge', 'src3') GROUP BY doc_id, term),
          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
          |sc AS (SELECT tf.doc_id,
@@ -494,6 +496,94 @@ object Queries {
          |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // general per-field scored search (IndexingChain per-field postings +
+    // norms; BM25Similarity consumes the FIELD's stats,
+    // `BM25Similarity.java:172-181`): `path:src3` is a real scored clause
+    // over the path field (its own df/docCount/avgdl/norms), summed with a
+    // content clause — parsed from the classic `field:term` syntax
+    "ft_path_field_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.QueryParser.parse("merge OR path:src3"), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tfc AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |dfc AS (SELECT count(*) AS df FROM tfc),
+         |sc1 AS (SELECT tfc.doc_id,
+         |         (ln(1 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+         |          - ln(1 + (st.n - dfc.df + 0.5)/(dfc.df + 0.5))
+         |            /(1 + tfc.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tfc JOIN qd ON tfc.doc_id = qd.doc_id, st, dfc),
+         |ptok AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+         |         FROM documents),
+         |pdl AS (SELECT doc_id, count(*) AS len FROM ptok GROUP BY doc_id),
+         |pst AS (SELECT (SELECT count(*) FROM pdl) AS n,
+         |               CAST((SELECT count(*) FROM ptok) AS DOUBLE) AS sttf),
+         |pqd AS (SELECT doc_id, $qlenExpr AS qlen FROM pdl),
+         |tfp AS (SELECT doc_id, count(*) AS tf FROM ptok WHERE term = 'src3' GROUP BY doc_id),
+         |dfp AS (SELECT count(*) AS df FROM tfp),
+         |sc2 AS (SELECT tfp.doc_id,
+         |         (ln(1 + (pst.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         |          - ln(1 + (pst.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         |            /(1 + tfp.tf * (1.0/(1.2*(0.25 + 0.75*pqd.qlen/(pst.sttf/pst.n)))))) AS s
+         |       FROM tfp JOIN pqd ON tfp.doc_id = pqd.doc_id, pst, dfp),
+         |comb AS (SELECT coalesce(sc1.doc_id, sc2.doc_id) AS doc_id,
+         |                coalesce(sc1.s, 0) + coalesce(sc2.s, 0) AS s
+         |         FROM sc1 FULL OUTER JOIN sc2 ON sc1.doc_id = sc2.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM comb ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // query-time WEIGHTED BM25F (CombinedFieldQuery.java:79, weights
+    // content=1, path=2): pseudo-stats df=max / weighted sums
+    // (:274-317), freq = sum of weight*tf (:430-437), per-doc norm =
+    // requantised weighted sum of PRESENT fields' quantised lengths
+    // (MultiNormsLeafSimScorer.java:163-175) read from the @norms:F
+    // sidecars — weights finally off 1.0
+    "ft_bm25f_weighted_topk" -> (((spark, dir) => {
+      val fw = Seq(("content", 1f), ("path", 2f))
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.CombinedFieldQ("merge", fw),
+          graft.query.CombinedFieldQ("src3", fw)), minShouldMatch = 1),
+        10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |q1 AS (SELECT doc_id, $qlenExpr AS qc FROM dl),
+         |ptok AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+         |         FROM documents),
+         |pdl AS (SELECT doc_id, count(*) AS len FROM ptok GROUP BY doc_id),
+         |pqd AS (SELECT doc_id, $qlenExpr AS qlen FROM pdl),
+         |st2 AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |        CAST((SELECT count(*) FROM tok) + 2*(SELECT count(*) FROM ptok) AS DOUBLE) AS sttf),
+         |cq AS (SELECT d.doc_id,
+         |         CAST(floor(coalesce(q1.qc, 0) + 2.0*coalesce(pqd.qlen, 0) + 0.5) AS BIGINT) AS len
+         |       FROM documents d LEFT JOIN q1 ON d.doc_id = q1.doc_id
+         |            LEFT JOIN pqd ON d.doc_id = pqd.doc_id),
+         |cqd AS (SELECT doc_id, $qlenExpr AS qlen FROM cq),
+         |tfm AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS f FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |dfm AS (SELECT count(*) AS df FROM tfm),
+         |scm AS (SELECT tfm.doc_id,
+         |         (ln(1 + (st2.n - dfm.df + 0.5)/(dfm.df + 0.5))
+         |          - ln(1 + (st2.n - dfm.df + 0.5)/(dfm.df + 0.5))
+         |            /(1 + tfm.f * (1.0/(1.2*(0.25 + 0.75*cqd.qlen/(st2.sttf/st2.n)))))) AS s
+         |       FROM tfm JOIN cqd ON tfm.doc_id = cqd.doc_id, st2, dfm),
+         |tfs AS (SELECT doc_id, 2.0*count(*) AS f FROM ptok WHERE term = 'src3' GROUP BY doc_id),
+         |dfs AS (SELECT count(*) AS df FROM tfs),
+         |scs AS (SELECT tfs.doc_id,
+         |         (ln(1 + (st2.n - dfs.df + 0.5)/(dfs.df + 0.5))
+         |          - ln(1 + (st2.n - dfs.df + 0.5)/(dfs.df + 0.5))
+         |            /(1 + tfs.f * (1.0/(1.2*(0.25 + 0.75*cqd.qlen/(st2.sttf/st2.n)))))) AS s
+         |       FROM tfs JOIN cqd ON tfs.doc_id = cqd.doc_id, st2, dfs),
+         |comb AS (SELECT coalesce(scm.doc_id, scs.doc_id) AS doc_id,
+         |                coalesce(scm.s, 0) + coalesce(scs.s, 0) AS s
+         |         FROM scm FULL OUTER JOIN scs ON scm.doc_id = scs.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM comb ORDER BY rank LIMIT 10""".stripMargin))),
 
     // position-preserving StopFilter index (StopFilter.java:25): stops
     // {the,a,of,to,and} dropped, norms count only kept tokens — BM25 for

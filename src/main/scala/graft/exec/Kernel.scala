@@ -371,6 +371,60 @@ object Kernel {
     }
   }
 
+  /** Query-time weighted BM25F — `core/search/CombinedFieldQuery.java:398-447`
+    * (CombinedFieldScorer) + `MultiNormsLeafSimScorer.java:147-187`
+    * (MultiFieldNormValues): a disjunction over the term's per-field
+    * postings; freq = sum of weight * tf over matching fields (float in
+    * float mode, `:430-437`); the per-doc norm re-quantises the weighted
+    * sum of each PRESENT field's decoded length (`:163-175`), with field
+    * presence read from the `@norms:F` sidecar cursors (the norms
+    * doc-values analogue). `normSubs`/`normWeights` align with the
+    * query's name-sorted field order.
+    */
+  final class CombinedFieldCursor(
+      subs: Array[TermCursor], weights: Array[Float],
+      normSubs: Array[TermCursor], normWeights: Array[Float],
+      scorer: AnyScorer
+  ) extends DocCursor {
+    private val disj = new DisjunctionCursor(subs.map(x => x: DocCursor), 1)
+    private val floatFreq = scorer.isInstanceOf[FloatScorer]
+    def doc: Long = disj.doc
+    val maxScoreBound: Double = scorer.globalMax
+    def nextDoc(): Long = disj.nextDoc()
+    def advance(target: Long): Long = disj.advance(target)
+    def score(): Double = {
+      // weighted freq in the similarity's precision
+      var freq = 0d
+      if (floatFreq) {
+        var f = 0f
+        var j = 0
+        while (j < subs.length) {
+          if (subs(j).doc == doc) f += subs(j).freq * weights(j)
+          j += 1
+        }
+        freq = f.toDouble
+      } else {
+        var j = 0
+        while (j < subs.length) {
+          if (subs(j).doc == doc) freq += subs(j).freq.toDouble * weights(j).toDouble
+          j += 1
+        }
+      }
+      // combined norm over PRESENT fields (advanceExact semantics)
+      var nv = 0f
+      var j = 0
+      while (j < normSubs.length) {
+        val nc = normSubs(j)
+        if (nc.doc < doc) nc.advance(doc)
+        if (nc.doc == doc)
+          nv += normWeights(j) * graft.util.SmallFloat.LengthTable(nc.norm & 0xff)
+        j += 1
+      }
+      val combined = graft.util.SmallFloat.intToByte4(Math.round(nv))
+      scorer.scoreF(freq, combined)
+    }
+  }
+
   /** Required minus excluded — `core/search/ReqExclScorer.java:26`. */
   final class ExclusionCursor(req: DocCursor, excl: DocCursor) extends DocCursor {
     var doc: Long = -1

@@ -33,8 +33,22 @@ object Searcher {
       term: Map[String, Kernel.AnyScorer],
       phrase: Map[Seq[String], Kernel.AnyScorer],
       synonym: Map[Seq[String], Kernel.AnyScorer],
-      boosted: Map[BoostTermQ, Kernel.AnyScorer]
+      boosted: Map[BoostTermQ, Kernel.AnyScorer],
+      combined: Map[CombinedFieldQ, Kernel.AnyScorer] = Map.empty
   ) extends Serializable
+
+  /** Dictionary view for expansions, scoped to ONE field's namespace:
+    * an unprefixed pattern sees only content terms ('#' keyword and '@'
+    * field/norms pseudo-terms excluded); a `@F:`-anchored pattern is
+    * already restricted by its own literal prefix.
+    */
+  private def dict(index: Index, nsAnchored: Boolean) = {
+    import index.postings.sparkSession.implicits._
+    val d = index.termStats
+      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+    if (nsAnchored) d
+    else d.filter(!$"term".startsWith(graft.build.IndexBuilder.FieldPrefix))
+  }
 
   /** Expand prefixes against the term dictionary (bounded). The global
     * term-stats table IS the term dictionary (one row per term) — far
@@ -43,8 +57,7 @@ object Searcher {
     */
   def expandPrefix(index: Index, prefix: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
-    index.termStats
-      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+    dict(index, prefix.startsWith("@"))
       .filter($"term" >= prefix && $"term".startsWith(prefix))
       .select($"term")
       .orderBy($"term")
@@ -81,11 +94,10 @@ object Searcher {
   def expandWildcard(index: Index, pattern: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
     val pre = wildcardLiteralPrefix(pattern)
-    val dict = index.termStats
-      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+    val d = dict(index, pattern.startsWith("@"))
     val base =
-      if (pre.isEmpty) dict
-      else dict.filter($"term" >= pre && $"term".startsWith(pre))
+      if (pre.isEmpty) d
+      else d.filter($"term" >= pre && $"term".startsWith(pre))
     base.filter($"term".rlike(wildcardRegex(pattern)))
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
@@ -97,8 +109,7 @@ object Searcher {
     */
   def expandRegexp(index: Index, pattern: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
-    index.termStats
-      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+    dict(index, pattern.startsWith("@"))
       .filter($"term".rlike(s"^(?:$pattern)$$"))
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
@@ -117,12 +128,18 @@ object Searcher {
     */
   def expandFuzzyBlended(index: Index, f: FuzzyQ): Query = {
     import index.postings.sparkSession.implicits._
-    val t = f.term
+    // fielded fuzzy (`@F:base`): candidates come from the field's
+    // namespace; distance/boost are computed on the bare tokens
+    val ns =
+      if (f.term.startsWith("@")) f.term.substring(0, f.term.indexOf(':') + 1) else ""
+    val t = f.term.substring(ns.length)
+    val nsLen = ns.length
     val maxEdits = f.maxEdits
     // edit distance + the reference's FLOAT similarity boost
     // (`FuzzyTermsEnum.java:251-258`) computed executor-side so the top-N
     // selection can run distributed
-    val osa = udf { (cand: String) =>
+    val osa = udf { (cand0: String) =>
+      val cand = cand0.substring(nsLen)
       val ed = graft.util.EditDistance.osa(cand, t, maxEdits)
       val boost =
         if (ed == 0) 1f
@@ -135,10 +152,11 @@ object Searcher {
     // top-N, tiny driver merge). On a 10^9-term dictionary the driver
     // receives at most maxExpansions rows, never the full candidate set.
     val lim = math.min(f.maxExpansions, Query.MaxClauseCount)
-    val top0 = index.termStats
-      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
-      .filter(length($"term") >= length(lit(t)) - maxEdits &&
-        length($"term") <= length(lit(t)) + maxEdits)
+    val base0 = dict(index, ns.nonEmpty)
+    val base = if (ns.isEmpty) base0 else base0.filter($"term".startsWith(ns))
+    val top0 = base
+      .filter(length($"term") >= length(lit(f.term)) - maxEdits &&
+        length($"term") <= length(lit(f.term)) + maxEdits)
       .withColumn("eb", osa($"term"))
       .filter($"eb._1" <= maxEdits)
       .select($"term", $"df", $"eb._1".as("ed"), $"eb._2".as("boost"))
@@ -149,7 +167,7 @@ object Searcher {
     val top = top0.map { case (term, df, ed, boost) =>
       val boostD =
         if (ed == 0) 1d
-        else 1d - ed.toDouble / math.min(term.length, t.length).toDouble
+        else 1d - ed.toDouble / math.min(term.length - nsLen, t.length).toDouble
       (term, df, boost, boostD)
     }
     val dfBlended = top.map(_._2).max
@@ -163,8 +181,7 @@ object Searcher {
     */
   def expandRange(index: Index, lo: String, hi: String): Seq[String] = {
     import index.postings.sparkSession.implicits._
-    index.termStats
-      .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))
+    dict(index, lo.startsWith("@"))
       .filter($"term" >= lo && $"term" <= hi)
       .select($"term").orderBy($"term")
       .limit(Query.MaxClauseCount)
@@ -256,42 +273,93 @@ object Searcher {
     val terms = Query.literalTerms(query)
     if (terms.isEmpty) return None
 
+    // fields touched by the query (per-field collection stats live in the
+    // `@norms:F` rows' df/ttf); CombinedFieldQ additionally needs the
+    // norms sidecar POSTINGS of all its fields scanned per segment
+    val cfs = Query.combinedFields(query)
+    val fieldsUsed: Set[String] =
+      terms.map(graft.build.IndexBuilder.fieldOf) ++ cfs.flatMap(_.fields.map(_._1))
+    val normsStatTerms = (fieldsUsed - "content").map(graft.build.IndexBuilder.normsTerm)
+    val normsScanTerms: Set[String] =
+      cfs.flatMap(_.fields.map(fw => graft.build.IndexBuilder.normsTerm(fw._1)))
+
     // 2. stats gathering (tiny collect, broadcast with the closure)
     val statsMap: Map[String, TermStats] =
-      index.termStats.filter($"term".isin(terms.toSeq: _*)).as[TermStats]
+      index.termStats.filter($"term".isin((terms ++ normsStatTerms).toSeq: _*)).as[TermStats]
         .collect().map(t => t.term -> t).toMap
+
+    // per-field collection stats: content from the index-level stats, any
+    // other field from its norms row (df = docCount, ttf = sumTotalTermFreq)
+    def fsOf(field: String): FieldStats =
+      if (field == "content") index.fieldStats
+      else statsMap.get(graft.build.IndexBuilder.normsTerm(field))
+        .map(ts => FieldStats(ts.df, ts.ttf)).getOrElse(FieldStats(1L, 1L))
     val fs = index.fieldStats
 
-    def anyScorer(df: Long, boost: Float = 1f, boostD: Double = -1d): Kernel.AnyScorer =
-      if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(TermStats("", df, 0), fs,
+    def anyScorerF(fs0: FieldStats, stats: TermStats, boost: Float, boostD: Double): Kernel.AnyScorer =
+      if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(stats, fs0,
         if (boostD >= 0d) boostD else boost.toDouble))
-      else Kernel.FloatScorer(BM25.termScorer(TermStats("", df, 0), fs, boost))
+      else Kernel.FloatScorer(BM25.termScorer(stats, fs0, boost))
+
+    def anyScorer(df: Long, boost: Float = 1f, boostD: Double = -1d,
+        field: String = "content"): Kernel.AnyScorer =
+      anyScorerF(fsOf(field), TermStats("", df, 0), boost, boostD)
 
     // phrase pseudo-term scorer: weight = boost * (float) sum of member idfs
-    // (`BM25Similarity.idfExplain(collectionStats, termStats[])`)
+    // (`BM25Similarity.idfExplain(collectionStats, termStats[])`);
+    // member terms share one field (the parser never mixes fields in a phrase)
     def phraseScorer(ts: Seq[String]): Kernel.AnyScorer = {
+      val pfs = fsOf(graft.build.IndexBuilder.fieldOf(ts.head))
       if (doubleMode) {
         var idf = 0d
-        ts.foreach(t => idf += BM25.idfDouble(statsMap.get(t).map(_.df).getOrElse(0L), fs.docCount))
-        Kernel.DoubleScorer(new BM25.TermScorerD(idf, cacheOfD(fs)))
+        ts.foreach(t => idf += BM25.idfDouble(statsMap.get(t).map(_.df).getOrElse(0L), pfs.docCount))
+        Kernel.DoubleScorer(new BM25.TermScorerD(idf, cacheOfD(pfs)))
       } else {
         var idf = 0d
-        ts.foreach(t => idf += BM25.idf(statsMap.get(t).map(_.df).getOrElse(0L), fs.docCount).toDouble)
-        Kernel.FloatScorer(new BM25.TermScorer(idf.toFloat, cacheOfF(fs)))
+        ts.foreach(t => idf += BM25.idf(statsMap.get(t).map(_.df).getOrElse(0L), pfs.docCount).toDouble)
+        Kernel.FloatScorer(new BM25.TermScorer(idf.toFloat, cacheOfF(pfs)))
       }
     }
 
     // synonym pseudo-term: df = max of member dfs (SynonymQuery.java:223)
     def synonymScorer(ts: Seq[String]): Kernel.AnyScorer =
-      anyScorer(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)).max)
+      anyScorer(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)).max,
+        field = graft.build.IndexBuilder.fieldOf(ts.head))
+
+    // weighted BM25F pseudo-stats (`CombinedFieldQuery.java:274-291,299-317`):
+    // df = max over fields; ttf / sumTotalTermFreq accumulate via the
+    // reference's long += (double) weight * value compound narrowing;
+    // docCount = max over fields
+    def combinedScorer(cf: CombinedFieldQ): Kernel.AnyScorer = {
+      var df = 0L
+      var ttf = 0L
+      var docCount = 0L
+      var sumTtf = 0L
+      cf.fields.foreach { case (f, w) =>
+        val term = if (f == "content") cf.term else graft.build.IndexBuilder.fieldTerm(f, cf.term)
+        val ts = statsMap.get(term)
+        if (ts.exists(_.df > 0)) {
+          df = math.max(df, ts.get.df)
+          ttf = (ttf.toDouble + w.toDouble * ts.get.ttf.toDouble).toLong
+        }
+        val ffs = fsOf(f)
+        docCount = math.max(docCount, ffs.docCount)
+        sumTtf = (sumTtf.toDouble + w.toDouble * ffs.sumTotalTermFreq.toDouble).toLong
+      }
+      anyScorerF(FieldStats(math.max(1L, docCount), math.max(1L, sumTtf)),
+        TermStats("", df, math.max(1L, ttf)), 1f, 1d)
+    }
 
     val scorers = Scorers(
-      terms.map(t => t -> anyScorer(statsMap.get(t).map(_.df).getOrElse(0L))).toMap,
+      terms.map(t => t -> anyScorer(statsMap.get(t).map(_.df).getOrElse(0L),
+        field = graft.build.IndexBuilder.fieldOf(t))).toMap,
       phrases(query).map(ts => ts -> phraseScorer(ts)).toMap,
       synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap,
-      boostTerms(query).map(b => b -> anyScorer(b.df, b.boost, b.boostD)).toMap
+      boostTerms(query).map(b => b -> anyScorer(b.df, b.boost, b.boostD,
+        field = graft.build.IndexBuilder.fieldOf(b.term))).toMap,
+      cfs.map(cf => cf -> combinedScorer(cf)).toMap
     )
-    Some(Plan(query, scorers, terms))
+    Some(Plan(query, scorers, terms ++ normsScanTerms))
   }
 
   /** Per-segment posting rows for the plan's terms, grouped by segment.
@@ -592,6 +660,23 @@ object SegmentKernel {
       val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t))))
       if (cs.isEmpty) None
       else Some(new SynonymCursor(cs.toArray, scorers.synonym(ts)))
+    case cf @ CombinedFieldQ(t, fields) =>
+      // per-field term cursors (present fields only) + norms sidecar
+      // cursors for the weighted norm combination
+      val scorer = scorers.combined(cf)
+      val subs = fields.flatMap { case (f, w) =>
+        val term = if (f == "content") t else graft.build.IndexBuilder.fieldTerm(f, t)
+        byTerm.get(term).map(pl => (new TermCursor(pl, scorer), w))
+      }
+      if (subs.isEmpty) None
+      else {
+        val norms = fields.flatMap { case (f, w) =>
+          byTerm.get(graft.build.IndexBuilder.normsTerm(f))
+            .map(pl => (new TermCursor(pl, scorer), w))
+        }
+        Some(new CombinedFieldCursor(subs.map(_._1).toArray, subs.map(_._2).toArray,
+          norms.map(_._1).toArray, norms.map(_._2).toArray, scorer))
+      }
     case MultiPhraseQ(slots) =>
       // every slot needs at least one alternative present in this segment
       val slotCursors = slots.map(_.flatMap(t => byTerm.get(t).map(pl =>

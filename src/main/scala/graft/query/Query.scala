@@ -63,6 +63,20 @@ final case class BoostTermQ(term: String, boost: Float, df: Long, boostD: Double
 /** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
 final case class TermRangeQ(lo: String, hi: String) extends Query
 
+/** Query-time weighted BM25F: one term scored as a pseudo-term across
+  * several fields — `core/search/CombinedFieldQuery.java:79`. Weights must
+  * be >= 1 (`:115-117`). Semantics follow the reference exactly:
+  * freq = sum over fields of weight * tf (float in float mode,
+  * `CombinedFieldScorer.freq`, `:428-438`); per-doc norm = re-quantised
+  * weighted sum of each PRESENT field's decoded length
+  * (`MultiNormsLeafSimScorer.MultiFieldNormValues.advanceExact`,
+  * `:163-176`); pseudo term stats df = max over fields, ttf = weighted sum
+  * (`:274-291`); pseudo collection stats docCount = max,
+  * sumTotalTermFreq = weighted sum (`:299-317`). Fields are kept in name
+  * order (the reference's TreeMap iteration order).
+  */
+final case class CombinedFieldQ(term: String, fields: Seq[(String, Float)]) extends Query
+
 /** Union scored with max (+ tieBreak * (sum - max)) —
   * `core/search/DisjunctionMaxQuery.java:44`.
   */
@@ -164,6 +178,9 @@ object Query {
       MultiPhraseQ(slots.map(_.distinct))
     case SynonymQ(Nil) => MatchNone
     case SynonymQ(Seq(t)) => TermQ(t)
+    case CombinedFieldQ(_, Nil) => MatchNone
+    case cf @ CombinedFieldQ(_, fs) if fs.map(_._1) != fs.map(_._1).sorted =>
+      cf.copy(fields = fs.sortBy(_._1)) // reference TreeMap field order
     case DisMaxQ(Nil, _) => MatchNone
     case DisMaxQ(Seq(c), _) => rewriteOnce(c)
     case DisMaxQ(cs, tb) =>
@@ -184,6 +201,10 @@ object Query {
   def literalTerms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
     case BoostTermQ(t, _, _, _) => Set(t)
+    case CombinedFieldQ(t, fields) =>
+      fields.map { case (f, _) =>
+        if (f == "content") t else graft.build.IndexBuilder.fieldTerm(f, t)
+      }.toSet
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(slots) => slots.flatten.toSet
     case SynonymQ(ts) => ts.toSet
@@ -215,6 +236,10 @@ object Query {
 
   /** Fuzzy queries (blended rewrite — separate expansion product). */
   def fuzzies(q: Query): Set[FuzzyQ] = collect[FuzzyQ](q) { case f: FuzzyQ => Set(f) }
+
+  /** Weighted-BM25F nodes (need per-field stats + norms sidecars). */
+  def combinedFields(q: Query): Set[CombinedFieldQ] =
+    collect[CombinedFieldQ](q) { case c: CombinedFieldQ => Set(c) }
 }
 
 /** Tiny recursive-descent parser for the reference query-set syntax:
@@ -260,11 +285,13 @@ object QueryParser {
           case "AND" => out += Tok("AND", w)
           case "OR" => out += Tok("OR", w)
           case "NOT" => out += Tok("NOT", w)
-          // fielded keyword syntax `lang:en` -> non-scoring keyword-field
-          // match (the classic parser's field:term, restricted to the
-          // indexed keyword fields)
+          // fielded syntax (classic parser field:term,
+          // `QueryParserBase.java:133`): `lang:en` -> non-scoring keyword
+          // filter; any other field -> SCORED per-field query (term /
+          // prefix / wildcard / fuzzy), resolved in atom()
           case fielded(f, v) if f == "lang" =>
             out += Tok("kw", s"#$f:${v.toLowerCase(java.util.Locale.ROOT)}")
+          case fielded(f, v) => out += Tok("field", s"$f $v")
           case _ if w.endsWith("*") && w.length > 1 &&
               !w.dropRight(1).exists(ch => ch == '*' || ch == '?') =>
             out += Tok("prefix", w.dropRight(1))
@@ -295,6 +322,28 @@ object QueryParser {
         PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq, slop.toInt)
       case Some(Tok("kw", t)) =>
         pop(); ConstScoreQ(TermQ(t), 0f) // matches, contributes no score
+      case Some(Tok("field", fv)) =>
+        pop()
+        val Array(f, v) = fv.split(" ", 2)
+        // the content field is the default (unprefixed) namespace
+        def pre(s: String) = if (f == "content") s else s"@$f:$s"
+        val lower = v.toLowerCase(java.util.Locale.ROOT)
+        val fuzzy = "^(.+)~([012])$".r
+        if (v.endsWith("*") && v.length > 1 &&
+            !v.dropRight(1).exists(ch => ch == '*' || ch == '?'))
+          PrefixQ(pre(lower.dropRight(1)))
+        else if (v.exists(ch => ch == '*' || ch == '?') && v.length > 1)
+          WildcardQ(pre(lower))
+        else v match {
+          case fuzzy(base, edits) =>
+            FuzzyQ(pre(base.toLowerCase(java.util.Locale.ROOT)), edits.toInt)
+          case _ =>
+            graft.analysis.CodeAnalyzer.terms(v).map(pre) match {
+              case Array(t) => TermQ(t)
+              case Array() => MatchNone
+              case many => PhraseQ(many.toSeq) // multi-token value = fielded phrase
+            }
+        }
       case Some(Tok("prefix", p)) =>
         pop(); PrefixQ(p.toLowerCase(java.util.Locale.ROOT))
       case Some(Tok("wildcard", p)) =>
@@ -347,7 +396,7 @@ object QueryParser {
       // QueryParser default operator)
       while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
           t.kind == "phrase" || t.kind == "prefix" || t.kind == "wildcard" ||
-          t.kind == "fuzzy" || t.kind == "kw" || t.kind == "(")) {
+          t.kind == "fuzzy" || t.kind == "kw" || t.kind == "field" || t.kind == "(")) {
         if (peek.exists(_.kind == "OR")) pop()
         clauses = clauses :+ and()
       }

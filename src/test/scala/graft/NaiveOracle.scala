@@ -15,16 +15,30 @@ import graft.util.{EditDistance, SmallFloat}
   */
 object NaiveOracle {
 
-  final case class Doc(docId: Long, tokens: Array[Token]) {
-    lazy val tf: Map[String, Int] = tokens.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+  final case class Doc(docId: Long, tokens: Array[Token],
+      pathTokens: Array[Token] = Array.empty) {
+    /** content tf plus `@path:`-prefixed path-field tf (the engine's
+      * per-field term encoding).
+      */
+    lazy val tf: Map[String, Int] =
+      tokens.groupBy(_.term).map { case (t, xs) => t -> xs.length } ++
+        pathTokens.groupBy(t => "@path:" + t.term).map { case (t, xs) => t -> xs.length }
     lazy val positions: Map[String, Array[Int]] =
-      tokens.groupBy(_.term).map { case (t, xs) => t -> xs.map(_.pos).sorted }
+      tokens.groupBy(_.term).map { case (t, xs) => t -> xs.map(_.pos).sorted } ++
+        pathTokens.groupBy(t => "@path:" + t.term)
+          .map { case (t, xs) => t -> xs.map(_.pos).sorted }
     val norm: Byte = SmallFloat.intToByte4(tokens.length)
+    val pathNorm: Byte = SmallFloat.intToByte4(pathTokens.length)
+    def normOf(term: String): Byte = if (term.startsWith("@path:")) pathNorm else norm
   }
 
   def fromContents(docs: Seq[(Long, String)],
       tokenizer: String => Array[Token] = CodeAnalyzer.tokenize): Seq[Doc] =
     docs.map { case (id, c) => Doc(id, tokenizer(c)) }
+
+  /** (docId, content, path) — path indexed as the second scored field. */
+  def fromContentsWithPath(docs: Seq[(Long, String, String)]): Seq[Doc] =
+    docs.map { case (id, c, p) => Doc(id, CodeAnalyzer.tokenize(c), CodeAnalyzer.tokenize(p)) }
 
   /** Greedy sloppy-phrase freq over adjusted position lists — an
     * independent implementation of `SloppyPhraseMatcher.nextMatch`
@@ -69,31 +83,46 @@ object NaiveOracle {
 
   def search(docs: Seq[Doc], q0: Query, k: Int): Seq[(Long, Float)] = {
     val fs = FieldStats(docs.size.toLong, docs.map(_.tokens.length.toLong).sum)
+    // path-field collection stats: docCount = docs WITH the field
+    val fsPath = FieldStats(
+      math.max(1L, docs.count(_.pathTokens.nonEmpty).toLong),
+      math.max(1L, docs.map(_.pathTokens.length.toLong).sum))
+    def fsOf(t: String): FieldStats = if (t.startsWith("@path:")) fsPath else fs
     val vocabDf: Map[String, Long] =
       docs.flatMap(_.tf.keys).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
     val vocabSorted = vocabDf.keys.toSeq.sorted
+    // unprefixed patterns expand over the content namespace only;
+    // a `@F:`-anchored pattern restricts itself by its own prefix
+    def dictFor(pattern: String): Seq[String] =
+      if (pattern.startsWith("@")) vocabSorted else vocabSorted.filterNot(_.startsWith("@"))
 
     // expand multi-term queries like the engine (sorted, capped)
     def expand(q: Query): Query = q match {
       case PrefixQ(p) =>
-        val ts = vocabSorted.filter(_.startsWith(p)).take(Query.MaxClauseCount)
+        val ts = dictFor(p).filter(_.startsWith(p)).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       case WildcardQ(p) =>
         val re = graft.exec.Searcher.wildcardRegex(p).r
-        val ts = vocabSorted.filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
+        val ts = dictFor(p).filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       case RegexpQ(p) =>
         val re = s"^(?:$p)$$".r
-        val ts = vocabSorted.filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
+        val ts = dictFor(p).filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
-      case FuzzyQ(t, e, maxExp) =>
-        // blended top-n rewrite (FuzzyQuery.java:34,60; FuzzyTermsEnum boost)
-        val cands = vocabSorted
-          .filter(v => math.abs(v.length - t.length) <= e)
-          .map(v => (v, EditDistance.osa(v, t, e)))
+      case FuzzyQ(t0, e, maxExp) =>
+        // blended top-n rewrite (FuzzyQuery.java:34,60; FuzzyTermsEnum
+        // boost); fielded fuzzy matches within the field's namespace with
+        // distance/boost on the bare tokens
+        val ns = if (t0.startsWith("@")) t0.substring(0, t0.indexOf(':') + 1) else ""
+        val t = t0.substring(ns.length)
+        val cands = dictFor(t0)
+          .filter(v => ns.isEmpty || v.startsWith(ns))
+          .filter(v => math.abs(v.length - t0.length) <= e)
+          .map(v => (v, EditDistance.osa(v.substring(ns.length), t, e)))
           .filter(_._2 <= e)
           .map { case (v, ed) =>
-            val boost = if (ed == 0) 1f else 1f - ed.toFloat / math.min(v.length, t.length).toFloat
+            val boost = if (ed == 0) 1f
+              else 1f - ed.toFloat / math.min(v.length - ns.length, t.length).toFloat
             (v, boost)
           }
         if (cands.isEmpty) MatchNone
@@ -105,7 +134,7 @@ object NaiveOracle {
             minShouldMatch = 1)
         }
       case TermRangeQ(lo, hi) =>
-        val ts = vocabSorted.filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
+        val ts = dictFor(lo).filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       case BoolQ(m, s, n, msm, f) =>
         BoolQ(m.map(expand), s.map(expand), n.map(expand), msm, f.map(expand))
@@ -116,25 +145,57 @@ object NaiveOracle {
     val q = Query.rewrite(expand(Query.rewrite(q0)))
 
     def scorer(t: String): BM25.TermScorer =
-      BM25.termScorer(TermStats(t, vocabDf.getOrElse(t, 0L), 0L), fs)
+      BM25.termScorer(TermStats(t, vocabDf.getOrElse(t, 0L), 0L), fsOf(t))
     def phraseWeight(ts: Seq[String]): Float = {
       var idf = 0d
-      ts.foreach(t => idf += BM25.idf(vocabDf.getOrElse(t, 0L), fs.docCount).toDouble)
+      ts.foreach(t => idf += BM25.idf(vocabDf.getOrElse(t, 0L), fsOf(ts.head).docCount).toDouble)
       idf.toFloat
     }
     def phraseScorer(ts: Seq[String]): BM25.TermScorer =
       new BM25.TermScorer(phraseWeight(ts), Array.tabulate(256)(i =>
-        1f / (BM25.K1 * ((1 - BM25.B) + BM25.B * SmallFloat.LengthTable(i) / fs.avgdl))))
+        1f / (BM25.K1 * ((1 - BM25.B) + BM25.B * SmallFloat.LengthTable(i) / fsOf(ts.head).avgdl))))
 
     // Option[score as double-sum]
     def eval(q: Query, d: Doc): Option[Double] = q match {
       case MatchNone => None
       case MatchAll => Some(0d)
       case TermQ(t) =>
-        d.tf.get(t).map(f => scorer(t).score(f, d.norm).toDouble)
+        d.tf.get(t).map(f => scorer(t).score(f, d.normOf(t)).toDouble)
       case BoostTermQ(t, boost, df, _) =>
         d.tf.get(t).map { f =>
-          BM25.termScorer(TermStats(t, df, 0L), fs, boost).score(f, d.norm).toDouble
+          BM25.termScorer(TermStats(t, df, 0L), fsOf(t), boost).score(f, d.normOf(t)).toDouble
+        }
+      case CombinedFieldQ(t, fields) =>
+        // reference CombinedFieldQuery semantics (see the ADT doc): float
+        // weighted freq, re-quantised weighted norm over PRESENT fields,
+        // pseudo stats df=max / weighted long-narrowing sums
+        var df = 0L
+        var docCount = 0L
+        var sumTtf = 0L
+        fields.foreach { case (f, w) =>
+          val key = if (f == "content") t else s"@$f:$t"
+          df = math.max(df, vocabDf.getOrElse(key, 0L))
+          val ffs = if (f == "content") fs else fsPath
+          docCount = math.max(docCount, ffs.docCount)
+          sumTtf = (sumTtf.toDouble + w.toDouble * ffs.sumTotalTermFreq.toDouble).toLong
+        }
+        var freq = 0f
+        var nv = 0f
+        var matched = false
+        fields.foreach { case (f, w) =>
+          val key = if (f == "content") t else s"@$f:$t"
+          d.tf.get(key).foreach { tf => freq += tf * w; matched = true }
+          val present = if (f == "content") d.tokens.nonEmpty else d.pathTokens.nonEmpty
+          if (present)
+            nv += w * SmallFloat.LengthTable(
+              (if (f == "content") d.norm else d.pathNorm) & 0xff)
+        }
+        if (!matched) None
+        else {
+          val combined = SmallFloat.intToByte4(Math.round(nv))
+          val sc = BM25.termScorer(TermStats("", df, 0L),
+            FieldStats(math.max(1L, docCount), math.max(1L, sumTtf)))
+          Some(sc.scoreF(freq, combined).toDouble)
         }
       case PhraseQ(ts, 0) =>
         val pos = ts.map(d.positions.get)
@@ -145,7 +206,7 @@ object NaiveOracle {
             case (arr, i) => java.util.Arrays.binarySearch(arr, p + i) >= 0
           })
           if (count == 0) None
-          else Some(phraseScorer(ts).score(count, d.norm).toDouble)
+          else Some(phraseScorer(ts).score(count, d.normOf(ts.head)).toDouble)
         }
       case PhraseQ(ts, slop) =>
         val pos = ts.map(d.positions.get)
@@ -153,7 +214,7 @@ object NaiveOracle {
         else {
           val f = sloppyFreq(pos.map(_.get), slop)
           if (f <= 0d) None
-          else Some(phraseScorer(ts).scoreF(f.toFloat, d.norm).toDouble)
+          else Some(phraseScorer(ts).scoreF(f.toFloat, d.normOf(ts.head)).toDouble)
         }
       case MultiPhraseQ(slots) =>
         val pos = slots.map(alts =>
@@ -165,14 +226,15 @@ object NaiveOracle {
             case (arr, i) => java.util.Arrays.binarySearch(arr, p + i) >= 0
           })
           if (count == 0) None
-          else Some(phraseScorer(slots.flatten).score(count, d.norm).toDouble)
+          else Some(phraseScorer(slots.flatten).score(count, d.normOf(slots.head.head)).toDouble)
         }
       case SynonymQ(ts) =>
         val f = ts.map(t => d.tf.getOrElse(t, 0)).sum
         if (f == 0) None
         else {
           val dfMax = ts.map(t => vocabDf.getOrElse(t, 0L)).max
-          Some(BM25.termScorer(TermStats("", dfMax, 0L), fs).score(f, d.norm).toDouble)
+          Some(BM25.termScorer(TermStats("", dfMax, 0L), fsOf(ts.head))
+            .score(f, d.normOf(ts.head)).toDouble)
         }
       case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
         None // expanded above

@@ -26,8 +26,10 @@ class RandomQuerySpec extends SparkTest {
       while (out.size < n) out += vocab(rnd.nextInt(vocab.length))
       out.toSeq
     }
+    val pathVocab = Seq("@path:d3", "@path:d5", "@path:x", "@path:f7_7",
+      "@path:f11_astq", "@path:zzz_nothere")
     if (depth == 0) term()
-    else rnd.nextInt(11) match {
+    else rnd.nextInt(14) match {
       case 0 => term()
       case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
       case 2 => PrefixQ(Seq("ident_1", "camel", "nee", "zzz")(rnd.nextInt(4)))
@@ -49,6 +51,22 @@ class RandomQuerySpec extends SparkTest {
         Seq(1f, 0.5f, 2f)(rnd.nextInt(3)))
       case 9 => MultiPhraseQ(Seq.fill(1 + rnd.nextInt(2))(
         Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length)))))
+      // fielded scored shapes: path-field term / prefix / fuzzy — per-field
+      // stats (df, docCount, avgdl) and per-posting PATH norms
+      case 10 => TermQ(pathVocab(rnd.nextInt(pathVocab.length)))
+      case 11 => rnd.nextInt(3) match {
+        case 0 => PrefixQ(Seq("@path:d", "@path:f1", "@path:zz")(rnd.nextInt(3)))
+        case 1 => WildcardQ(Seq("@path:d?", "@path:f1*", "@path:*7")(rnd.nextInt(3)))
+        case _ => FuzzyQ(pathVocab(rnd.nextInt(3)), 1 + rnd.nextInt(2))
+      }
+      // query-time weighted BM25F across content+path (weights >= 1 per
+      // the reference; repeated term across both fields half the time)
+      case 12 =>
+        val t = if (rnd.nextBoolean()) Seq("x", "d3", "f7_7")(rnd.nextInt(3))
+          else vocab(rnd.nextInt(vocab.length))
+        val wc = Seq(1f, 2f)(rnd.nextInt(2))
+        val wp = Seq(1f, 2f, 3f)(rnd.nextInt(3))
+        CombinedFieldQ(t, Seq(("content", wc), ("path", wp)))
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
@@ -62,17 +80,20 @@ class RandomQuerySpec extends SparkTest {
 
   for (numSegments <- Seq(1, 3)) {
     test(s"60 random query trees == oracle ($numSegments segment(s))") {
+      // custom paths with real df variety for the path-field shapes:
+      // dK groups of ~114, f<M>_<i> near-unique, x on every doc
       val rows = (0L until 800L).map(i => Datagen.row(13L, i, 15, 200))
-      val docs = rows.map { r =>
-        val key = s"${r.repo}/${r.path}@${r.commit}"
+      val docs = rows.zipWithIndex.map { case (r, i) =>
+        val path = s"d${i % 7}/f${i % 53}_$i.x"
+        val key = s"${r.repo}/$path@${r.commit}"
         val seg = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
-        InputDoc(seg, key, r.repo, r.path, r.commit, r.lang, r.content)
+        InputDoc(seg, key, r.repo, path, r.commit, r.lang, r.content)
       }
       val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
-      val oracleDocs = NaiveOracle.fromContents(
+      val oracleDocs = NaiveOracle.fromContentsWithPath(
         docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
           ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
-            ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content)
+            ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content, d.path)
           }
         })
       val rnd = new scala.util.Random(4242 + numSegments)

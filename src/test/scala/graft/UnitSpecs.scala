@@ -271,9 +271,21 @@ class FieldedSyntaxSpec extends AnyFunSuite {
     assert(QueryParser.parse("lang:EN") == ConstScoreQ(TermQ("#lang:en"), 0f))
     assert(QueryParser.parse("merge AND lang:en") ==
       BoolQ(must = Seq(TermQ("merge"), ConstScoreQ(TermQ("#lang:en"), 0f))))
-    // unknown field prefixes stay ordinary words (analyzer splits on ':',
-    // multi-token words behave like phrases)
-    assert(QueryParser.parse("path:foo") == PhraseQ(Seq("path", "foo")))
+  }
+
+  test("field:value parses to scored per-field queries") {
+    // scored field term / prefix / wildcard / fuzzy in the @field: namespace
+    assert(QueryParser.parse("path:foo") == TermQ("@path:foo"))
+    assert(QueryParser.parse("path:Analyzer*") == PrefixQ("@path:analyzer"))
+    assert(QueryParser.parse("path:f?le*") == WildcardQ("@path:f?le*"))
+    assert(QueryParser.parse("path:merg~1") == FuzzyQ("@path:merg", 1))
+    // content: is the default (unprefixed) namespace
+    assert(QueryParser.parse("content:merge") == TermQ("merge"))
+    // mixed-field conjunction
+    assert(QueryParser.parse("path:Analyzer* AND merge") ==
+      BoolQ(must = Seq(PrefixQ("@path:analyzer"), TermQ("merge"))))
+    // multi-token fielded value behaves like a fielded phrase
+    assert(QueryParser.parse("path:foo.bar") == PhraseQ(Seq("@path:foo", "@path:bar")))
   }
 }
 
