@@ -1044,10 +1044,20 @@ object Queries {
   private val MinhashA = Seq(1000003L, 999983L, 756839L, 654319L, 524287L, 216091L, 130021L, 786433L)
   private val MinhashB = Seq(12345L, 67891L, 23457L, 78913L, 34567L, 89123L, 45679L, 91235L)
 
+  private val bandsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** (doc_id, b, u, v) band rows: 3-token shingles -> ONE md5 each,
     * reduced to a 60-bit int mod P -> 8 affine minhashes -> 4 bands of 2.
+    * Persisted per (session, dir): `dedup_ngram_jaccard` joins two legs of
+    * this and `dedup_minhash_lsh` reuses it — compute the shingle+md5 pass
+    * once, not once per join leg.
     */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      minhashBands0(spark, dir).persist()
+    })
+
+  private def minhashBands0(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = Corpus.docTokens(spark, dir)
       .select($"doc_id", explode(expr(
@@ -1082,19 +1092,50 @@ object Queries {
 
   /** 60-bit tf-weighted simhash per doc (shared by the fingerprint entry
     * and the Hamming-banded pair entry).
+    *
+    * Single-pass bit kernel in `mapPartitions`: per doc, tally tf locally,
+    * ONE md5 per distinct term, accumulate the 60 signed bit counters in a
+    * flat array, emit the fingerprint — no `explode(sequence(0,59))` (a
+    * 60x shuffle-volume constant) and no (doc, term) / (doc, j) shuffles.
+    * All-integer arithmetic, so the DuckDB oracle (`simhash60Sql`) matches
+    * bit-for-bit: h = first 15 md5 hex chars = top 60 bits of the first 8
+    * digest bytes.
     */
   private def simhash60(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Corpus.docTokens(spark, dir)
-      .select($"doc_id", explode($"ts").as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", conv(substring(md5($"term"), 1, 15), 16, 10).cast("long"))
-    val bits = tf.select($"doc_id", $"tf", $"h", explode(expr("sequence(0, 59)")).as("j"))
-      .withColumn("c", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN tf ELSE -tf END"))
-      .groupBy($"doc_id", $"j").agg(sum($"c").as("s"))
-    bits.withColumn("bit",
-        expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy($"doc_id").agg(sum($"bit").cast("long").as("simhash"))
+    Corpus.docTokens(spark, dir)
+      .select($"doc_id", $"ts").as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, ts) =>
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val tf = new java.util.HashMap[String, Integer]()
+            ts.foreach { t =>
+              val prev = tf.get(t)
+              tf.put(t, if (prev == null) 1 else prev + 1)
+            }
+            val cnt = new Array[Long](60)
+            tf.forEach { (term, f) =>
+              md.reset()
+              val dg = md.digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var h = 0L
+              var i = 0
+              while (i < 8) { h = (h << 8) | (dg(i) & 0xffL); i += 1 }
+              h = h >>> 4 // first 15 hex chars = top 60 bits
+              var j = 0
+              while (j < 60) {
+                if (((h >> j) & 1L) == 1L) cnt(j) += f.toLong else cnt(j) -= f.toLong
+                j += 1
+              }
+            }
+            var sh = 0L
+            var j = 0
+            while (j < 60) { if (cnt(j) > 0L) sh |= 1L << j; j += 1 }
+            Iterator.single((docId, sh))
+          }
+        }
+      }.toDF("doc_id", "simhash")
   }
 
   private val simhash60Sql: String =
