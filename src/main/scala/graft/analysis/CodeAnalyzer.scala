@@ -198,6 +198,77 @@ object CodeAnalyzer {
     if (text == null || text.isEmpty) Array.empty
     else Array(Token(text.toLowerCase(java.util.Locale.ROOT), 0))
 
+  /** Adjacent-token n-grams joined by ' ' — the shingle combinator shared
+    * by [[shingleTokenize]] (the ShingleFilter analyzer mode) and the
+    * dedup pipeline's minhash shingling, so analyzer and pipeline have ONE
+    * implementation.
+    */
+  def shingles(terms: IndexedSeq[String], n: Int): Array[String] = {
+    val count = terms.length - n + 1
+    if (count <= 0) return Array.empty
+    Array.tabulate(count)(i => terms.slice(i, i + n).mkString(" "))
+  }
+
+  /** Shingle analyzer (`lucene/analysis/common/.../shingle/ShingleFilter.java:42`
+    * defaults: min=max=2, separator " ", outputUnigrams): each unigram at
+    * its own position, plus every shingle of `minShingle..maxShingle`
+    * adjacent tokens at the position of its FIRST token (the reference
+    * emits shingles with posIncrement 0 after the unigram).
+    */
+  def shingleTokenize(text: String, minShingle: Int = 2, maxShingle: Int = 2,
+      outputUnigrams: Boolean = true): Array[Token] = {
+    val ts = tokenize(text)
+    if (ts.isEmpty) return ts
+    val out = new ArrayBuffer[Token](ts.length * 2)
+    var i = 0
+    while (i < ts.length) {
+      if (outputUnigrams) out += ts(i)
+      var n = minShingle
+      while (n <= maxShingle) {
+        if (i + n <= ts.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(ts(i + j).term)
+            j += 1
+          }
+          out += Token(sb.toString, ts(i).pos)
+        }
+        n += 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Character n-gram tokenizer
+    * (`lucene/analysis/common/.../ngram/NGramTokenizer.java:62` semantics
+    * over lowercased word runs — our isTokenChar is the word alphabet):
+    * for each start offset inside a word run, grams of `minGram..maxGram`
+    * chars, start-major / size-minor, each consuming one position. Runs
+    * shorter than `minGram` emit nothing, like the reference.
+    */
+  def ngramTokenize(text: String, minGram: Int = 3, maxGram: Int = 3): Array[Token] = {
+    val words = tokenize(text)
+    val out = new ArrayBuffer[Token](words.length * 4)
+    var pos = 0
+    words.foreach { w =>
+      val s = w.term
+      var i = 0
+      while (i < s.length) {
+        var g = minGram
+        while (g <= maxGram && i + g <= s.length) {
+          out += Token(s.substring(i, i + g), pos)
+          pos += 1
+          g += 1
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   /** ASCII folding for the Latin-1 supplement
     * (`lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java:74`
     * restricted to the U+00C0..U+00FF block — the common accent range;

@@ -228,6 +228,8 @@ object IndexBuilder {
     case "ws" => CodeAnalyzer.whitespaceTokenize(text)
     case "letter" => CodeAnalyzer.letterTokenize(text)
     case "keyword" => CodeAnalyzer.keywordTokenize(text)
+    case "shingle" => CodeAnalyzer.shingleTokenize(text)
+    case "ngram" => CodeAnalyzer.ngramTokenize(text)
     case "fold" => CodeAnalyzer.tokenize(CodeAnalyzer.foldAscii(text))
     case _ => CodeAnalyzer.tokenize(text)
   }

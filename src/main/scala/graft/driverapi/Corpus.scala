@@ -60,6 +60,18 @@ object Corpus {
       build(spark, spark.read.parquet(s"$dir/documents.parquet"), "stop")
     }
 
+  /** ShingleFilter variant (unigrams + 2-shingles, `ft_shingle_topk`). */
+  def getShingled(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"shingle:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "shingle")
+    }
+
+  /** Character-trigram NGramTokenizer variant (`ft_ngram_topk`). */
+  def getNgram(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"ngram:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "ngram")
+    }
+
   private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
 

@@ -106,6 +106,8 @@ object Queries {
     val (index, mapping) = variant match {
       case "sub" => Corpus.getSubtoken(spark, dir)
       case "all" => Corpus.getCombinedField(spark, dir)
+      case "shingle" => Corpus.getShingled(spark, dir)
+      case "ngram" => Corpus.getNgram(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
     spark.createDataset(topRoundedHits(index, q0, k).toSeq).toDF("docId", "score")
@@ -668,6 +670,57 @@ object Queries {
          |WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'merge')
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))),
 
+    // ShingleFilter analyzer chain (ShingleFilter.java:42: unigrams +
+    // 2-shingles joined by ' ', shingle at its first token's position):
+    // the bigram "merge batch" is a TERM of the shingled index; norms
+    // count every emitted token (2*len - 1)
+    "ft_shingle_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.TermQ("merge batch"), 10, variant = "shingle")(spark, dir)
+    }, Some(
+      s"""WITH $posCte,
+         |big AS (SELECT a.doc_id, a.term || ' ' || b.term AS term
+         |        FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1),
+         |dl0 AS (SELECT doc_id, count(*) AS l0 FROM pos GROUP BY doc_id),
+         |dl AS (SELECT doc_id, 2*l0 - 1 AS len FROM dl0),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT sum(2*l0 - 1) FROM dl0) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM big WHERE term = 'merge batch' GROUP BY doc_id),
+         |df AS (SELECT count(*) AS df FROM tf),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // character-trigram NGramTokenizer chain (NGramTokenizer.java:62 over
+    // word runs): 'erg' matches every doc containing a word with that
+    // substring (merge, merged, ...); norms count every emitted gram
+    "ft_ngram_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.TermQ("erg"), 10, variant = "ngram")(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |grams AS (SELECT doc_id, substr(term, i, 3) AS g
+         |          FROM (SELECT doc_id, term, unnest(generate_series(1, length(term) - 2)) AS i
+         |                FROM tok)),
+         |dl AS (SELECT doc_id, count(*) AS len FROM grams GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM grams) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM grams WHERE g = 'erg' GROUP BY doc_id),
+         |df AS (SELECT count(*) AS df FROM tf),
+         |sc AS (SELECT tf.doc_id,
+         |         (ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |          - ln(1 + (st.n - df.df + 0.5)/(df.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, df)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     "ft_msm2_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
@@ -1059,10 +1112,15 @@ object Queries {
 
   private def minhashBands0(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // shingling shared with the analyzer chain (CodeAnalyzer.shingles —
+    // the ShingleFilter combinator); per-doc local distinct == the old
+    // global (doc_id, sh) distinct, without the shuffle
     val sh = Corpus.docTokens(spark, dir)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts) - 2), i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("sh"))
-      .distinct()
+      .select($"doc_id", $"ts").as[(Long, Seq[String])]
+      .flatMap { case (id, ts) =>
+        graft.analysis.CodeAnalyzer.shingles(ts.toIndexedSeq, 3).distinct.map(s => (id, s))
+      }
+      .toDF("doc_id", "sh")
       .withColumn("x", conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long") % MinhashP)
     val mhCols = (0 until 8).map(i =>
       min(($"x" * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"h$i"))

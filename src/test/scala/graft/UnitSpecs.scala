@@ -298,6 +298,14 @@ class AnalyzerModesSpec extends AnyFunSuite {
     assert(analyze("keyword", "Foo Bar").map(_.term).toSeq == Seq("foo bar"))
     assert(analyze("fold", "café au lait").map(_.term).toSeq == Seq("cafe", "au", "lait"))
     assert(analyze("stop", "fast the table").map(_.term).toSeq == Seq("fast", "table"))
+    // ShingleFilter: unigrams + 2-shingles, shingle at its first token's pos
+    assert(analyze("shingle", "a b c").map(t => (t.term, t.pos)).toSeq ==
+      Seq(("a", 0), ("a b", 0), ("b", 1), ("b c", 1), ("c", 2)))
+    // NGramTokenizer: char trigrams over word runs, start-major
+    assert(analyze("ngram", "merge ab").map(_.term).toSeq == Seq("mer", "erg", "rge"))
+    assert(graft.analysis.CodeAnalyzer.ngramTokenize("abcd", 2, 3).map(_.term).toSeq ==
+      Seq("ab", "abc", "bc", "bcd", "cd"))
+    assert(graft.analysis.CodeAnalyzer.shingles(Vector("x", "y", "z"), 3).toSeq == Seq("x y z"))
     assert(analyze("sub", "camelCase").map(_.term).toSeq == Seq("camel", "case"))
     assert(analyze("std", "camelCase").map(_.term).toSeq == Seq("camelcase"))
   }
