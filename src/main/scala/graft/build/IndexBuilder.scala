@@ -442,7 +442,7 @@ object IndexBuilder {
 
   /** Config hash for lineage: analyzer + codec + layout version. */
   val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=for-delta-b${PostingCodec.BlockSize};layout=v6-fields"
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=pfor-delta-b${PostingCodec.BlockSize};layout=v7-pfor"
   ).take(16)
 
   /** Order-independent fingerprint of a segment's input slice

@@ -13,11 +13,14 @@ import scala.collection.mutable.ArrayBuffer
   * positions as per-doc deltas (`Lucene103PostingsWriter.java:300`),
   * per-block skip/impact metadata (`Lucene103PostingsFormat.java:343-353`).
   *
-  * Block payload layout:
-  *   [varint firstDocDelta][width byte][pack(n-1 doc deltas)]
-  *   [width byte][pack(n freq-1 values)]
+  * Block payload layout (each packed run via [[writePacked]]: plain FOR
+  * `[width][pack]` or PFOR-patched
+  * `[0x80|width][numEx][pack][(idx,hi) pairs]`,
+  * `core/codecs/lucene103/PForUtil.java:28`):
+  *   [varint firstDocDelta][packed run: n-1 doc deltas]
+  *   [packed run: n freq-1 values]
   *   [n norm bytes]
-  *   [width byte][pack(sum(freq) position deltas)]   (when positions kept)
+  *   [packed run: sum(freq) position deltas]   (when positions kept)
   * The first doc delta is varint because it can carry the absolute
   * (seg << 40)-based docId; all in-block deltas fit well under the
   * packer's 57-bit ceiling. A width of 0 costs zero bytes — blocks of
@@ -61,6 +64,95 @@ object PostingCodec {
     if (accBits > 0) buf += (acc & 0xff).toByte
   }
 
+  /** PFOR exception patching (`core/codecs/lucene103/PForUtil.java:28,48-104`):
+    * at most 7 outliers per packed run are stored as (index, high-bits)
+    * byte pairs so one large delta no longer widens the whole run. The
+    * patched width is never more than 8 bits below the max width (the
+    * high bits must fit one byte), exactly the reference's constraint.
+    */
+  private val MaxExceptions = 7
+
+  /** Write one packed run, choosing plain FOR or PFOR:
+    *   plain:   [width byte (0..63)] [pack(n values at width)]
+    *   patched: [0x80 | patchedWidth] [numExceptions byte]
+    *            [pack(n masked values)] [(idx, highBits) byte pairs]
+    * Patch only when it saves bytes and n <= 256 (idx fits a byte);
+    * position runs longer than 256 fall back to plain FOR. MUTATES
+    * `values` (masks exception slots) — all call sites pass per-block
+    * scratch buffers.
+    */
+  private def writePacked(buf: ArrayBuffer[Byte], values: Array[Long], from: Int, n: Int): Unit = {
+    var wMax = 0
+    var i = from
+    val until = from + n
+    while (i < until) { val w = bitsNeeded(values(i)); if (w > wMax) wMax = w; i += 1 }
+    var patched = -1
+    if (n > 1 && n <= 256 && wMax > 1) {
+      // the (MaxExceptions+1)-th largest value bounds the patched width
+      // (<= 7 values can exceed it); tiny ascending top-8 buffer
+      val top = new Array[Long](MaxExceptions + 1)
+      var filled = 0
+      i = from
+      while (i < until) {
+        val v = values(i)
+        if (filled < top.length) {
+          var j = filled
+          top(j) = v
+          while (j > 0 && top(j) < top(j - 1)) {
+            val t = top(j); top(j) = top(j - 1); top(j - 1) = t; j -= 1
+          }
+          filled += 1
+        } else if (v > top(0)) {
+          top(0) = v
+          var j = 0
+          while (j + 1 < top.length && top(j) > top(j + 1)) {
+            val t = top(j); top(j) = top(j + 1); top(j + 1) = t; j += 1
+          }
+        }
+        i += 1
+      }
+      val p = math.max(bitsNeeded(top(0)), wMax - 8)
+      if (p < wMax) {
+        val maxUnpatched = (1L << p) - 1
+        var numEx = 0
+        i = from
+        while (i < until) { if (values(i) > maxUnpatched) numEx += 1; i += 1 }
+        // bytes saved by the narrower width vs the count byte + pairs
+        val saved = ((n * wMax + 7) / 8) - ((n * p + 7) / 8) - 1 - 2 * numEx
+        if (saved > 0) patched = p
+      }
+    }
+    if (patched < 0) {
+      buf += wMax.toByte
+      packBits(buf, values, from, n, wMax)
+    } else {
+      val maxUnpatched = (1L << patched) - 1
+      buf += (0x80 | patched).toByte
+      // collect + mask exceptions, then pack, then append the pairs
+      val exIdx = new Array[Int](MaxExceptions)
+      val exHi = new Array[Byte](MaxExceptions)
+      var numEx = 0
+      i = from
+      while (i < until) {
+        if (values(i) > maxUnpatched) {
+          exIdx(numEx) = i - from
+          exHi(numEx) = (values(i) >>> patched).toByte
+          values(i) &= maxUnpatched
+          numEx += 1
+        }
+        i += 1
+      }
+      buf += numEx.toByte
+      packBits(buf, values, from, n, patched)
+      i = 0
+      while (i < numEx) {
+        buf += exIdx(i).toByte
+        buf += exHi(i)
+        i += 1
+      }
+    }
+  }
+
   /** Mutable byte reader over a payload region. */
   final class Reader(bytes: Array[Byte], var pos: Int) {
     @inline def readVLong(): Long = {
@@ -75,6 +167,24 @@ object PostingCodec {
       v
     }
     @inline def readByte(): Byte = { val b = bytes(pos); pos += 1; b }
+
+    /** Read one [[writePacked]] run: plain FOR or PFOR-patched. */
+    def readPacked(out: Array[Long], offset: Int, n: Int): Unit = {
+      val token = readByte() & 0xff
+      if ((token & 0x80) == 0) unpackBits(out, offset, n, token)
+      else {
+        val width = token & 0x3f
+        val numEx = readByte() & 0xff
+        unpackBits(out, offset, n, width)
+        var e = 0
+        while (e < numEx) {
+          val idx = readByte() & 0xff
+          val hi = readByte() & 0xffL
+          out(offset + idx) |= hi << width
+          e += 1
+        }
+      }
+    }
 
     /** Unpack `n` width-bit values into `out(offset until offset+n)`. */
     def unpackBits(out: Array[Long], offset: Int, n: Int, width: Int): Unit = {
@@ -145,11 +255,7 @@ object PostingCodec {
         i += 1
       }
       writeVLong(buf, deltas(0))
-      var wDoc = 0
-      i = 1
-      while (i < count) { val w = bitsNeeded(deltas(i)); if (w > wDoc) wDoc = w; i += 1 }
-      buf += wDoc.toByte
-      packBits(buf, deltas, 1, count - 1, wDoc)
+      writePacked(buf, deltas, 1, count - 1)
       // freqs - 1, bit-packed (all-1 freq blocks cost zero payload bytes)
       i = from
       while (i < until) {
@@ -159,11 +265,7 @@ object PostingCodec {
         ttf += f
         i += 1
       }
-      var wFreq = 0
-      i = 0
-      while (i < count) { val w = bitsNeeded(fvals(i)); if (w > wFreq) wFreq = w; i += 1 }
-      buf += wFreq.toByte
-      packBits(buf, fvals, 0, count, wFreq)
+      writePacked(buf, fvals, 0, count)
       i = from
       while (i < until) { // norm bytes
         val nb = norms(i)
@@ -193,11 +295,7 @@ object PostingCodec {
           }
           i += 1
         }
-        var wPos = 0
-        i = 0
-        while (i < total) { val w = bitsNeeded(pvals(i)); if (w > wPos) wPos = w; i += 1 }
-        buf += wPos.toByte
-        packBits(buf, pvals, 0, total, wPos)
+        writePacked(buf, pvals, 0, total)
       }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
@@ -260,11 +358,7 @@ object PostingCodec {
         i += 1
       }
       writeVLong(buf, deltas(0))
-      var wDoc = 0
-      i = 1
-      while (i < count) { val w = bitsNeeded(deltas(i)); if (w > wDoc) wDoc = w; i += 1 }
-      buf += wDoc.toByte
-      packBits(buf, deltas, 1, count - 1, wDoc)
+      writePacked(buf, deltas, 1, count - 1)
       i = from
       while (i < until) {
         val f = freqs(i)
@@ -273,11 +367,7 @@ object PostingCodec {
         ttf += f
         i += 1
       }
-      var wFreq = 0
-      i = 0
-      while (i < count) { val w = bitsNeeded(fvals(i)); if (w > wFreq) wFreq = w; i += 1 }
-      buf += wFreq.toByte
-      packBits(buf, fvals, 0, count, wFreq)
+      writePacked(buf, fvals, 0, count)
       i = from
       while (i < until) {
         val nb = norms(i)
@@ -306,11 +396,7 @@ object PostingCodec {
         }
         i += 1
       }
-      var wPos = 0
-      i = 0
-      while (i < total) { val w = bitsNeeded(pvals(i)); if (w > wPos) wPos = w; i += 1 }
-      buf += wPos.toByte
-      packBits(buf, pvals, 0, total, wPos)
+      writePacked(buf, pvals, 0, total)
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
       offsets(b + 1) = buf.length
@@ -337,8 +423,7 @@ object PostingCodec {
     // docIds: varint first delta + packed rest, then prefix-sum
     val deltas = new Array[Long](count)
     deltas(0) = r.readVLong()
-    val wDoc = r.readByte() & 0xff
-    r.unpackBits(deltas, 1, count - 1, wDoc)
+    r.readPacked(deltas, 1, count - 1)
     val ids = new Array[Long](count)
     var prev = pl.baseDocIds(b)
     var i = 0
@@ -349,8 +434,7 @@ object PostingCodec {
     }
     // freqs
     val fvals = new Array[Long](count)
-    val wFreq = r.readByte() & 0xff
-    r.unpackBits(fvals, 0, count, wFreq)
+    r.readPacked(fvals, 0, count)
     val freqs = new Array[Int](count)
     var totalFreq = 0
     i = 0
@@ -365,8 +449,7 @@ object PostingCodec {
     var poss: Array[Array[Int]] = null
     if (withPositions) {
       val pvals = new Array[Long](totalFreq)
-      val wPos = r.readByte() & 0xff
-      r.unpackBits(pvals, 0, totalFreq, wPos)
+      r.readPacked(pvals, 0, totalFreq)
       poss = new Array[Array[Int]](count)
       var o = 0
       i = 0

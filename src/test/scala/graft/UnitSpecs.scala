@@ -128,6 +128,57 @@ class CodecSpec extends AnyFunSuite {
   }
 }
 
+class PForSpec extends AnyFunSuite {
+  /** Outlier-heavy streams: a handful of huge deltas per block must not
+    * widen the whole block (PForUtil.java exception patching).
+    */
+  test("outlier deltas round-trip and are patched, not widened") {
+    val rnd = new scala.util.Random(777)
+    (1 to 50).foreach { _ =>
+      val n = 64 + rnd.nextInt(400)
+      val ids = new Array[Long](n)
+      val freqs = new Array[Int](n)
+      val norms = new Array[Byte](n)
+      val ps = new Array[Array[Int]](n)
+      var cur = math.abs(rnd.nextLong()) % (1L << 41)
+      (0 until n).foreach { i =>
+        // mostly tiny gaps; ~2% huge outlier gaps (up to 2^30)
+        cur += (if (rnd.nextInt(50) == 0) (1L << 20) + rnd.nextInt(1 << 30) else 1L + rnd.nextInt(14))
+        ids(i) = cur
+        // mostly freq 1-3; rare spikes to ~5000
+        freqs(i) = if (rnd.nextInt(60) == 0) 1000 + rnd.nextInt(4000) else 1 + rnd.nextInt(3)
+        norms(i) = rnd.nextInt(256).toByte
+        var p = rnd.nextInt(3)
+        ps(i) = Array.fill(freqs(i)) { p += (if (rnd.nextInt(100) == 0) 1 << 16 else 1 + rnd.nextInt(4)); p }
+      }
+      val pl = PostingCodec.encode(7, "t", ids, freqs, norms, ps)
+      val d = PostingCodec.decodeAll(pl, withPositions = true)
+      assert(d.docIds.toSeq == ids.toSeq)
+      assert(d.freqs.toSeq == freqs.toSeq)
+      assert(d.norms.toSeq == norms.toSeq)
+      assert(d.positions.map(_.toSeq).toSeq == ps.map(_.toSeq).toSeq)
+    }
+    // a single 2^30 outlier among 127 4-bit deltas: the docId run must
+    // cost ~5 bits/value + one exception pair, nowhere near 31 bits/value
+    val n = 128
+    val ids = new Array[Long](n)
+    var cur = 0L
+    (0 until n).foreach { i =>
+      cur += (if (i == 77) 1L << 30 else 1L + (i % 15))
+      ids(i) = cur
+    }
+    val freqs = Array.fill(n)(1)
+    val norms = Array.fill(n)(0.toByte)
+    val pl = PostingCodec.encode(0, "t", ids, freqs, norms,
+      Array.fill(n)(Array(0)))
+    val plainDocBits = 127 * 31 / 8 // what unpatched FOR would pay for the doc run
+    assert(pl.payload.length < plainDocBits,
+      s"payload ${pl.payload.length} should be far below the unpatched doc-run cost $plainDocBits")
+    val d = PostingCodec.decodeAll(pl)
+    assert(d.docIds.toSeq == ids.toSeq)
+  }
+}
+
 class BM25Spec extends AnyFunSuite {
   test("hand-computed single-term score (reference float op order)") {
     // N=3 docs, df=2, lengths 3 and 5, avgdl = (3+5+4)/3
