@@ -70,8 +70,33 @@ final class Index(
     val docmeta: Dataset[DocMeta],
     val termStats: Dataset[TermStats],
     val fieldStats: FieldStats,
-    val liveFilter: Map[Int, Array[Long]] = Map.empty
-) extends Serializable
+    val liveFilter: Map[Int, Array[Long]] = Map.empty,
+    /** True when `postings`' PHYSICAL partitioning co-locates every row of
+      * a segment (the groupByKey(seg) build shuffle guarantees it, and
+      * narrow ops preserve it). Queries then run their kernels in
+      * `mapPartitions` with partition-local seg grouping — ZERO query-time
+      * shuffle (one stage + a TakeOrderedAndProject driver merge) instead
+      * of a groupByKey exchange per query. False for indexes opened from
+      * parquet or term-range-merged, whose partitioning is unknown.
+      */
+    val segAligned: Boolean = false
+) extends Serializable {
+
+  /** Driver-side per-term stats cache — the reference's per-reader
+    * `TermStates` caching: an Index is an immutable snapshot, so looked-up
+    * term stats never go stale. Misses are cached as df=0 rows (callers
+    * treat df=0 as absent). Bounded: cleared when it exceeds 100k entries.
+    */
+  @transient lazy val termStatsCache: java.util.concurrent.ConcurrentHashMap[String, TermStats] =
+    new java.util.concurrent.ConcurrentHashMap[String, TermStats]()
+
+  /** Driver-side multi-term expansion cache (pattern kind + pattern ->
+    * expanded terms) — the per-reader rewrite cache. Same snapshot
+    * immutability argument; cleared past 10k entries.
+    */
+  @transient lazy val expansionCache: java.util.concurrent.ConcurrentHashMap[String, Seq[String]] =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+}
 
 /** Inverted-index builder: one shuffle, one tokenize pass, per-segment
   * in-memory inversion.
@@ -372,18 +397,30 @@ object IndexBuilder {
 
   private def toIndex(spark: SparkSession, out: Dataset[BuildRow]): Index = {
     import spark.implicits._
-    val postings = out.filter(_.kind == "p")
+    // query-side partition count tracks the session's parallelism, not the
+    // build shuffle width: every query job schedules one task per cached
+    // partition, so 128 build partitions on 32 cores would pay 4 waves of
+    // pure task overhead per query. coalesce merges WHOLE partitions —
+    // narrow, segment co-location preserved.
+    val target = math.max(1, spark.sparkContext.defaultParallelism)
+    val outC = if (out.rdd.getNumPartitions > target) out.coalesce(target) else out
+    val postings = outC.filter(_.kind == "p")
       .map(r => PostingList(r.seg, r.term, r.df, r.ttf, r.counts, r.baseDocIds,
         r.maxDocIds, r.maxFreqs, r.minNorms, r.offsets, r.payload))
-    val docmeta = out.filter(_.kind == "m")
+    val docmeta = outC.filter(_.kind == "m")
       .map(r => DocMeta(r.docId, r.repo, r.path, r.commit, r.lang, r.sha256, r.tokenCount, r.norm))
-    // global term stats: partial (per-seg df/ttf already aggregated) -> final
+    // global term stats: partial (per-seg df/ttf already aggregated) ->
+    // final; coalesced so the per-query stats collect is one task wave
     val termStats = postings.groupBy($"term")
       .agg(sum($"df").as("df"), sum($"ttf").as("ttf"))
       .as[TermStats]
+      .coalesce(math.min(8, target))
     val fs = docmeta.agg(count(lit(1)), coalesce(sum($"tokenCount".cast("long")), lit(0L)))
       .as[(Long, Long)].head()
-    new Index(postings, docmeta, termStats, FieldStats(fs._1, fs._2))
+    // `out` came through the groupByKey(seg) build shuffle, so each
+    // segment's rows are physically co-located -> no-shuffle query path
+    new Index(postings, docmeta, termStats, FieldStats(fs._1, fs._2),
+      segAligned = true)
   }
 
   /** Build fully in memory (cached) — test/driver-query path. */

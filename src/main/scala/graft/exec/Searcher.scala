@@ -55,14 +55,28 @@ object Searcher {
     * cheaper to scan than per-segment postings, range-prunable on the
     * sorted term column.
     */
-  def expandPrefix(index: Index, prefix: String): Seq[String] = {
-    import index.postings.sparkSession.implicits._
-    dict(index, prefix.startsWith("@"))
-      .filter($"term" >= prefix && $"term".startsWith(prefix))
-      .select($"term")
-      .orderBy($"term")
-      .limit(Query.MaxClauseCount)
-      .as[String].collect().toSeq
+  def expandPrefix(index: Index, prefix: String): Seq[String] =
+    cachedExpansion(index, "pre:" + prefix) {
+      import index.postings.sparkSession.implicits._
+      dict(index, prefix.startsWith("@"))
+        .filter($"term" >= prefix && $"term".startsWith(prefix))
+        .select($"term")
+        .orderBy($"term")
+        .limit(Query.MaxClauseCount)
+        .as[String].collect().toSeq
+    }
+
+  /** Per-index rewrite cache (immutable snapshot, see Index.expansionCache). */
+  private def cachedExpansion(index: Index, key: String)(body: => Seq[String]): Seq[String] = {
+    val c = index.expansionCache
+    val hit = c.get(key)
+    if (hit != null) hit
+    else {
+      if (c.size > 10000) c.clear()
+      val v = body
+      c.put(key, v)
+      v
+    }
   }
 
   /** Literal prefix of a wildcard pattern (chars before the first
@@ -91,7 +105,8 @@ object Searcher {
     * range-prune by the literal prefix, then a codegen'd `rlike` plays
     * the automaton's role (`core/search/WildcardQuery.java:38`).
     */
-  def expandWildcard(index: Index, pattern: String): Seq[String] = {
+  def expandWildcard(index: Index, pattern: String): Seq[String] =
+      cachedExpansion(index, "wc:" + pattern) {
     import index.postings.sparkSession.implicits._
     val pre = wildcardLiteralPrefix(pattern)
     val d = dict(index, pattern.startsWith("@"))
@@ -107,14 +122,15 @@ object Searcher {
   /** Regexp expansion — `core/search/RegexpQuery.java:44`. The pattern is
     * implicitly anchored (whole-term match), like the reference.
     */
-  def expandRegexp(index: Index, pattern: String): Seq[String] = {
-    import index.postings.sparkSession.implicits._
-    dict(index, pattern.startsWith("@"))
-      .filter($"term".rlike(s"^(?:$pattern)$$"))
-      .select($"term").orderBy($"term")
-      .limit(Query.MaxClauseCount)
-      .as[String].collect().toSeq
-  }
+  def expandRegexp(index: Index, pattern: String): Seq[String] =
+    cachedExpansion(index, "re:" + pattern) {
+      import index.postings.sparkSession.implicits._
+      dict(index, pattern.startsWith("@"))
+        .filter($"term".rlike(s"^(?:$pattern)$$"))
+        .select($"term").orderBy($"term")
+        .limit(Query.MaxClauseCount)
+        .as[String].collect().toSeq
+    }
 
   /** Fuzzy expansion with the reference's default semantics
     * (`core/search/FuzzyQuery.java:34,60` TopTermsBlendedFreqScoringRewrite):
@@ -179,14 +195,15 @@ object Searcher {
   /** Lexicographic range expansion (`core/search/TermRangeQuery.java:37`);
     * sorted term column gives parquet min/max pruning for free.
     */
-  def expandRange(index: Index, lo: String, hi: String): Seq[String] = {
-    import index.postings.sparkSession.implicits._
-    dict(index, lo.startsWith("@"))
-      .filter($"term" >= lo && $"term" <= hi)
-      .select($"term").orderBy($"term")
-      .limit(Query.MaxClauseCount)
-      .as[String].collect().toSeq
-  }
+  def expandRange(index: Index, lo: String, hi: String): Seq[String] =
+    cachedExpansion(index, "rng:" + lo + "\u0000" + hi) {
+      import index.postings.sparkSession.implicits._
+      dict(index, lo.startsWith("@"))
+        .filter($"term" >= lo && $"term" <= hi)
+        .select($"term").orderBy($"term")
+        .limit(Query.MaxClauseCount)
+        .as[String].collect().toSeq
+    }
 
   private def substituteExpansions(
       q: Query,
@@ -283,16 +300,27 @@ object Searcher {
     val normsScanTerms: Set[String] =
       cfs.flatMap(_.fields.map(fw => graft.build.IndexBuilder.normsTerm(fw._1)))
 
-    // 2. stats gathering (tiny collect, broadcast with the closure)
-    val statsMap: Map[String, TermStats] =
-      index.termStats.filter($"term".isin((terms ++ normsStatTerms).toSeq: _*)).as[TermStats]
+    // 2. stats gathering (tiny collect, broadcast with the closure) —
+    // warm terms come from the Index's TermStates-style cache, so repeated
+    // queries skip the stats job entirely; misses are cached as df=0
+    val cache = index.termStatsCache
+    val wanted = (terms ++ normsStatTerms).toSeq
+    val need = wanted.filterNot(cache.containsKey)
+    if (need.nonEmpty) {
+      if (cache.size > 100000) cache.clear()
+      val found = index.termStats.filter($"term".isin(need: _*)).as[TermStats]
         .collect().map(t => t.term -> t).toMap
+      need.foreach(t => cache.put(t, found.getOrElse(t, TermStats(t, 0L, 0L))))
+    }
+    val statsMap: Map[String, TermStats] =
+      wanted.map(t => t -> cache.get(t)).filter(_._2.df > 0L).toMap
 
     // per-field collection stats: content from the index-level stats, any
     // other field from its norms row (df = docCount, ttf = sumTotalTermFreq)
     def fsOf(field: String): FieldStats =
       if (field == "content") index.fieldStats
       else statsMap.get(graft.build.IndexBuilder.normsTerm(field))
+        .filter(_.df > 0L)
         .map(ts => FieldStats(ts.df, ts.ttf)).getOrElse(FieldStats(1L, 1L))
     val fs = index.fieldStats
 
@@ -362,18 +390,31 @@ object Searcher {
     Some(Plan(query, scorers, terms ++ normsScanTerms))
   }
 
-  /** Per-segment posting rows for the plan's terms, grouped by segment.
+  /** Run a per-segment kernel body over the plan's terms' posting rows.
     * `onlySeg` / `skipSeg` (-1 = unset) restrict the scan (priming pass /
     * already-primed segment).
+    *
+    * Seg-aligned indexes (the in-memory build) run the body in ONE stage:
+    * the filtered scan is narrow over the persisted partitions and the
+    * kernels group rows by segment partition-locally — no query-time
+    * shuffle. Unaligned indexes (opened parquet) fall back to the
+    * groupByKey exchange.
     */
-  private def segmentTerms(index: Index, terms: Set[String],
-      onlySeg: Int = -1, skipSeg: Int = -1) = {
+  private def perSegment[T: org.apache.spark.sql.Encoder](
+      index: Index, terms: Set[String],
+      onlySeg: Int = -1, skipSeg: Int = -1)(
+      body: (Int, Iterator[PostingList]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     var scan = index.postings.filter($"term".isin(terms.toSeq: _*))
     if (onlySeg >= 0) scan = scan.filter($"seg" === onlySeg)
     if (skipSeg >= 0) scan = scan.filter($"seg" =!= skipSeg)
-    scan.as[PostingList].groupByKey(_.seg)
+    val rows = scan.as[PostingList]
+    if (index.segAligned)
+      rows.mapPartitions { it =>
+        it.toSeq.groupBy(_.seg).iterator.flatMap { case (seg, rs) => body(seg, rs.iterator) }
+      }
+    else rows.groupByKey(_.seg).flatMapGroups(body)
   }
 
   /** A term may span multiple rows (mega-term salt split / merge output);
@@ -417,12 +458,11 @@ object Searcher {
       if (bySeg.nonEmpty) {
         primedSeg = bySeg.head
         val ps = primedSeg
-        primedRows = segmentTerms(index, pl.terms, onlySeg = ps)
-          .flatMapGroups { (seg, rows) =>
-            SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-                floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
-              .iterator.map { case (d, s) => ScoredDocD(d, s) }
-          }.collect().toSeq
+        primedRows = perSegment(index, pl.terms, onlySeg = ps) { (seg, rows) =>
+          SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
+              floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
+            .iterator.map { case (d, s) => ScoredDocD(d, s) }
+        }.collect().toSeq
         if (primedRows.length >= k) floor = Math.nextDown(primedRows.map(_.score).min)
       }
     }
@@ -430,13 +470,12 @@ object Searcher {
     val skipSeg = primedSeg
 
     // 3. per-segment kernels over the pruned postings scan
-    val fanout = segmentTerms(index, pl.terms, skipSeg = skipSeg)
-      .flatMapGroups { (seg, rows) =>
-        SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-            floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
-            floor = fl)
-          .iterator.map { case (d, s) => ScoredDocD(d, s) }
-      }
+    val fanout = perSegment(index, pl.terms, skipSeg = skipSeg) { (seg, rows) =>
+      SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
+          floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
+          floor = fl)
+        .iterator.map { case (d, s) => ScoredDocD(d, s) }
+    }
     val localTopK =
       if (primedRows.isEmpty) fanout
       else fanout.union(spark.createDataset(primedRows))
@@ -467,10 +506,10 @@ object Searcher {
     val scorers = pl.scorers
     val q = pl.query
     val live = index.liveFilter
-    segmentTerms(index, pl.terms)
-      .mapGroups { (seg, rows) =>
-        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
-      }
+    perSegment(index, pl.terms) { (seg, rows) =>
+      Iterator.single(
+        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg))
+    }
       .agg(coalesce(sum($"value"), lit(0L)).as("n"))
       .as[Long].head()
   }
@@ -488,11 +527,10 @@ object Searcher {
     val scorers = pl.scorers
     val q = pl.query
     val live = index.liveFilter
-    segmentTerms(index, pl.terms)
-      .flatMapGroups { (seg, rows) =>
-        SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
-          .map(java.lang.Long.valueOf)
-      }
+    perSegment(index, pl.terms) { (seg, rows) =>
+      SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
+        .map(java.lang.Long.valueOf)
+    }
   }
 
   private def cacheOfF(fs: FieldStats): Array[Float] = {
