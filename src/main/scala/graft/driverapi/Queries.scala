@@ -499,6 +499,30 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // parser clause boost (BoostQuery.java:28 via `term^2` syntax): the
+    // boost folds into the term WEIGHT (weight = boost * idf) before the
+    // tf saturation — reference float op order, mirrored literally in SQL
+    "ft_boost_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.QueryParser.parse("merge^2 OR fast"), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'fast') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT term, (CASE WHEN term = 'merge' THEN 2.0 ELSE 1.0 END)
+         |                   * ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS w FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(w.w - w.w/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN w ON tf.term = w.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // general per-field scored search (IndexingChain per-field postings +
     // norms; BM25Similarity consumes the FIELD's stats,
     // `BM25Similarity.java:172-181`): `path:src3` is a real scored clause

@@ -425,6 +425,19 @@ object Kernel {
     }
   }
 
+  /** Post-hoc multiplicative boost for clauses whose boost can't fold
+    * into a leaf weight (see BoostQ doc) — score = boost * inner score,
+    * one double multiply on the clause's (float-valued in float mode)
+    * score.
+    */
+  final class BoostCursor(inner: DocCursor, boost: Double) extends DocCursor {
+    def doc: Long = inner.doc
+    val maxScoreBound: Double = boost * inner.maxScoreBound
+    def nextDoc(): Long = inner.nextDoc()
+    def advance(target: Long): Long = inner.advance(target)
+    def score(): Double = boost * inner.score()
+  }
+
   /** Required minus excluded — `core/search/ReqExclScorer.java:26`. */
   final class ExclusionCursor(req: DocCursor, excl: DocCursor) extends DocCursor {
     var doc: Long = -1

@@ -223,6 +223,7 @@ object Searcher {
         fl.map(substituteExpansions(_, exp, fuzzyExp)))
     case DisMaxQ(cs, tb) => DisMaxQ(cs.map(substituteExpansions(_, exp, fuzzyExp)), tb)
     case ConstScoreQ(inner, b) => ConstScoreQ(substituteExpansions(inner, exp, fuzzyExp), b)
+    case BoostQ(inner, b) => BoostQ(substituteExpansions(inner, exp, fuzzyExp), b)
     case other => other
   }
 
@@ -232,6 +233,7 @@ object Searcher {
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(phrases).toSet
     case DisMaxQ(cs, _) => cs.flatMap(phrases).toSet
     case ConstScoreQ(inner, _) => phrases(inner)
+    case BoostQ(inner, _) => phrases(inner)
     case _ => Set.empty
   }
 
@@ -240,6 +242,7 @@ object Searcher {
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(synonyms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(synonyms).toSet
     case ConstScoreQ(inner, _) => synonyms(inner)
+    case BoostQ(inner, _) => synonyms(inner)
     case _ => Set.empty
   }
 
@@ -248,6 +251,7 @@ object Searcher {
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(boostTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(boostTerms).toSet
     case ConstScoreQ(inner, _) => boostTerms(inner)
+    case BoostQ(inner, _) => boostTerms(inner)
     case _ => Set.empty
   }
 
@@ -383,7 +387,11 @@ object Searcher {
         field = graft.build.IndexBuilder.fieldOf(t))).toMap,
       phrases(query).map(ts => ts -> phraseScorer(ts)).toMap,
       synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap,
-      boostTerms(query).map(b => b -> anyScorer(b.df, b.boost, b.boostD,
+      // df < 0 = parser-boosted term (use the term's REAL df; the blended
+      // fuzzy rewrite sets an explicit df override)
+      boostTerms(query).map(b => b -> anyScorer(
+        if (b.df >= 0L) b.df else statsMap.get(b.term).map(_.df).getOrElse(0L),
+        b.boost, b.boostD,
         field = graft.build.IndexBuilder.fieldOf(b.term))).toMap,
       cfs.map(cf => cf -> combinedScorer(cf)).toMap
     )
@@ -578,6 +586,7 @@ object SegmentKernel {
         n.map(scopeDocSets(_, seg)), msm, f.map(scopeDocSets(_, seg)))
     case DisMaxQ(cs, tb) => DisMaxQ(cs.map(scopeDocSets(_, seg)), tb)
     case ConstScoreQ(inner, b) => ConstScoreQ(scopeDocSets(inner, seg), b)
+    case BoostQ(inner, b) => BoostQ(scopeDocSets(inner, seg), b)
     case other => other
   }
 
@@ -586,6 +595,7 @@ object SegmentKernel {
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).exists(hasDocSet)
     case DisMaxQ(cs, _) => cs.exists(hasDocSet)
     case ConstScoreQ(inner, _) => hasDocSet(inner)
+    case BoostQ(inner, _) => hasDocSet(inner)
     case _ => false
   }
 
@@ -729,6 +739,8 @@ object SegmentKernel {
       else Some(new SortedDocsCursor(ids.toArray.sorted))
     case ConstScoreQ(inner, boost) =>
       buildCursor(inner, byTerm, scorers).map(c => new ConstScoreCursor(c, boost.toDouble))
+    case BoostQ(inner, boost) =>
+      buildCursor(inner, byTerm, scorers).map(c => new BoostCursor(c, boost.toDouble))
     case DisMaxQ(cs, tb) =>
       val sub = cs.flatMap(buildCursor(_, byTerm, scorers))
       if (sub.isEmpty) None

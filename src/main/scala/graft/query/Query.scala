@@ -92,6 +92,20 @@ final case class SynonymQ(terms: Seq[String]) extends Query
   */
 final case class ConstScoreQ(inner: Query, boost: Float = 1f) extends Query
 
+/** Multiplicative score boost — `core/search/BoostQuery.java:28` (parser
+  * `term^2` / clause `(...)^2` syntax, `QueryParserBase.java:133`).
+  * Rewrite distributes the boost down into leaf WEIGHTS wherever the leaf
+  * supports it (TermQ -> BoostTermQ, nested boosts multiply as floats,
+  * ConstScoreQ absorbs, BoolQ/DisMaxQ push into scoring clauses) — the
+  * reference float op order, where createWeight(boost) folds the boost
+  * into `weight = boost * idf` BEFORE the tf saturation. A BoostQ that
+  * survives rewrite (phrase/synonym/multi-term inner) multiplies the
+  * clause score post-hoc — documented ulp-level divergence from the
+  * reference's weight folding, matched exactly by the differential
+  * oracle.
+  */
+final case class BoostQ(inner: Query, boost: Float) extends Query
+
 /** Non-scoring membership in an explicit docId set — the acceptDocs /
   * rescore-window restriction (`core/search/QueryRescorer.java` runs its
   * costly query only over the first pass's top-N docIds). Use as a
@@ -192,6 +206,24 @@ object Query {
         case ConstScoreQ(i2, _) => ConstScoreQ(i2, boost) // collapse nesting; outer boost wins
         case i2 => ConstScoreQ(i2, boost)
       }
+    // boost distribution (BoostQuery.rewrite + createWeight(boost)
+    // propagation): fold into leaf weights where supported
+    case BoostQ(inner, b) =>
+      rewriteOnce(inner) match {
+        case MatchNone => MatchNone
+        case MatchAll => MatchAll // our MatchAll scores 0 either way
+        case i2 if b == 1f => i2
+        case TermQ(t) => BoostTermQ(t, b, -1L)
+        case BoostTermQ(t, b0, df, bd) =>
+          BoostTermQ(t, b0 * b, df, if (bd >= 0d) bd * b.toDouble else bd)
+        case ConstScoreQ(i2, c) => ConstScoreQ(i2, c * b)
+        case BoostQ(i2, b2) => BoostQ(i2, b2 * b)
+        case DisMaxQ(cs, tb) => DisMaxQ(cs.map(BoostQ(_, b)), tb)
+        case BoolQ(m, s, n, msm, f) =>
+          // mustNot/filter are non-scoring; boost only the scoring clauses
+          BoolQ(m.map(BoostQ(_, b)), s.map(BoostQ(_, b)), n, msm, f)
+        case i2 => BoostQ(i2, b)
+      }
     case other => other
   }
 
@@ -211,6 +243,7 @@ object Query {
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case ConstScoreQ(inner, _) => literalTerms(inner)
+    case BoostQ(inner, _) => literalTerms(inner)
     case _ => Set.empty
   }
 
@@ -220,6 +253,7 @@ object Query {
       case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(collect(_)(pf)).toSet
       case DisMaxQ(cs, _) => cs.flatMap(collect(_)(pf)).toSet
       case ConstScoreQ(inner, _) => collect(inner)(pf)
+      case BoostQ(inner, _) => collect(inner)(pf)
       case _ => Set.empty[A]
     }
     self ++ kids
@@ -277,11 +311,18 @@ object QueryParser {
       } else {
         var j = i
         while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
-        val w = s.substring(i, j)
+        val w0 = s.substring(i, j)
         i = j
+        // trailing ^boost (classic parser `term^2`; a bare `^2` boosts the
+        // preceding group/phrase atom)
+        val boostRe = "^(.*)\\^([0-9]+(?:\\.[0-9]+)?)$".r
+        val (w, boostSuffix) = w0 match {
+          case boostRe(base, bs) => (base, Some(bs))
+          case _ => (w0, None)
+        }
         val fuzzy = "^(.+)~([012])$".r
         val fielded = "^([a-zA-Z]+):(.+)$".r
-        w match {
+        if (w.nonEmpty) w match {
           case "AND" => out += Tok("AND", w)
           case "OR" => out += Tok("OR", w)
           case "NOT" => out += Tok("NOT", w)
@@ -301,6 +342,7 @@ object QueryParser {
           case _ if w.endsWith("~") && w.length > 1 => out += Tok("fuzzy", s"2:${w.dropRight(1)}")
           case _ => out += Tok("term", w)
         }
+        boostSuffix.foreach(bs => out += Tok("boost", bs))
       }
     }
     out.toList
@@ -311,7 +353,13 @@ object QueryParser {
     def peek: Option[Tok] = toks.headOption
     def pop(): Tok = { val t = toks.head; toks = toks.tail; t }
 
-    def atom(): Query = peek match {
+    def atom(): Query = {
+      var q = atomCore()
+      while (peek.exists(_.kind == "boost")) q = BoostQ(q, pop().value.toFloat)
+      q
+    }
+
+    def atomCore(): Query = peek match {
       case Some(Tok("(", _)) =>
         pop(); val q = or()
         if (peek.exists(_.kind == ")")) pop()

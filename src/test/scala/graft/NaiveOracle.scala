@@ -140,6 +140,7 @@ object NaiveOracle {
         BoolQ(m.map(expand), s.map(expand), n.map(expand), msm, f.map(expand))
       case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand), tb)
       case ConstScoreQ(inner, b) => ConstScoreQ(expand(inner), b)
+      case BoostQ(inner, b) => BoostQ(expand(inner), b)
       case other => other
     }
     val q = Query.rewrite(expand(Query.rewrite(q0)))
@@ -162,9 +163,14 @@ object NaiveOracle {
       case TermQ(t) =>
         d.tf.get(t).map(f => scorer(t).score(f, d.normOf(t)).toDouble)
       case BoostTermQ(t, boost, df, _) =>
+        // df < 0 = parser-boosted term: real df (engine plan does the same)
         d.tf.get(t).map { f =>
-          BM25.termScorer(TermStats(t, df, 0L), fsOf(t), boost).score(f, d.normOf(t)).toDouble
+          val dfv = if (df >= 0L) df else vocabDf.getOrElse(t, 0L)
+          BM25.termScorer(TermStats(t, dfv, 0L), fsOf(t), boost).score(f, d.normOf(t)).toDouble
         }
+      case BoostQ(inner, boost) =>
+        // post-hoc clause multiply (see BoostQ doc: non-foldable leaves)
+        eval(inner, d).map(s => boost.toDouble * s)
       case CombinedFieldQ(t, fields) =>
         // reference CombinedFieldQuery semantics (see the ADT doc): float
         // weighted freq, re-quantised weighted norm over PRESENT fields,

@@ -29,7 +29,7 @@ class RandomQuerySpec extends SparkTest {
     val pathVocab = Seq("@path:d3", "@path:d5", "@path:x", "@path:f7_7",
       "@path:f11_astq", "@path:zzz_nothere")
     if (depth == 0) term()
-    else rnd.nextInt(14) match {
+    else rnd.nextInt(15) match {
       case 0 => term()
       case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
       case 2 => PrefixQ(Seq("ident_1", "camel", "nee", "zzz")(rnd.nextInt(4)))
@@ -67,6 +67,9 @@ class RandomQuerySpec extends SparkTest {
         val wc = Seq(1f, 2f)(rnd.nextInt(2))
         val wp = Seq(1f, 2f, 3f)(rnd.nextInt(3))
         CombinedFieldQ(t, Seq(("content", wc), ("path", wp)))
+      // parser-style boost: folds into term weights via rewrite where
+      // possible, post-hoc multiply on phrase-like clauses
+      case 13 => BoostQ(randomQuery(rnd, depth - 1), Seq(2f, 0.5f, 3f)(rnd.nextInt(3)))
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))

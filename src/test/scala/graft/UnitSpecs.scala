@@ -338,6 +338,22 @@ class FieldedSyntaxSpec extends AnyFunSuite {
     // multi-token fielded value behaves like a fielded phrase
     assert(QueryParser.parse("path:foo.bar") == PhraseQ(Seq("@path:foo", "@path:bar")))
   }
+
+  test("^boost parses and folds into leaf weights") {
+    // term boost -> BoostTermQ with real-df sentinel
+    assert(QueryParser.parse("merge^2") == BoostTermQ("merge", 2f, -1L))
+    assert(QueryParser.parse("path:src3^2") == BoostTermQ("@path:src3", 2f, -1L))
+    // group boost distributes into the scoring clauses
+    assert(QueryParser.parse("(merge OR fast)^2") ==
+      BoolQ(should = Seq(BoostTermQ("merge", 2f, -1L), BoostTermQ("fast", 2f, -1L)),
+        minShouldMatch = 1))
+    // phrase boost survives as a post-hoc BoostQ wrapper
+    assert(QueryParser.parse("\"merge fast\"^1.5") ==
+      BoostQ(PhraseQ(Seq("merge", "fast")), 1.5f))
+    // nested boosts multiply; ^1 is identity
+    assert(QueryParser.parse("(merge^2)^3") == BoostTermQ("merge", 6f, -1L))
+    assert(QueryParser.parse("merge^1") == TermQ("merge"))
+  }
 }
 
 /** Alternative analyzer modes build searchable indexes end-to-end. */
