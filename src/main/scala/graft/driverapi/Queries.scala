@@ -499,6 +499,32 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // standalone BlendedTermQuery (BlendedTermQuery.java:270-300, default
+    // DisjunctionMaxRewrite 0.01f): both terms scored as if they had the
+    // group's MAX df, combined as max + 0.01*(sum - max)
+    "ft_blended_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BlendedTermQ(Seq("merge", "stream")), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |bdf AS (SELECT max(df) AS df FROM
+         |        (SELECT term, count(*) AS df FROM tf GROUP BY term)),
+         |ts AS (SELECT tf.doc_id, tf.term,
+         |         (ln(1 + (st.n - bdf.df + 0.5)/(bdf.df + 0.5))
+         |          - ln(1 + (st.n - bdf.df + 0.5)/(bdf.df + 0.5))
+         |            /(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN qd ON tf.doc_id = qd.doc_id, st, bdf),
+         |sc AS (SELECT doc_id, max(s) + CAST(0.01 AS REAL)*(sum(s) - max(s)) AS s
+         |       FROM ts GROUP BY doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // parser clause boost (BoostQuery.java:28 via `term^2` syntax): the
     // boost folds into the term WEIGHT (weight = boost * idf) before the
     // tf saturation — reference float op order, mirrored literally in SQL

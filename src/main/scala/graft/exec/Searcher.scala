@@ -205,6 +205,37 @@ object Searcher {
         .as[String].collect().toSeq
     }
 
+  /** Cache-backed term stats lookup (df=0 cache rows mark known misses,
+    * filtered out of the result).
+    */
+  private def lookupStats(index: Index, wanted: Seq[String]): Map[String, TermStats] = {
+    import index.postings.sparkSession.implicits._
+    val cache = index.termStatsCache
+    val need = wanted.filterNot(cache.containsKey)
+    if (need.nonEmpty) {
+      if (cache.size > 100000) cache.clear()
+      val found = index.termStats.filter($"term".isin(need: _*)).as[TermStats]
+        .collect().map(t => t.term -> t).toMap
+      need.foreach(t => cache.put(t, found.getOrElse(t, TermStats(t, 0L, 0L))))
+    }
+    wanted.map(t => t -> cache.get(t)).filter(_._2.df > 0L).toMap
+  }
+
+  /** Standalone BlendedTermQuery rewrite
+    * (`core/search/BlendedTermQuery.java:270-300` + the default
+    * DisjunctionMaxRewrite(0.01f), `:152-170`): every term scored with the
+    * group's MAX df, combined as DisMax with tieBreak 0.01f.
+    */
+  def rewriteBlended(index: Index, b: BlendedTermQ): Query = {
+    val st = lookupStats(index, b.terms)
+    val dfMax = (0L +: b.terms.map(t => st.get(t).map(_.df).getOrElse(0L))).max
+    if (dfMax <= 0L) MatchNone
+    else DisMaxQ(b.terms.zipWithIndex.map { case (t, i) =>
+      val boost = if (b.boosts.isDefinedAt(i)) b.boosts(i) else 1f
+      BoostTermQ(t, boost, dfMax)
+    }, 0.01f.toDouble)
+  }
+
   private def substituteExpansions(
       q: Query,
       exp: Map[Query, Seq[String]],
@@ -216,6 +247,7 @@ object Searcher {
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
     case f: FuzzyQ => fuzzyExp.getOrElse(f, MatchNone)
+    case b: BlendedTermQ => fuzzyExp.getOrElse(b, MatchNone)
     case BoolQ(m, s, n, msm, fl) =>
       BoolQ(m.map(substituteExpansions(_, exp, fuzzyExp)),
         s.map(substituteExpansions(_, exp, fuzzyExp)),
@@ -287,7 +319,8 @@ object Searcher {
           case other => (other, Nil)
         }.toMap
     val fuzzyExp: Map[Query, Query] =
-      Query.fuzzies(pre).map(f => (f: Query) -> expandFuzzyBlended(index, f)).toMap
+      Query.fuzzies(pre).map(f => (f: Query) -> expandFuzzyBlended(index, f)).toMap ++
+        Query.blendeds(pre).map(b => (b: Query) -> rewriteBlended(index, b)).toMap
     val query = Query.rewrite(substituteExpansions(pre, exp, fuzzyExp))
 
     if (query == MatchNone) return None
@@ -307,17 +340,8 @@ object Searcher {
     // 2. stats gathering (tiny collect, broadcast with the closure) —
     // warm terms come from the Index's TermStates-style cache, so repeated
     // queries skip the stats job entirely; misses are cached as df=0
-    val cache = index.termStatsCache
-    val wanted = (terms ++ normsStatTerms).toSeq
-    val need = wanted.filterNot(cache.containsKey)
-    if (need.nonEmpty) {
-      if (cache.size > 100000) cache.clear()
-      val found = index.termStats.filter($"term".isin(need: _*)).as[TermStats]
-        .collect().map(t => t.term -> t).toMap
-      need.foreach(t => cache.put(t, found.getOrElse(t, TermStats(t, 0L, 0L))))
-    }
     val statsMap: Map[String, TermStats] =
-      wanted.map(t => t -> cache.get(t)).filter(_._2.df > 0L).toMap
+      lookupStats(index, (terms ++ normsStatTerms).toSeq)
 
     // per-field collection stats: content from the index-level stats, any
     // other field from its norms row (df = docCount, ttf = sumTotalTermFreq)

@@ -63,6 +63,15 @@ final case class BoostTermQ(term: String, boost: Float, df: Long, boostD: Double
 /** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
 final case class TermRangeQ(lo: String, hi: String) extends Query
 
+/** Standalone BlendedTermQuery (`core/search/BlendedTermQuery.java:37,282-291`
+  * with the default DisjunctionMaxRewrite(0.01f) — `:120-138`): every
+  * term is scored as if it had the MAX df over the group (degree
+  * blending), combined as a DisMax with tieBreak 0.01. Plan-time rewrite:
+  * the per-term dfs come from the live stats, so this node survives until
+  * [[graft.exec.Searcher.plan]].
+  */
+final case class BlendedTermQ(terms: Seq[String], boosts: Seq[Float] = Nil) extends Query
+
 /** Query-time weighted BM25F: one term scored as a pseudo-term across
   * several fields — `core/search/CombinedFieldQuery.java:79`. Weights must
   * be >= 1 (`:115-117`). Semantics follow the reference exactly:
@@ -274,6 +283,10 @@ object Query {
   /** Weighted-BM25F nodes (need per-field stats + norms sidecars). */
   def combinedFields(q: Query): Set[CombinedFieldQ] =
     collect[CombinedFieldQ](q) { case c: CombinedFieldQ => Set(c) }
+
+  /** Standalone blended-term nodes (df blending needs live stats). */
+  def blendeds(q: Query): Set[BlendedTermQ] =
+    collect[BlendedTermQ](q) { case b: BlendedTermQ => Set(b) }
 }
 
 /** Tiny recursive-descent parser for the reference query-set syntax:

@@ -136,6 +136,13 @@ object NaiveOracle {
       case TermRangeQ(lo, hi) =>
         val ts = dictFor(lo).filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
         if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+      case BlendedTermQ(ts, boosts) =>
+        // BlendedTermQuery.java:270-300 + DisjunctionMaxRewrite(0.01f)
+        val dfMax = (0L +: ts.map(t => vocabDf.getOrElse(t, 0L))).max
+        if (dfMax <= 0L) MatchNone
+        else DisMaxQ(ts.zipWithIndex.map { case (t, i) =>
+          BoostTermQ(t, if (boosts.isDefinedAt(i)) boosts(i) else 1f, dfMax)
+        }, 0.01f.toDouble)
       case BoolQ(m, s, n, msm, f) =>
         BoolQ(m.map(expand), s.map(expand), n.map(expand), msm, f.map(expand))
       case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand), tb)

@@ -69,7 +69,12 @@ class RandomQuerySpec extends SparkTest {
         CombinedFieldQ(t, Seq(("content", wc), ("path", wp)))
       // parser-style boost: folds into term weights via rewrite where
       // possible, post-hoc multiply on phrase-like clauses
-      case 13 => BoostQ(randomQuery(rnd, depth - 1), Seq(2f, 0.5f, 3f)(rnd.nextInt(3)))
+      case 13 => rnd.nextInt(2) match {
+        case 0 => BoostQ(randomQuery(rnd, depth - 1), Seq(2f, 0.5f, 3f)(rnd.nextInt(3)))
+        // standalone blended-term query (max-df blending + DisMax 0.01)
+        case _ => BlendedTermQ(distinctTerms(2 + rnd.nextInt(2)),
+          if (rnd.nextBoolean()) Seq(1f, 2f, 1.5f) else Nil)
+      }
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
