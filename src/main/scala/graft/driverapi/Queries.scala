@@ -1530,6 +1530,56 @@ object Queries {
         |SELECT a, b, floor((c) * 10000 + 0.5)/10000 AS cos
         |FROM pairs WHERE c >= 0.45 ORDER BY a, b""".stripMargin))),
 
+    // embedding near-dup via signed-random-projection LSH — the fully
+    // LINEAR scale path (vs the trained-IVF bucketing above): 32 fixed
+    // deterministic hyperplanes (weights ((i*31 + j*17) % 7) - 3 — no
+    // broadcast that grows with the data, no training pass), one
+    // signature pass, 2 bands of 16 bits -> bucket join (collision rate
+    // 1/65536 per band, the same banding geometry as dedup_simhash_pairs),
+    // exact cosine verified on candidates only. Sign bits come from
+    // INTEGER-quantised dot products (floor(x*1000+0.5) * integer weight),
+    // so the sum is order-independent and the DuckDB oracle matches
+    // bit-for-bit.
+    "dedup_embedding_srp" -> (((spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val sigBits = (0 until 32).map { i =>
+        expr(s"CASE WHEN aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+          s"(x, j) -> CAST(floor(x*1000 + 0.5) AS BIGINT) * (CAST(($i*31 + j*17) % 7 AS BIGINT) - 3)), " +
+          s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      }.reduce(_ + _)
+      val sig = emb.withColumn("sig", sigBits)
+      val bands = sig.select($"vec_id", $"v",
+        expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
+      bands.as("x").join(bands.as("y"), Seq("b", "key"))
+        .filter($"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
+          (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
+              sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))).as("c"))
+        .distinct()
+        .filter($"c" >= 0.45)
+        .select($"a", $"b", r4($"c").as("cos"))
+        .orderBy($"a", $"b")
+    }, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, j - 1 AS j, CAST(floor(x*1000 + 0.5) AS BIGINT) AS qx
+        |      FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e)),
+        |d AS (SELECT vec_id, i, sum(qx * (((i*31 + j*17) % 7) - 3)) AS dot
+        |      FROM q, generate_series(0, 31) g(i) GROUP BY vec_id, i),
+        |s AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
+        |      FROM d GROUP BY vec_id),
+        |bands AS (SELECT vec_id, 0 AS b, sig & 65535 AS key FROM s
+        |          UNION ALL SELECT vec_id, 1, sig >> 16 FROM s),
+        |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |         FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+        |pairs AS (SELECT cand.a, cand.b,
+        |   list_dot_product(ex.v, ey.v)/(sqrt(list_dot_product(ex.v, ex.v))*sqrt(list_dot_product(ey.v, ey.v))) AS c
+        |   FROM cand JOIN e ex ON ex.vec_id = cand.a JOIN e ey ON ey.vec_id = cand.b)
+        |SELECT a, b, floor((c) * 10000 + 0.5)/10000 AS cos
+        |FROM pairs WHERE c >= 0.45 ORDER BY a, b""".stripMargin))),
+
     "ann_cosine_topk" -> (((spark, dir) => {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
