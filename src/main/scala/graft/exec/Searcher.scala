@@ -170,9 +170,24 @@ object Searcher {
     val lim = math.min(f.maxExpansions, Query.MaxClauseCount)
     val base0 = dict(index, ns.nonEmpty)
     val base = if (ns.isEmpty) base0 else base0.filter($"term".startsWith(ns))
+    // first-transition banding (IntersectTermsEnum-lite,
+    // `core/codecs/lucene103/blocktree/IntersectTermsEnum.java`): in any
+    // <= e-edit alignment, the first match-aligned (or transposed) pair
+    // sits within the first e+1 chars of BOTH strings — so one of the
+    // candidate's first e+1 chars must be one of the query's first e+1
+    // chars (unless either side is no longer than e). Necessary-only,
+    // codegen'd, prunes the Damerau UDF evals ~|alphabet|/(e+1)-fold; the
+    // UDF still decides membership, so results are unchanged.
+    val tchars = t.take(maxEdits + 1).map(_.toString).distinct
+    val banded =
+      if (t.length <= maxEdits || tchars.isEmpty) lit(true)
+      else (0 to maxEdits).map(k =>
+        substring($"term", nsLen + k + 1, 1).isin(tchars: _*)).reduce(_ || _) ||
+        length($"term") <= nsLen + maxEdits
     val top0 = base
       .filter(length($"term") >= length(lit(f.term)) - maxEdits &&
         length($"term") <= length(lit(f.term)) + maxEdits)
+      .filter(banded)
       .withColumn("eb", osa($"term"))
       .filter($"eb._1" <= maxEdits)
       .select($"term", $"df", $"eb._1".as("ed"), $"eb._2".as("boost"))
