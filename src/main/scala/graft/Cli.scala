@@ -38,6 +38,26 @@ object Cli {
           val ms = (System.nanoTime() - t0) / 1e6
           println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
           hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+        case "serve" :: dir :: k :: rest if rest.size <= 1 =>
+          // long-lived reader: one repartition-by-seg up front, then every
+          // query runs the no-shuffle seg-aligned path with warm
+          // stats/rewrite caches; queries stream from a file (one per
+          // line) or stdin
+          val index = IndexBuilder.open(spark, dir, serving = true)
+          index.postings.count() // materialise the aligned cache
+          val lines = rest match {
+            case file :: Nil => scala.io.Source.fromFile(file).getLines()
+            case _ =>
+              println("serving (one query per line, EOF to exit)")
+              scala.io.Source.stdin.getLines()
+          }
+          lines.filter(_.nonEmpty).foreach { q =>
+            val t0 = System.nanoTime()
+            val hits = Searcher.topK(index, q, k.toInt).collect()
+            val ms = (System.nanoTime() - t0) / 1e6
+            println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
+            hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+          }
         case "check" :: dir :: Nil =>
           // CheckIndex analogue: structural invariants over the whole index
           val violations = graft.build.CheckIndex.run(IndexBuilder.open(spark, dir))
@@ -62,7 +82,7 @@ object Cli {
             driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
           }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | serve <dir> <k> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -701,14 +701,25 @@ object IndexBuilder {
 
   /** Open a persistent index. `docmeta` excludes tombstoned docs;
     * `liveFilter` carries their docIds for kernel-side exclusion.
+    *
+    * `serving = true` pays ONE repartition-by-seg + persist up front so
+    * every subsequent query runs on the no-shuffle seg-aligned path
+    * (parquet partitioning is unknown, so alignment must be
+    * re-established) — the long-lived reader setup; per-query one-shot
+    * opens should keep the default.
     */
-  def open(spark: SparkSession, dir: String): Index = {
+  def open(spark: SparkSession, dir: String, serving: Boolean = false): Index = {
     import spark.implicits._
     val seg = openRaw(spark, dir)
-    val postings = seg.filter($"kind" === "p")
+    val postings0 = seg.filter($"kind" === "p")
       .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
         $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
       .as[PostingList]
+    val postings =
+      if (!serving) postings0
+      else postings0
+        .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"seg")
+        .persist()
     val docmeta0 = seg.filter($"kind" === "m")
       .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256", $"tokenCount", $"norm")
       .as[DocMeta]
@@ -723,6 +734,8 @@ object IndexBuilder {
     val fsJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/stats/field.json"))
     def num(k: String): Long =
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
-    new Index(postings, docmeta, termStats, FieldStats(num("docCount"), num("sumTotalTermFreq")), live)
+    new Index(postings, docmeta, termStats,
+      FieldStats(num("docCount"), num("sumTotalTermFreq")), live,
+      segAligned = serving)
   }
 }

@@ -83,25 +83,28 @@ object Queries {
     * lower-doc_id ties just outside the window).
     */
   private def topRoundedHits(index: graft.build.Index, q0: graft.query.Query,
-      k: Int): Array[(Long, Double)] = {
+      k: Int, sim: graft.exec.SimilarityFactory = graft.exec.BM25Sim): Array[(Long, Double)] = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     var kk = k + 40
-    var hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
+    var hits = Searcher.topKQ(index, q0, kk, doubleMode = true, sim = sim)
+      .as[(Long, Double)].collect()
     // constant-score roots can never need escalation: every hit has the
     // same score, so the engine's docId-asc tie order IS the rounded order
     val constScore = graft.query.Query.rewrite(q0).isInstanceOf[graft.query.ConstScoreQ]
     while (!constScore && hits.length == kk && hits.length >= k &&
         r4d(hits.last._2) >= r4d(hits(k - 1)._2)) {
       kk *= 4
-      hits = Searcher.topKQ(index, q0, kk, doubleMode = true).as[(Long, Double)].collect()
+      hits = Searcher.topKQ(index, q0, kk, doubleMode = true, sim = sim)
+        .as[(Long, Double)].collect()
     }
     hits.map { case (d, s) => (d, r4d(s)) }
       .sortBy { case (d, s) => (-s, d) } // docId order == doc_id order (range routing)
       .take(k)
   }
 
-  private def ftScoredQ(q0: graft.query.Query, k: Int, variant: String = "std"): QFn = (spark, dir) => {
+  private def ftScoredQ(q0: graft.query.Query, k: Int, variant: String = "std",
+      sim: graft.exec.SimilarityFactory = graft.exec.BM25Sim): QFn = (spark, dir) => {
     import spark.implicits._
     val (index, mapping) = variant match {
       case "sub" => Corpus.getSubtoken(spark, dir)
@@ -110,7 +113,7 @@ object Queries {
       case "ngram" => Corpus.getNgram(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
-    spark.createDataset(topRoundedHits(index, q0, k).toSeq).toDF("docId", "score")
+    spark.createDataset(topRoundedHits(index, q0, k, sim).toSeq).toDF("docId", "score")
       .join(mapping, "docId")
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
@@ -494,6 +497,32 @@ object Queries {
          |sc AS (SELECT tf.doc_id,
          |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
          |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // pluggable Similarity (the Similarity SPI): the same engine path
+    // scored with ClassicSimilarity — TF-IDF vector space model
+    // (ClassicSimilarity.java:45-71): idf = ln((n+1)/(df+1)) + 1,
+    // tf = sqrt(freq), norm = 1/sqrt(quantised length),
+    // score = (tf * (boost*idf)) * norm, summed over clauses
+    "ft_classic_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("stream")), minShouldMatch = 1),
+        10, sim = graft.exec.ClassicSim)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT count(*) AS n FROM documents),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS (SELECT term, ln((st.n + 1)/CAST(df + 1 AS DOUBLE)) + 1.0 AS w FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |         sum((sqrt(tf.tf) * w.w) * (1.0/sqrt(qd.qlen))) AS s
+         |       FROM tf JOIN w ON tf.term = w.term JOIN qd ON tf.doc_id = qd.doc_id
          |       GROUP BY tf.doc_id)
          |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
@@ -1289,7 +1318,20 @@ object Queries {
     *
     * Returns (emb, assign(vec_id, cid), centLocal(cid, cv)).
     */
-  private def ivfTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  /** The trained IVF is an ANN INDEX artifact: train once per (session,
+    * dir) and persist the assignment — `ann_ivf_topk` and both embedding
+    * dedup entries share it, and a self-join's two legs must not retrain.
+    */
+  private def ivfTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      val (e, a, c) = ivfTrained0(spark, dir)
+      (e, a.persist(), c)
+    })
+
+  private def ivfTrained0(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -1549,7 +1591,9 @@ object Queries {
           s"(x, j) -> CAST(floor(x*1000 + 0.5) AS BIGINT) * (CAST(($i*31 + j*17) % 7 AS BIGINT) - 3)), " +
           s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       }.reduce(_ + _)
-      val sig = emb.withColumn("sig", sigBits)
+      // persist: the band self-join's two legs must not recompute the
+      // 32-projection signature pass
+      val sig = emb.withColumn("sig", sigBits).persist()
       val bands = sig.select($"vec_id", $"v",
         expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
       bands.as("x").join(bands.as("y"), Seq("b", "key"))

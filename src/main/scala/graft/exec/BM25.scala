@@ -84,6 +84,18 @@ object BM25 {
     def globalMaxScore: Double = weight
   }
 
+  /** Norm-inverse caches (shared by term and phrase scorer construction). */
+  def cacheF(fs: FieldStats): Array[Float] = {
+    val avgdl = fs.avgdl
+    Array.tabulate(256)(i =>
+      1f / (K1 * ((1 - B) + B * SmallFloat.LengthTable(i) / avgdl)))
+  }
+  def cacheD(fs: FieldStats): Array[Double] = {
+    val avgdl = fs.avgdlDouble
+    Array.tabulate(256)(i =>
+      1d / (1.2d * (0.25d + 0.75d * SmallFloat.byte4ToInt(i.toByte) / avgdl)))
+  }
+
   /** Double mode uses the exact decimal constants 1.2 / 0.75 (not the
     * float-widened values) so a SQL oracle can reproduce it literally.
     */

@@ -25,8 +25,12 @@ import graft.model.PostingList
 object Kernel {
   val NoMoreDocs: Long = Long.MaxValue
 
-  /** Unified scorer handle: float-parity mode or double-oracle mode. */
-  sealed trait AnyScorer extends Serializable {
+  /** Unified scorer handle: float-parity mode or double-oracle mode.
+    * OPEN (the custom-Similarity SPI): implementations beyond the BM25
+    * wrappers below live in [[graft.exec.SimilarityFactory]] instances
+    * (e.g. ClassicSim's TF-IDF scorers).
+    */
+  trait AnyScorer extends Serializable {
     def score(freq: Int, norm: Byte): Double
 
     /** Fractional-freq variant (sloppy phrase freq is a float sum). */

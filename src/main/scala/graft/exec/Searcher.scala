@@ -319,7 +319,8 @@ object Searcher {
   /** Rewrite, expand multi-term queries, gather stats, build scorers.
     * Returns None when the query can match nothing.
     */
-  def plan(index: Index, query0: Query, doubleMode: Boolean): Option[Plan] = {
+  def plan(index: Index, query0: Query, doubleMode: Boolean,
+      sim: SimilarityFactory = BM25Sim): Option[Plan] = {
     import index.postings.sparkSession.implicits._
 
     // 1. rewrite + multi-term expansion (prefix / wildcard / regexp /
@@ -368,9 +369,7 @@ object Searcher {
     val fs = index.fieldStats
 
     def anyScorerF(fs0: FieldStats, stats: TermStats, boost: Float, boostD: Double): Kernel.AnyScorer =
-      if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(stats, fs0,
-        if (boostD >= 0d) boostD else boost.toDouble))
-      else Kernel.FloatScorer(BM25.termScorer(stats, fs0, boost))
+      sim.term(stats, fs0, boost, boostD, doubleMode)
 
     def anyScorer(df: Long, boost: Float = 1f, boostD: Double = -1d,
         field: String = "content"): Kernel.AnyScorer =
@@ -381,15 +380,7 @@ object Searcher {
     // member terms share one field (the parser never mixes fields in a phrase)
     def phraseScorer(ts: Seq[String]): Kernel.AnyScorer = {
       val pfs = fsOf(graft.build.IndexBuilder.fieldOf(ts.head))
-      if (doubleMode) {
-        var idf = 0d
-        ts.foreach(t => idf += BM25.idfDouble(statsMap.get(t).map(_.df).getOrElse(0L), pfs.docCount))
-        Kernel.DoubleScorer(new BM25.TermScorerD(idf, cacheOfD(pfs)))
-      } else {
-        var idf = 0d
-        ts.foreach(t => idf += BM25.idf(statsMap.get(t).map(_.df).getOrElse(0L), pfs.docCount).toDouble)
-        Kernel.FloatScorer(new BM25.TermScorer(idf.toFloat, cacheOfF(pfs)))
-      }
+      sim.phrase(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)), pfs, doubleMode)
     }
 
     // synonym pseudo-term: df = max of member dfs (SynonymQuery.java:223)
@@ -474,10 +465,10 @@ object Searcher {
     }
 
   def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false,
-      primeThreshold: Boolean = false): DataFrame = {
+      primeThreshold: Boolean = false, sim: SimilarityFactory = BM25Sim): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val pl = plan(index, query0, doubleMode) match {
+    val pl = plan(index, query0, doubleMode, sim) match {
       case None => return emptyResult(spark, doubleMode)
       case Some(p) => p
     }
@@ -578,17 +569,6 @@ object Searcher {
       SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
         .map(java.lang.Long.valueOf)
     }
-  }
-
-  private def cacheOfF(fs: FieldStats): Array[Float] = {
-    val avgdl = fs.avgdl
-    Array.tabulate(256)(i =>
-      1f / (BM25.K1 * ((1 - BM25.B) + BM25.B * graft.util.SmallFloat.LengthTable(i) / avgdl)))
-  }
-  private def cacheOfD(fs: FieldStats): Array[Double] = {
-    val avgdl = fs.avgdlDouble
-    Array.tabulate(256)(i =>
-      1d / (1.2d * (0.25d + 0.75d * graft.util.SmallFloat.byte4ToInt(i.toByte) / avgdl)))
   }
 
   private def emptyResult(spark: SparkSession, doubleMode: Boolean): DataFrame = {

@@ -1,0 +1,123 @@
+package graft.exec
+
+import graft.model.{FieldStats, TermStats}
+import graft.util.SmallFloat
+
+/** Pluggable similarity — the `Similarity` SPI of the reference
+  * (`core/search/similarities/Similarity.java:61`): a factory producing
+  * per-term and phrase pseudo-term scorers in either float-parity or
+  * double-oracle mode. BM25 ([[BM25Sim]]) is the default;
+  * [[ClassicSim]] is the TF-IDF vector-space model.
+  */
+trait SimilarityFactory extends Serializable {
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer
+
+  /** Phrase pseudo-term: weight from the SUMMED member idfs
+    * (`PhraseWeight` uses `idfExplain(collectionStats, termStats[])`).
+    */
+  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer
+}
+
+/** Default BM25 (`core/search/similarities/BM25Similarity.java`). */
+object BM25Sim extends SimilarityFactory {
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    if (doubleMode) Kernel.DoubleScorer(BM25.termScorerD(stats, fs,
+      if (boostD >= 0d) boostD else boost.toDouble))
+    else Kernel.FloatScorer(BM25.termScorer(stats, fs, boost))
+
+  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    if (doubleMode) {
+      var idf = 0d
+      dfs.foreach(df => idf += BM25.idfDouble(df, fs.docCount))
+      Kernel.DoubleScorer(new BM25.TermScorerD(idf, BM25.cacheD(fs)))
+    } else {
+      var idf = 0d
+      dfs.foreach(df => idf += BM25.idf(df, fs.docCount).toDouble)
+      Kernel.FloatScorer(new BM25.TermScorer(idf.toFloat, BM25.cacheF(fs)))
+    }
+}
+
+/** ClassicSimilarity — the TF-IDF vector space model
+  * (`core/search/similarities/ClassicSimilarity.java:45-71` +
+  * `TFIDFSimilarity.java:442-476`):
+  *   idf  = (float)(ln((docCount+1)/(df+1)) + 1)
+  *   tf   = sqrt(freq)
+  *   norm = 1/sqrt(decoded length)   (normTable over LENGTH_TABLE)
+  *   score(freq, norm) = (tf(freq) * (boost*idf)) * normTable[norm]
+  * Score is unbounded in freq (sqrt grows without limit), so the global
+  * pre-block bound is +inf; block-max bounds still come from per-block
+  * (maxFreq, minNorm) impacts, which remain valid (score is monotone up
+  * in freq, down in length).
+  */
+object ClassicSim extends SimilarityFactory {
+
+  final class ScorerF(val weight: Float, table: Array[Float]) extends Kernel.AnyScorer {
+    def score(freq: Int, norm: Byte): Double = {
+      val raw = Math.sqrt(freq.toDouble).toFloat * weight
+      (raw * table(norm & 0xff)).toDouble
+    }
+    def scoreF(freq: Double, norm: Byte): Double = {
+      val raw = Math.sqrt(freq).toFloat * weight
+      (raw * table(norm & 0xff)).toDouble
+    }
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = score(maxFreq, minNorm)
+    def globalMax: Double = Double.PositiveInfinity
+  }
+
+  final class ScorerD(val weight: Double, table: Array[Double]) extends Kernel.AnyScorer {
+    def score(freq: Int, norm: Byte): Double =
+      (Math.sqrt(freq.toDouble) * weight) * table(norm & 0xff)
+    def scoreF(freq: Double, norm: Byte): Double =
+      (Math.sqrt(freq) * weight) * table(norm & 0xff)
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = score(maxFreq, minNorm)
+    def globalMax: Double = Double.PositiveInfinity
+  }
+
+  def idf(df: Long, docCount: Long): Float =
+    (Math.log((docCount + 1) / (df + 1).toDouble) + 1.0).toFloat
+  def idfDouble(df: Long, docCount: Long): Double =
+    Math.log((docCount + 1) / (df + 1).toDouble) + 1.0
+
+  /** normTable (`TFIDFSimilarity.java:442-447`): 1/sqrt(len) per decoded
+    * length; slot 0 mirrors the reference's 1/normTable[255] special case.
+    */
+  private def tableF: Array[Float] = {
+    val t = new Array[Float](256)
+    var i = 1
+    while (i < 256) {
+      t(i) = (1.0 / Math.sqrt(SmallFloat.LengthTable(i).toDouble)).toFloat
+      i += 1
+    }
+    t(0) = 1f / t(255)
+    t
+  }
+  private def tableD: Array[Double] = {
+    val t = new Array[Double](256)
+    var i = 1
+    while (i < 256) {
+      t(i) = 1.0 / Math.sqrt(SmallFloat.byte4ToInt(i.toByte).toDouble)
+      i += 1
+    }
+    t(0) = 1d / t(255)
+    t
+  }
+
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    if (doubleMode)
+      new ScorerD((if (boostD >= 0d) boostD else boost.toDouble) * idfDouble(stats.df, fs.docCount), tableD)
+    else new ScorerF(boost * idf(stats.df, fs.docCount), tableF)
+
+  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    if (doubleMode) {
+      var w = 0d
+      dfs.foreach(df => w += idfDouble(df, fs.docCount))
+      new ScorerD(w, tableD)
+    } else {
+      var w = 0d
+      dfs.foreach(df => w += idf(df, fs.docCount).toDouble)
+      new ScorerF(w.toFloat, tableF)
+    }
+}

@@ -209,6 +209,64 @@ class PartitionLocalBuildSpec extends SparkTest {
       val got = Searcher.topK(index, qs, 10).as[(Long, Float)].collect().toSeq
       assert(got == expected, s"query [$qs]")
     }
+    // serving-mode open: one repartition-by-seg up front, then the
+    // no-shuffle seg-aligned kernel path — results must be identical
+    val serving = IndexBuilder.open(spark, dir, serving = true)
+    assert(serving.segAligned)
+    Seq("def AND class", "needle_0", "val OR needle_0", "\"class camelCaseName7\"").foreach { qs =>
+      val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), 10)
+      val got = Searcher.topK(serving, qs, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"serving query [$qs]")
+    }
+  }
+}
+
+/** Pluggable Similarity: ClassicSimilarity (TF-IDF) float-parity vs a
+  * direct brute-force computation of the reference formula.
+  */
+class ClassicSimSpec extends SparkTest {
+  import spark.implicits._
+
+  test("ClassicSim top-k == brute-force TF-IDF (float op order)") {
+    val rows = (0L until 400L).map(i => Datagen.row(21L, i, 9, 120))
+    val docs = rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      InputDoc(math.floorMod(key.hashCode, 3), key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val oracleDocs = docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+      ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+        ((seg.toLong << IndexBuilder.SegShift) | ord.toLong,
+          graft.analysis.CodeAnalyzer.tokenize(d.content))
+      }
+    }
+    val n = oracleDocs.size.toLong
+    def brute(terms: Seq[String], k: Int): Seq[(Long, Float)] = {
+      // TFIDFSimilarity.TFIDFScorer.score: (sqrt(freq)*queryWeight)*normTable
+      val table = Array.tabulate(256) { i =>
+        if (i == 0) 0f
+        else (1.0 / math.sqrt(graft.util.SmallFloat.LengthTable(i).toDouble)).toFloat
+      }
+      val hits = oracleDocs.flatMap { case (id, toks) =>
+        val tf = toks.groupBy(_.term).map { case (t, xs) => t -> xs.length }
+        val norm = graft.util.SmallFloat.intToByte4(toks.length)
+        val scores = terms.flatMap { t =>
+          tf.get(t).map { f =>
+            val df = oracleDocs.count(_._2.exists(_.term == t)).toLong
+            val w = (math.log((n + 1) / (df + 1).toDouble) + 1.0).toFloat
+            ((math.sqrt(f.toDouble).toFloat * w) * table(norm & 0xff)).toDouble
+          }
+        }
+        if (scores.isEmpty) None else Some((id, scores.sum.toFloat))
+      }
+      hits.sortBy { case (id, s) => (-s, id) }.take(k)
+    }
+    Seq(Seq("def"), Seq("needle_3"), Seq("def", "class"), Seq("val", "needle_2")).foreach { ts =>
+      val q = graft.query.BoolQ(should = ts.map(graft.query.TermQ.apply), minShouldMatch = 1)
+      val got = Searcher.topKQ(index, q, 10, sim = graft.exec.ClassicSim)
+        .as[(Long, Float)].collect().toSeq
+      assert(got == brute(ts, 10), s"classic [$ts]")
+    }
   }
 }
 
