@@ -1331,6 +1331,21 @@ object Queries {
       (e, a.persist(), c)
     })
 
+  /** Sequential-fold cosine on the driver — bit-identical to the Spark
+    * `cosExpr` fold AND DuckDB's `list_dot_product` (same element order,
+    * same IEEE double ops): dot/(sqrt(dot(a,a))*sqrt(dot(b,b))).
+    */
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0d; var na = 0d; var nb = 0d
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private def ivfTrained0(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -1339,48 +1354,92 @@ object Queries {
     val k = math.max(8L, math.min(4096L, math.floor(math.sqrt(n.toDouble)).toLong))
     val g = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
     val smod = math.max(1L, n / (32L * k))
-    val samp = emb.filter($"vec_id" % smod === 0)
-    // seeds: the k lowest vec_ids in the sample (TakeOrderedAndProject)
-    var cents: DataFrame = samp.orderBy($"vec_id").limit(k.toInt)
-      .select($"vec_id".as("cid"), $"v".as("cv"))
+    // training sample: BOUNDED at ~32k vectors by construction (smod),
+    // so collecting it is a constant-size driver transfer regardless of
+    // table size; k-means then runs driver-side in plain Scala — the
+    // same IEEE double ops the distributed version performed, with ~12
+    // Spark stages of pure overhead removed
+    val sampArr = emb.filter($"vec_id" % smod === 0)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])]
+      .collect().map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+    var cents: Array[(Long, Array[Double])] = sampArr.take(k.toInt)
     for (_ <- 1 to 2) {
-      val a = samp.crossJoin(broadcast(cents))
-        .withColumn("cos", cosExpr("v", "cv"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
-        .filter($"rn" === 1).select($"vec_id", $"cid")
-      cents = samp.join(a, "vec_id")
-        .select($"cid", posexplode($"v").as(Seq("j", "x")))
-        .withColumn("qx", floor($"x" * 1000d + 0.5d).cast("long"))
-        .groupBy($"cid", $"j").agg(sum($"qx").as("s"), count(lit(1)).as("cnt"))
-        .withColumn("c", $"s".cast("double") / (lit(1000d) * $"cnt"))
-        .groupBy($"cid")
-        .agg(expr("transform(array_sort(collect_list(struct(j, c))), e -> e.c)").as("cv"))
+      val dim = cents(0)._2.length
+      val qsum = Array.ofDim[Long](cents.length, dim)
+      val cnt = new Array[Long](cents.length)
+      sampArr.foreach { case (_, v) =>
+        // argmax cosine, tie -> smaller cid (cents are cid-ascending)
+        var best = -1
+        var bestCos = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          val c = cosLocal(v, cents(ci)._2)
+          if (c > bestCos) { bestCos = c; best = ci }
+          ci += 1
+        }
+        cnt(best) += 1
+        var j = 0
+        while (j < dim) { qsum(best)(j) += math.floor(v(j) * 1000d + 0.5d).toLong; j += 1 }
+      }
+      // integer-quantised centroid update (exact on both engines);
+      // empty cells drop, cid order preserved
+      cents = cents.indices.iterator.filter(cnt(_) > 0).map { ci =>
+        val c = new Array[Double](dim)
+        var j = 0
+        while (j < dim) { c(j) = qsum(ci)(j).toDouble / (1000d * cnt(ci)); j += 1 }
+        (cents(ci)._1, c)
+      }.toArray
     }
-    // lineage cut: <= 4096 rows collected (bounded by the k cap, NOT by n)
-    val centLocal = spark.createDataset(
-      cents.select($"cid", $"cv").as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1))
+    val centsArr = cents // final, cid-ascending
+    // coarse structure (driver-side, k*g tiny): coarse = g lowest-cid
+    // trained centroids; each fine centroid -> nearest coarse group
+    val coarse = centsArr.take(g.toInt)
+    def top2Coarse(v: Array[Double]): (Long, Long) = {
+      // ranks 1..2 by (cos desc, gid asc): strict-> scan in gid-asc order
+      var b1 = -1L; var c1 = Double.NegativeInfinity
+      var b2 = -1L; var c2 = Double.NegativeInfinity
+      coarse.foreach { case (gid, gv) =>
+        val c = cosLocal(v, gv)
+        if (c > c1) { b2 = b1; c2 = c1; b1 = gid; c1 = c }
+        else if (c > c2) { b2 = gid; c2 = c }
+      }
+      (b1, b2)
+    }
+    val byG: Map[Long, Array[(Long, Array[Double])]] =
+      centsArr.groupBy { case (cid, cv) =>
+        var best = -1L
+        var bestCos = Double.NegativeInfinity
+        coarse.foreach { case (gid, gv) =>
+          val c = cosLocal(cv, gv)
+          if (c > bestCos) { bestCos = c; best = gid }
+        }
+        best
+      }
+    // coarse-to-fine assignment as ONE narrow pass (no shuffle): per row,
+    // score the g coarse probes, then only the fine centroids of the
+    // top-2 groups — O(g + 2k/g) cosine evals per vector, all bounded
+    // closures (<= 4096 centroids)
+    val assignUdf = udf { (v0: Seq[Double]) =>
+      val v = v0.toArray
+      val (g1, g2) = top2Coarse(v)
+      val cands = (byG.getOrElse(g1, Array.empty[(Long, Array[Double])]) ++
+        byG.getOrElse(g2, Array.empty[(Long, Array[Double])])).sortBy(_._1)
+      if (cands.isEmpty) null
+      else {
+        var best = -1L
+        var bestCos = Double.NegativeInfinity
+        cands.foreach { case (cid, cv) =>
+          val c = cosLocal(v, cv)
+          if (c > bestCos) { bestCos = c; best = cid }
+        }
+        java.lang.Long.valueOf(best)
+      }
+    }
+    val assign = emb.withColumn("cid", assignUdf($"v"))
+      .filter($"cid".isNotNull)
+      .select($"vec_id", $"cid")
+    val centLocal = spark.createDataset(centsArr.map { case (cid, cv) => (cid, cv.toSeq) }.toSeq)
       .toDF("cid", "cv")
-    val coarse = centLocal.orderBy($"cid").limit(g.toInt)
-      .select($"cid".as("gid"), $"cv".as("gv"))
-    // fine centroid -> coarse group (k x g rows, tiny)
-    val cmap = centLocal.crossJoin(broadcast(coarse))
-      .withColumn("cos", cosExpr("cv", "gv"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"cid").orderBy(desc("cos"), asc("gid"))))
-      .filter($"rn" === 1).select($"cid", $"gid")
-    // coarse-to-fine assignment over the FULL table
-    val top2 = emb.crossJoin(broadcast(coarse))
-      .withColumn("cos", cosExpr("v", "gv"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("gid"))))
-      .filter($"rn" <= 2).select($"vec_id", $"v", $"gid")
-    val fineByG = cmap.join(centLocal, "cid").select($"gid", $"cid", $"cv")
-    val assign = top2.join(broadcast(fineByG), "gid")
-      .withColumn("cos", cosExpr("v", "cv"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"vec_id").orderBy(desc("cos"), asc("cid"))))
-      .filter($"rn" === 1).select($"vec_id", $"cid")
     (emb, assign, centLocal)
   }
 
