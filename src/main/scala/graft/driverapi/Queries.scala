@@ -1613,14 +1613,22 @@ object Queries {
       import spark.implicits._
       val (emb, assign, _) = ivfTrained(spark, dir)
       val withVec = assign.join(emb, "vec_id")
-      withVec.as("x").join(withVec.as("y"),
-          $"x.cid" === $"y.cid" && $"x.vec_id" < $"y.vec_id")
-        .withColumn("c",
-          expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
-            (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
-              sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))))
+      // within-cell pairs via ONE groupBy + local pair enumeration (no
+      // bucket self-join: a self-join re-shuffles both legs and re-runs
+      // the assignment lineage); cells are the bounded IVF buckets, so
+      // the per-group list and its pair fan-out are bounded per reducer
+      withVec.groupBy($"cid")
+        .agg(collect_list(struct($"vec_id", $"v")).as("ms"))
+        .select(explode(expr(
+          "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), " +
+            "y -> struct(x.vec_id as av, x.v as xv, y.vec_id as bv, y.v as yv))))")).as("p"))
+        .select(
+          least($"p.av", $"p.bv").as("a"), greatest($"p.av", $"p.bv").as("b"),
+          (expr("aggregate(zip_with(p.xv, p.yv, (x, q) -> x * q), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
+            (sqrt(expr("aggregate(transform(p.xv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
+              sqrt(expr("aggregate(transform(p.yv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))).as("c"))
         .filter($"c" >= 0.45)
-        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), r4($"c").as("cos"))
+        .select($"a", $"b", r4($"c").as("cos"))
         .orderBy($"a", $"b")
     }, Some(
       s"""WITH $ivfSql,
