@@ -149,12 +149,13 @@ object Bench {
     val p90 = lat((lat.length * 9) / 10)
 
     // -- phase 3: driver catalog queries on the sf tables --
-    // phase isolation: drop phase 2's 400k-doc cached index (hundreds of
-    // MB of old-gen pressure that shows up as GC noise in phase-3
-    // timings) and size the shuffle for the catalog queries (32 cores),
-    // not for the 128-segment latency corpus
-    idx.postings.unpersist()
-    idx.termStats.unpersist()
+    // phase isolation: drop ALL phase-2 caches — not just the Index
+    // datasets but also buildInMemory's persisted 400k-doc BuildRow set,
+    // whose old-gen residency showed up as multi-second GC noise in
+    // phase-3 timings — and size the shuffle for the catalog queries
+    // (32 cores), not for the 128-segment latency corpus
+    spark.sqlContext.clearCache()
+    System.gc()
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
