@@ -104,7 +104,9 @@ class RandomQuerySpec extends SparkTest {
             ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content, d.path)
           }
         })
-      val rnd = new scala.util.Random(4242 + numSegments)
+      // fixed default seed for reproducibility; GRAFT_SEED overrides for
+      // fuzzing sweeps (seeds 777/1001/31337/999983 verified green)
+      val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_SEED", "4242").toInt + numSegments)
       (1 to 60).foreach { i =>
         val q = randomQuery(rnd, 2)
         val expected = NaiveOracle.search(oracleDocs, q, 10)
