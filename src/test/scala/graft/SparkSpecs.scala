@@ -3,6 +3,8 @@ package graft
 import graft.build.{Datagen, IndexBuilder, InputDoc}
 import graft.exec.Searcher
 import graft.query.QueryParser
+import graft.query.{Query, TermQ, PhraseQ, PrefixQ, BoolQ, BoostQ, SynonymQ,
+  BlendedTermQ, CombinedFieldQ}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -217,6 +219,57 @@ class PartitionLocalBuildSpec extends SparkTest {
       val expected = NaiveOracle.search(oracle, QueryParser.parse(qs), 10)
       val got = Searcher.topK(serving, qs, 10).as[(Long, Float)].collect().toSeq
       assert(got == expected, s"serving query [$qs]")
+    }
+  }
+}
+
+/** Edge-shaped corpus differential: empty docs, single-token docs,
+  * exact duplicates, a very long doc (norm-byte saturation), and docs
+  * with empty paths — the norm/field boundary cases a uniform synthetic
+  * corpus never hits.
+  */
+class EdgeCorpusSpec extends SparkTest {
+  import spark.implicits._
+
+  test("edge corpus == oracle on term/phrase/fielded/combined shapes") {
+    val contents = Seq(
+      "",                                  // empty content (no norms row entry)
+      "solo",                              // 1-token doc
+      "dup dup dup",                       // repeated term
+      "alpha beta gamma", "alpha beta gamma", // exact duplicate docs
+      ("verylong " * 3000).trim,           // norm-byte saturation (3000 tokens)
+      "alpha", "beta solo alpha",
+      "the of to and a",                   // all-stopword-looking (kept: std mode has no stops)
+      "x"
+    )
+    val docs = contents.zipWithIndex.map { case (c, i) =>
+      // some docs share paths; one empty path (no path field)
+      val path = if (i == 3) "" else s"p${i % 3}/f$i.x"
+      InputDoc(i % 2, f"$i%04d", "r", path, i.toString, "en", c)
+    }
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val oracleDocs = NaiveOracle.fromContentsWithPath(
+      docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+        ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+          ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content, d.path)
+        }
+      })
+    val queries: Seq[Query] = Seq(
+      TermQ("solo"), TermQ("dup"), TermQ("verylong"), TermQ("alpha"),
+      PhraseQ(Seq("alpha", "beta")), PhraseQ(Seq("dup", "dup")),
+      PhraseQ(Seq("alpha", "beta", "alpha"), slop = 2),
+      TermQ("@path:p1"), TermQ("@path:x"), PrefixQ("@path:f"),
+      CombinedFieldQ("x", Seq(("content", 1f), ("path", 2f))),
+      CombinedFieldQ("alpha", Seq(("content", 2f), ("path", 1f))),
+      BoolQ(should = Seq(TermQ("solo"), TermQ("@path:p2")), minShouldMatch = 1),
+      BoostQ(PhraseQ(Seq("beta", "gamma")), 2f),
+      SynonymQ(Seq("alpha", "x")),
+      BlendedTermQ(Seq("dup", "solo"))
+    )
+    queries.foreach { q =>
+      val expected = NaiveOracle.search(oracleDocs, q, 10)
+      val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"edge [$q]:\n got=$got\n exp=$expected")
     }
   }
 }
