@@ -269,10 +269,17 @@ object CodeAnalyzer {
     out.toArray
   }
 
-  /** ASCII folding for the Latin-1 supplement
-    * (`lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java:74`
-    * restricted to the U+00C0..U+00FF block — the common accent range;
-    * the reference's full table covers many more scripts).
+  /** ASCII folding
+    * (`lucene/analysis/common/.../miscellaneous/ASCIIFoldingFilter.java:74`):
+    * the Latin-1 supplement is mapped by explicit table (including the
+    * non-decomposable Ø/Æ/Þ/ß cases); everything else >127 folds via
+    * Unicode NFD decomposition with combining marks stripped — which
+    * covers ALL precomposed letter-with-diacritic forms (Latin
+    * Extended-A/B, Vietnamese, etc.) that dominate the reference's
+    * generated table — plus explicit entries for the non-decomposable
+    * Extended-A multigraphs (Đ, Ħ, ı, Ĳ, ĸ, Ł, Œ, Ŧ, ſ). Characters
+    * with no ASCII fold pass through unchanged (same as the reference
+    * for unlisted codepoints).
     */
   def foldAscii(s: String): String = {
     var needs = false
@@ -282,6 +289,17 @@ object CodeAnalyzer {
     val sb = new java.lang.StringBuilder(s.length)
     s.foreach { c =>
       val f = c match {
+        // non-decomposable Latin Extended-A (+ a few B) multigraphs
+        case 'Đ' => "D"; case 'đ' => "d"
+        case 'Ħ' => "H"; case 'ħ' => "h"
+        case 'ı' => "i"
+        case 'Ĳ' => "IJ"; case 'ĳ' => "ij"
+        case 'ĸ' => "q" // kra (ASCIIFoldingFilter maps to q)
+        case 'Ł' => "L"; case 'ł' => "l"
+        case 'Ŀ' => "L"; case 'ŀ' => "l"
+        case 'Œ' => "OE"; case 'œ' => "oe"
+        case 'Ŧ' => "T"; case 'ŧ' => "t"
+        case 'ſ' => "s"
         case c if "ÀÁÂÃÄÅ".indexOf(c) >= 0 => "A"
         case 'Æ' => "AE"
         case 'Ç' => "C"
@@ -305,6 +323,12 @@ object CodeAnalyzer {
         case c if "ùúûü".indexOf(c) >= 0 => "u"
         case c if "ýÿ".indexOf(c) >= 0 => "y"
         case 'þ' => "th"
+        case other if other > 127 =>
+          // NFD: base letter + combining marks; strip the marks
+          val d = java.text.Normalizer.normalize(other.toString, java.text.Normalizer.Form.NFD)
+          val stripped = d.filter(ch => Character.getType(ch) != Character.NON_SPACING_MARK)
+          if (stripped.nonEmpty && stripped.forall(_ < 128)) stripped
+          else other.toString
         case other => other.toString
       }
       sb.append(f)

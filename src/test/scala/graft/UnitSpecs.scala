@@ -293,11 +293,21 @@ class AuxAnalysisSpec extends AnyFunSuite {
     assert(keywordTokenize("Foo Bar").toSeq == Seq(Token("foo bar", 0)))
     assert(keywordTokenize("").isEmpty)
   }
-  test("ASCII folding (Latin-1 block)") {
+  test("ASCII folding (Latin-1 table + NFD decomposition beyond)") {
     assert(foldAscii("café Überraschung São") == "cafe Uberraschung Sao")
     assert(foldAscii("straße") == "strasse")
     assert(foldAscii("Æon þing") == "AEon thing")
     assert(foldAscii("plain ascii") == "plain ascii")
+    // Latin Extended-A via NFD mark-stripping
+    assert(foldAscii("Čeština žluťoučký") == "Cestina zlutoucky")
+    assert(foldAscii("Ārmath Şehir") == "Arath Sehir".replace("Arath", "Armath")) // Ā->A, Ş->S
+    assert(foldAscii("İstanbul") == "Istanbul")
+    // non-decomposable Extended-A multigraphs
+    assert(foldAscii("Łódź đông Ħello ĳ Œuvre ſtreet") == "Lodz dong Hello ij OEuvre street")
+    // Vietnamese (Extended Additional, decomposes fully)
+    assert(foldAscii("Việt Nam") == "Viet Nam")
+    // characters with no ASCII fold pass through
+    assert(foldAscii("日本語") == "日本語")
   }
 }
 
