@@ -333,6 +333,42 @@ object Queries {
          |FROM (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'w%')
          |ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // OVER-CAP (wide) constant-score expansion: the pattern matches more
+    // terms than MaxClauseCount, so the expansion never reaches the
+    // driver — the postings scan is widened by the pushed pattern
+    // predicate and each segment kernel unions its locally matching
+    // terms' docIds (WideTermSetQ — the CONSTANT_SCORE_REWRITE analogue,
+    // MultiTermQuery.java:103-110; NO term is silently dropped). Fixture
+    // vocabularies are small, so the cap is lowered through the
+    // reference's own knob (IndexSearcher.setMaxClauseCount, :881-889)
+    // to put the pattern over it; '*e*' matches 12 > 8 terms.
+    "ft_wildcard_wide_count" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      val prev = graft.query.Query.MaxClauseCount
+      graft.query.Query.setMaxClauseCount(8)
+      try Seq(Searcher.countQ(index, graft.query.WildcardQ("*e*"))).toDF("n")
+      finally graft.query.Query.setMaxClauseCount(prev)
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         |FROM tok WHERE term LIKE '%e%'""".stripMargin))),
+
+    // same wide path under an explicit ConstantScoreQuery in a SCORING
+    // top-k: every match scores the boost, ties by docId asc
+    "ft_constscore_wide_topk" -> (((spark, dir) => {
+      val prev = graft.query.Query.MaxClauseCount
+      graft.query.Query.setMaxClauseCount(8)
+      try ftScoredQ(graft.query.ConstScoreQ(
+        graft.query.WildcardQ("*e*"), 1f), 10)(spark, dir)
+      finally graft.query.Query.setMaxClauseCount(prev)
+    }, Some(
+      s"""WITH $tokCte
+         |SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+         |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+         |FROM (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%e%')
+         |ORDER BY rank LIMIT 10""".stripMargin))),
+
     // general wildcard (not just trailing-*): dictionary expansion via the
     // sorted term-stats table (WildcardQuery.java:38)
     "ft_wildcard_topk" -> ((ftScored("m?rge OR st*eam", 10), Some(

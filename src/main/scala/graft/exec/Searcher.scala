@@ -62,12 +62,13 @@ object Searcher {
         .filter($"term" >= prefix && $"term".startsWith(prefix))
         .select($"term")
         .orderBy($"term")
-        .limit(Query.MaxClauseCount)
+        .limit(Query.MaxClauseCount + 1) // probe one past the cap: size > cap = overflow
         .as[String].collect().toSeq
     }
 
   /** Per-index rewrite cache (immutable snapshot, see Index.expansionCache). */
-  private def cachedExpansion(index: Index, key: String)(body: => Seq[String]): Seq[String] = {
+  private def cachedExpansion(index: Index, key0: String)(body: => Seq[String]): Seq[String] = {
+    val key = Query.MaxClauseCount + ":" + key0 // cap is settable; key per cap
     val c = index.expansionCache
     val hit = c.get(key)
     if (hit != null) hit
@@ -115,7 +116,7 @@ object Searcher {
       else d.filter($"term" >= pre && $"term".startsWith(pre))
     base.filter($"term".rlike(wildcardRegex(pattern)))
       .select($"term").orderBy($"term")
-      .limit(Query.MaxClauseCount)
+      .limit(Query.MaxClauseCount + 1)
       .as[String].collect().toSeq
   }
 
@@ -128,7 +129,7 @@ object Searcher {
       dict(index, pattern.startsWith("@"))
         .filter($"term".rlike(s"^(?:$pattern)$$"))
         .select($"term").orderBy($"term")
-        .limit(Query.MaxClauseCount)
+        .limit(Query.MaxClauseCount + 1)
         .as[String].collect().toSeq
     }
 
@@ -216,7 +217,7 @@ object Searcher {
       dict(index, lo.startsWith("@"))
         .filter($"term" >= lo && $"term" <= hi)
         .select($"term").orderBy($"term")
-        .limit(Query.MaxClauseCount)
+        .limit(Query.MaxClauseCount + 1)
         .as[String].collect().toSeq
     }
 
@@ -251,26 +252,59 @@ object Searcher {
     }, 0.01f.toDouble)
   }
 
+  /** The wide (constant-score) form of a multi-term query — see
+    * [[graft.query.WideTermSetQ]].
+    */
+  private def wideOf(q: Query): WideTermSetQ = q match {
+    case PrefixQ(p) => WideTermSetQ("prefix", p)
+    case WildcardQ(p) => WideTermSetQ("wildcard", p)
+    case RegexpQ(p) => WideTermSetQ("regexp", p)
+    case TermRangeQ(lo, hi) => WideTermSetQ("range", lo, hi)
+    case other => throw new IllegalArgumentException(other.toString)
+  }
+
+  private def patternOf(q: Query): String = q match {
+    case PrefixQ(p) => p + "*"
+    case WildcardQ(p) => p
+    case RegexpQ(p) => p
+    case TermRangeQ(lo, hi) => s"[$lo TO $hi]"
+    case other => other.toString
+  }
+
+  /** Substitute expansion results into the tree. `nonScoring` marks
+    * constant-score contexts (ConstScoreQ inner, FILTER / MUST_NOT
+    * clauses, or a count/docs execution): there an over-cap expansion
+    * degrades to the executor-side [[WideTermSetQ]] constant-score match
+    * (reference CONSTANT_SCORE_REWRITE, never throws, never truncates);
+    * in a scoring context it throws [[Query.TooManyClauses]] like the
+    * reference's scoring-boolean rewrites
+    * (`core/search/IndexSearcher.java:873,891`).
+    */
   private def substituteExpansions(
       q: Query,
       exp: Map[Query, Seq[String]],
-      fuzzyExp: Map[Query, Query]
+      fuzzyExp: Map[Query, Query],
+      nonScoring: Boolean
   ): Query = q match {
     case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | TermRangeQ(_, _) =>
       exp.getOrElse(q, Nil) match {
         case Nil => MatchNone
+        case ts if ts.size > Query.MaxClauseCount =>
+          if (nonScoring) wideOf(q) else throw new Query.TooManyClauses(patternOf(q))
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
     case f: FuzzyQ => fuzzyExp.getOrElse(f, MatchNone)
     case b: BlendedTermQ => fuzzyExp.getOrElse(b, MatchNone)
     case BoolQ(m, s, n, msm, fl) =>
-      BoolQ(m.map(substituteExpansions(_, exp, fuzzyExp)),
-        s.map(substituteExpansions(_, exp, fuzzyExp)),
-        n.map(substituteExpansions(_, exp, fuzzyExp)), msm,
-        fl.map(substituteExpansions(_, exp, fuzzyExp)))
-    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(substituteExpansions(_, exp, fuzzyExp)), tb)
-    case ConstScoreQ(inner, b) => ConstScoreQ(substituteExpansions(inner, exp, fuzzyExp), b)
-    case BoostQ(inner, b) => BoostQ(substituteExpansions(inner, exp, fuzzyExp), b)
+      BoolQ(m.map(substituteExpansions(_, exp, fuzzyExp, nonScoring)),
+        s.map(substituteExpansions(_, exp, fuzzyExp, nonScoring)),
+        n.map(substituteExpansions(_, exp, fuzzyExp, nonScoring = true)), msm,
+        fl.map(substituteExpansions(_, exp, fuzzyExp, nonScoring = true)))
+    case DisMaxQ(cs, tb) =>
+      DisMaxQ(cs.map(substituteExpansions(_, exp, fuzzyExp, nonScoring)), tb)
+    case ConstScoreQ(inner, b) =>
+      ConstScoreQ(substituteExpansions(inner, exp, fuzzyExp, nonScoring = true), b)
+    case BoostQ(inner, b) => BoostQ(substituteExpansions(inner, exp, fuzzyExp, nonScoring), b)
     case other => other
   }
 
@@ -310,17 +344,23 @@ object Searcher {
   def topK(index: Index, queryStr: String, k: Int, doubleMode: Boolean = false): DataFrame =
     topKQ(index, QueryParser.parse(queryStr), k, doubleMode)
 
-  /** Planned query: rewritten + expanded tree, its scorer table, and the
-    * terms whose postings the kernel will scan. The reference analogue is
-    * the rewritten `Query` + `Weight` pair (`IndexSearcher.java:866,971`).
+  /** Planned query: rewritten + expanded tree, its scorer table, the
+    * terms whose postings the kernel will scan, and any wide (over-cap)
+    * expansion patterns whose matching terms stay executor-side. The
+    * reference analogue is the rewritten `Query` + `Weight` pair
+    * (`IndexSearcher.java:866,971`).
     */
-  final case class Plan(query: Query, scorers: Scorers, terms: Set[String])
+  final case class Plan(query: Query, scorers: Scorers, terms: Set[String],
+      wide: Seq[WideTermSetQ] = Nil)
 
   /** Rewrite, expand multi-term queries, gather stats, build scorers.
-    * Returns None when the query can match nothing.
+    * Returns None when the query can match nothing. `scoring = false`
+    * (count / docs executions) treats the whole tree as a non-scoring
+    * context, so over-cap expansions go wide instead of throwing — the
+    * result SET of a wide match equals the scoring disjunction's.
     */
   def plan(index: Index, query0: Query, doubleMode: Boolean,
-      sim: SimilarityFactory = BM25Sim): Option[Plan] = {
+      sim: SimilarityFactory = BM25Sim, scoring: Boolean = true): Option[Plan] = {
     import index.postings.sparkSession.implicits._
 
     // 1. rewrite + multi-term expansion (prefix / wildcard / regexp /
@@ -337,11 +377,12 @@ object Searcher {
     val fuzzyExp: Map[Query, Query] =
       Query.fuzzies(pre).map(f => (f: Query) -> expandFuzzyBlended(index, f)).toMap ++
         Query.blendeds(pre).map(b => (b: Query) -> rewriteBlended(index, b)).toMap
-    val query = Query.rewrite(substituteExpansions(pre, exp, fuzzyExp))
+    val query = Query.rewrite(substituteExpansions(pre, exp, fuzzyExp, nonScoring = !scoring))
 
     if (query == MatchNone) return None
+    val wide = Query.wides(query).toSeq
     val terms = Query.literalTerms(query)
-    if (terms.isEmpty) return None
+    if (terms.isEmpty && wide.isEmpty) return None
 
     // fields touched by the query (per-field collection stats live in the
     // `@norms:F` rows' df/ttf); CombinedFieldQ additionally needs the
@@ -425,7 +466,30 @@ object Searcher {
         field = graft.build.IndexBuilder.fieldOf(b.term))).toMap,
       cfs.map(cf => cf -> combinedScorer(cf)).toMap
     )
-    Some(Plan(query, scorers, terms ++ normsScanTerms))
+    Some(Plan(query, scorers, terms ++ normsScanTerms, wide))
+  }
+
+  /** Pushed-scan predicate of a wide expansion: prefix/range prune on the
+    * sorted `term` column (parquet min/max pruning), regex post-filter
+    * codegen'd — the scan-side half of the constant-score rewrite.
+    */
+  private def wideScanPred(w: WideTermSetQ): org.apache.spark.sql.Column = {
+    val term = col("term")
+    val nsGuard =
+      if (w.a.startsWith(graft.build.IndexBuilder.FieldPrefix))
+        lit(true) // anchored by its own literal prefix
+      else !term.startsWith(graft.build.IndexBuilder.KeywordPrefix) &&
+        !term.startsWith(graft.build.IndexBuilder.FieldPrefix)
+    val body = w.kind match {
+      case "prefix" => term >= w.a && term.startsWith(w.a)
+      case "range" => term >= w.a && term <= w.b
+      case "wildcard" =>
+        val pre = w.a.takeWhile(c => c != '*' && c != '?')
+        val rl = term.rlike(wildcardRegex(w.a))
+        if (pre.isEmpty) rl else term >= pre && term.startsWith(pre) && rl
+      case _ => term.rlike(s"^(?:${w.a})$$")
+    }
+    nsGuard && body
   }
 
   /** Run a per-segment kernel body over the plan's terms' posting rows.
@@ -440,11 +504,15 @@ object Searcher {
     */
   private def perSegment[T: org.apache.spark.sql.Encoder](
       index: Index, terms: Set[String],
-      onlySeg: Int = -1, skipSeg: Int = -1)(
+      onlySeg: Int = -1, skipSeg: Int = -1,
+      wide: Seq[WideTermSetQ] = Nil)(
       body: (Int, Iterator[PostingList]) => Iterator[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    var scan = index.postings.filter($"term".isin(terms.toSeq: _*))
+    val basePred =
+      if (terms.isEmpty) lit(false) else $"term".isin(terms.toSeq: _*)
+    val pred = wide.foldLeft(basePred)((p, w) => p || wideScanPred(w))
+    var scan = index.postings.filter(pred)
     if (onlySeg >= 0) scan = scan.filter($"seg" === onlySeg)
     if (skipSeg >= 0) scan = scan.filter($"seg" =!= skipSeg)
     val rows = scan.as[PostingList]
@@ -487,7 +555,7 @@ object Searcher {
     var floor = Double.NegativeInfinity
     var primedRows: Seq[ScoredDocD] = Nil
     var primedSeg = -1
-    if (primeThreshold) {
+    if (primeThreshold && pl.wide.isEmpty) {
       val bySeg = index.postings
         .filter($"term".isin(pl.terms.toSeq: _*))
         .groupBy($"seg").agg(sum($"df").as("c"))
@@ -508,7 +576,7 @@ object Searcher {
     val skipSeg = primedSeg
 
     // 3. per-segment kernels over the pruned postings scan
-    val fanout = perSegment(index, pl.terms, skipSeg = skipSeg) { (seg, rows) =>
+    val fanout = perSegment(index, pl.terms, skipSeg = skipSeg, wide = pl.wide) { (seg, rows) =>
       SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
           floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
           floor = fl)
@@ -537,14 +605,14 @@ object Searcher {
   def countQ(index: Index, query0: Query): Long = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val pl = plan(index, query0, doubleMode = true) match {
+    val pl = plan(index, query0, doubleMode = true, scoring = false) match {
       case None => return 0L
       case Some(p) => p
     }
     val scorers = pl.scorers
     val q = pl.query
     val live = index.liveFilter
-    perSegment(index, pl.terms) { (seg, rows) =>
+    perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
       Iterator.single(
         SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg))
     }
@@ -558,14 +626,14 @@ object Searcher {
   def matchingDocs(index: Index, query0: Query): org.apache.spark.sql.Dataset[java.lang.Long] = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val pl = plan(index, query0, doubleMode = true) match {
+    val pl = plan(index, query0, doubleMode = true, scoring = false) match {
       case None => return spark.emptyDataset[java.lang.Long]
       case Some(p) => p
     }
     val scorers = pl.scorers
     val q = pl.query
     val live = index.liveFilter
-    perSegment(index, pl.terms) { (seg, rows) =>
+    perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
       SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
         .map(java.lang.Long.valueOf)
     }
@@ -753,6 +821,35 @@ object SegmentKernel {
         scorers.phrase(slots.flatten)))
     case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
       None // expanded before kernel
+    case w: WideTermSetQ =>
+      // CONSTANT_SCORE_REWRITE kernel half (`core/search/MultiTermQuery
+      // .java:103-110`): visit each locally matching term, mark all its
+      // docs — the sorted distinct docId array is the per-segment bitset
+      // analogue. Bounded by the segment's postings for the pattern;
+      // scores 0 (callers wrap with ConstScore/filter semantics).
+      val lists = byTerm.iterator.collect { case (t, pl) if w.matches(t) => pl }.toArray
+      if (lists.isEmpty) None
+      else {
+        var total = 0
+        val decoded = lists.map { pl =>
+          val d = graft.codec.PostingCodec.decodeAll(pl, withPositions = false)
+          total += d.docIds.length
+          d
+        }
+        val all = new Array[Long](total)
+        var o = 0
+        decoded.foreach { d =>
+          System.arraycopy(d.docIds, 0, all, o, d.docIds.length); o += d.docIds.length
+        }
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        Some(new SortedDocsCursor(java.util.Arrays.copyOf(all, n)))
+      }
     case DocSetQ(ids) =>
       if (ids.isEmpty) None
       else Some(new SortedDocsCursor(ids.toArray.sorted))

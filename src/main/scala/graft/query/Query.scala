@@ -63,6 +63,45 @@ final case class BoostTermQ(term: String, boost: Float, df: Long, boostD: Double
 /** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
 final case class TermRangeQ(lo: String, hi: String) extends Query
 
+/** A multi-term expansion too wide for a scoring boolean (>
+  * [[Query.MaxClauseCount]] matching terms), kept EXECUTOR-SIDE as a
+  * constant-score term-set match — the
+  * `MultiTermQueryConstantScoreWrapper` analogue
+  * (`core/search/MultiTermQuery.java:103-110`, CONSTANT_SCORE_REWRITE:
+  * "visiting each term in sequence and marking all docs for that term
+  * ... never hit an errant TooManyClauses"). The node carries the
+  * PATTERN, not the terms: the planner widens the postings scan with the
+  * pattern's pushed predicate and each segment kernel unions the docIds
+  * of its locally matching terms into a bitset-style sorted cursor — no
+  * driver collect, no truncation, bounded by the segment's postings.
+  *
+  * `kind` in {"prefix", "wildcard", "regexp", "range"}; `a`/`b` are the
+  * pattern (and upper bound for "range").
+  */
+final case class WideTermSetQ(kind: String, a: String, b: String = "") extends Query {
+  /** Same namespace rules as the planner's dictionary view: '#' keyword
+    * pseudo-terms never match; '@' field/norms pseudo-terms only match a
+    * '@'-anchored pattern (which restricts itself by its literal prefix).
+    */
+  def matches(term: String): Boolean = {
+    if (term.startsWith(graft.build.IndexBuilder.KeywordPrefix)) return false
+    if (!a.startsWith(graft.build.IndexBuilder.FieldPrefix) &&
+      term.startsWith(graft.build.IndexBuilder.FieldPrefix)) return false
+    kind match {
+      case "prefix" => term.startsWith(a)
+      case "range" => term >= a && term <= b
+      case _ => pattern.matcher(term).matches()
+    }
+  }
+
+  @transient private lazy val pattern: java.util.regex.Pattern = kind match {
+    case "wildcard" =>
+      java.util.regex.Pattern.compile(graft.exec.Searcher.wildcardRegex(a))
+    case "regexp" => java.util.regex.Pattern.compile(s"^(?:$a)$$")
+    case _ => null
+  }
+}
+
 /** Standalone BlendedTermQuery (`core/search/BlendedTermQuery.java:37,282-291`
   * with the default DisjunctionMaxRewrite(0.01f) — `:120-138`): every
   * term is scored as if it had the MAX df over the group (degree
@@ -137,9 +176,28 @@ final case class BoolQ(
 object Query {
 
   /** Max clause count after multi-term expansion —
-    * `core/search/IndexSearcher.java:873,891`.
+    * `core/search/IndexSearcher.java:873,891`. Settable like the
+    * reference's `IndexSearcher.setMaxClauseCount` (`:881-889`); the
+    * default matches the reference's 1024.
     */
-  val MaxClauseCount = 1024
+  @volatile private var maxClauses: Int = 1024
+  def MaxClauseCount: Int = maxClauses
+  def setMaxClauseCount(n: Int): Unit = {
+    require(n >= 1, "maxClauseCount must be >= 1")
+    maxClauses = n
+  }
+
+  /** Thrown when a SCORING multi-term rewrite expands past
+    * [[MaxClauseCount]] — `IndexSearcher.TooManyClauses`
+    * (`core/search/IndexSearcher.java:860-875`). Constant-score /
+    * non-scoring contexts never throw: they route through
+    * [[WideTermSetQ]] instead, like the reference's
+    * CONSTANT_SCORE_REWRITE.
+    */
+  final class TooManyClauses(pattern: String)
+      extends RuntimeException(
+        s"maxClauseCount is set to $maxClauses; scoring rewrite of '$pattern' exceeds it " +
+          "(wrap in a constant-score / filter context for an unbounded match)")
 
   /** Logical rewrite to fixpoint — re-implementation of the reference's
     * `Query.rewrite` loop (`core/search/IndexSearcher.java:866-875`) and
@@ -287,6 +345,12 @@ object Query {
   /** Standalone blended-term nodes (df blending needs live stats). */
   def blendeds(q: Query): Set[BlendedTermQ] =
     collect[BlendedTermQ](q) { case b: BlendedTermQ => Set(b) }
+
+  /** Wide (over-cap) constant-score expansions (scan widened by their
+    * pushed pattern predicate — no driver-side term list exists).
+    */
+  def wides(q: Query): Set[WideTermSetQ] =
+    collect[WideTermSetQ](q) { case w: WideTermSetQ => Set(w) }
 }
 
 /** Tiny recursive-descent parser for the reference query-set syntax:

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
 class MergeSpec extends SparkTest {
   import spark.implicits._
 
+  // "ident_23*" stays under MaxClauseCount (the old "ident_2*" matched
+  // >1024 terms — with the r4 overflow semantics a scoring prefix that
+  // wide correctly throws TooManyClauses; the wide constant-score path
+  // is asserted separately below via the count path)
   private val queries = Seq(
     "def", "needle_0", "def AND class", "val OR needle_1",
-    "ident_17 AND NOT ident_23", "\"class camelCaseName7\"", "ident_2*")
+    "ident_17 AND NOT ident_23", "\"class camelCaseName7\"", "ident_23*")
 
   test("forceMerge preserves results under docId remap; CheckIndex clean; salt split works") {
     val src = Datagen.corpus(spark, 900, seed = 21L)
@@ -47,6 +51,10 @@ class MergeSpec extends SparkTest {
         val got = Searcher.topK(merged, qs, 10).as[(Long, Float)].collect().toSeq
         assert(got == base, s"query [$qs] cap=$cap")
       }
+      // over-cap (wide) expansion survives the merge: "ident_2*" matches
+      // >1024 terms, so the count path routes through WideTermSetQ
+      assert(Searcher.countQ(merged, graft.query.PrefixQ("ident_2")) ==
+        Searcher.countQ(index, graft.query.PrefixQ("ident_2")), s"wide count cap=$cap")
       merged.postings.unpersist()
     }
   }

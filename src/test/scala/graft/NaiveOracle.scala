@@ -81,7 +81,10 @@ object NaiveOracle {
     freq
   }
 
-  def search(docs: Seq[Doc], q0: Query, k: Int): Seq[(Long, Float)] = {
+  def search(docs: Seq[Doc], q0: Query, k: Int): Seq[(Long, Float)] =
+    search(docs, q0, k, scoring = true)
+
+  def search(docs: Seq[Doc], q0: Query, k: Int, scoring: Boolean): Seq[(Long, Float)] = {
     val fs = FieldStats(docs.size.toLong, docs.map(_.tokens.length.toLong).sum)
     // path-field collection stats: docCount = docs WITH the field
     val fsPath = FieldStats(
@@ -96,19 +99,23 @@ object NaiveOracle {
     def dictFor(pattern: String): Seq[String] =
       if (pattern.startsWith("@")) vocabSorted else vocabSorted.filterNot(_.startsWith("@"))
 
-    // expand multi-term queries like the engine (sorted, capped)
-    def expand(q: Query): Query = q match {
+    // expand multi-term queries like the engine (sorted; over-cap in a
+    // scoring context throws TooManyClauses, in a non-scoring context the
+    // FULL term set is used — the WideTermSetQ / CONSTANT_SCORE_REWRITE
+    // semantics, where no term is ever dropped)
+    def expanded(ts: Seq[String], pattern: String, ns: Boolean): Query =
+      if (ts.isEmpty) MatchNone
+      else if (ts.size > Query.MaxClauseCount && !ns) throw new Query.TooManyClauses(pattern)
+      else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+    def expand(q: Query, ns: Boolean): Query = q match {
       case PrefixQ(p) =>
-        val ts = dictFor(p).filter(_.startsWith(p)).take(Query.MaxClauseCount)
-        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+        expanded(dictFor(p).filter(_.startsWith(p)), p, ns)
       case WildcardQ(p) =>
         val re = graft.exec.Searcher.wildcardRegex(p).r
-        val ts = dictFor(p).filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
-        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+        expanded(dictFor(p).filter(t => re.findFirstIn(t).isDefined), p, ns)
       case RegexpQ(p) =>
         val re = s"^(?:$p)$$".r
-        val ts = dictFor(p).filter(t => re.findFirstIn(t).isDefined).take(Query.MaxClauseCount)
-        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+        expanded(dictFor(p).filter(t => re.findFirstIn(t).isDefined), p, ns)
       case FuzzyQ(t0, e, maxExp) =>
         // blended top-n rewrite (FuzzyQuery.java:34,60; FuzzyTermsEnum
         // boost); fielded fuzzy matches within the field's namespace with
@@ -134,8 +141,7 @@ object NaiveOracle {
             minShouldMatch = 1)
         }
       case TermRangeQ(lo, hi) =>
-        val ts = dictFor(lo).filter(v => v >= lo && v <= hi).take(Query.MaxClauseCount)
-        if (ts.isEmpty) MatchNone else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
+        expanded(dictFor(lo).filter(v => v >= lo && v <= hi), s"[$lo TO $hi]", ns)
       case BlendedTermQ(ts, boosts) =>
         // BlendedTermQuery.java:270-300 + DisjunctionMaxRewrite(0.01f)
         val dfMax = (0L +: ts.map(t => vocabDf.getOrElse(t, 0L))).max
@@ -144,13 +150,14 @@ object NaiveOracle {
           BoostTermQ(t, if (boosts.isDefinedAt(i)) boosts(i) else 1f, dfMax)
         }, 0.01f.toDouble)
       case BoolQ(m, s, n, msm, f) =>
-        BoolQ(m.map(expand), s.map(expand), n.map(expand), msm, f.map(expand))
-      case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand), tb)
-      case ConstScoreQ(inner, b) => ConstScoreQ(expand(inner), b)
-      case BoostQ(inner, b) => BoostQ(expand(inner), b)
+        BoolQ(m.map(expand(_, ns)), s.map(expand(_, ns)),
+          n.map(expand(_, ns = true)), msm, f.map(expand(_, ns = true)))
+      case DisMaxQ(cs, tb) => DisMaxQ(cs.map(expand(_, ns)), tb)
+      case ConstScoreQ(inner, b) => ConstScoreQ(expand(inner, ns = true), b)
+      case BoostQ(inner, b) => BoostQ(expand(inner, ns), b)
       case other => other
     }
-    val q = Query.rewrite(expand(Query.rewrite(q0)))
+    val q = Query.rewrite(expand(Query.rewrite(q0), ns = !scoring))
 
     def scorer(t: String): BM25.TermScorer =
       BM25.termScorer(TermStats(t, vocabDf.getOrElse(t, 0L), 0L), fsOf(t))
@@ -281,7 +288,9 @@ object NaiveOracle {
     hits.sortBy { case (id, s) => (-s, id) }.take(k)
   }
 
-  /** All matching docIds, sorted — the unscored count/docs-path oracle. */
+  /** All matching docIds, sorted — the unscored count/docs-path oracle
+    * (non-scoring context: over-cap expansions use the full term set).
+    */
   def matchingDocs(docs: Seq[Doc], q0: Query): Seq[Long] =
-    search(docs, q0, Int.MaxValue).map(_._1).sorted
+    search(docs, q0, Int.MaxValue, scoring = false).map(_._1).sorted
 }

@@ -323,6 +323,75 @@ class ClassicSimSpec extends SparkTest {
   }
 }
 
+/** Over-cap multi-term expansion (> MaxClauseCount matching terms):
+  * scoring rewrites throw TooManyClauses like the reference
+  * (`core/search/IndexSearcher.java:873,891`); constant-score / FILTER /
+  * count contexts route through the executor-side WideTermSetQ path
+  * (CONSTANT_SCORE_REWRITE, `core/search/MultiTermQuery.java:103-110`) —
+  * no driver collect of the term list, NO term ever silently dropped.
+  * The corpus has 2400 distinct `w`-prefixed terms (> the 1024 cap).
+  */
+class WideExpansionSpec extends SparkTest {
+  import spark.implicits._
+  import graft.query._
+
+  private lazy val docs = (0 until 600).map { i =>
+    val toks = (0 until 4).map(j => f"w${4 * i + j}%05d").mkString(" ")
+    InputDoc(i % 3, f"$i%04d", "r", s"p/f$i", i.toString, "en",
+      s"$toks common${i % 7} anchor")
+  }
+  private lazy val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+  private lazy val oracle = NaiveOracle.fromContents(
+    docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+      ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+        ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content)
+      }
+    })
+
+  test("scoring rewrite past the cap throws TooManyClauses (engine and oracle agree)") {
+    assert(Query.MaxClauseCount == 1024)
+    intercept[Query.TooManyClauses] { Searcher.topKQ(index, PrefixQ("w"), 10).collect() }
+    intercept[Query.TooManyClauses] { NaiveOracle.search(oracle, PrefixQ("w"), 10) }
+    intercept[Query.TooManyClauses] { Searcher.topKQ(index, WildcardQ("w*"), 10).collect() }
+  }
+
+  test("constant-score wide expansion matches ALL terms, == oracle") {
+    val shapes: Seq[Query] = Seq(
+      ConstScoreQ(PrefixQ("w"), 1f),
+      ConstScoreQ(WildcardQ("w*"), 2f),
+      ConstScoreQ(TermRangeQ("w00000", "w01199"), 1f),
+      // wide FILTER clause restricting a scored term (docs 0..299 only)
+      BoolQ(must = Seq(TermQ("common1")),
+        filter = Seq(TermRangeQ("w00000", "w01199"))),
+      // wide MUST_NOT clause
+      BoolQ(must = Seq(TermQ("common2")),
+        mustNot = Seq(TermRangeQ("w00000", "w01199")))
+    )
+    shapes.foreach { q =>
+      val expected = NaiveOracle.search(oracle, q, 20)
+      val got = Searcher.topKQ(index, q, 20).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"wide [$q]:\n got=$got\n exp=$expected")
+    }
+  }
+
+  test("count / docs paths go wide (non-scoring), never throw, == oracle") {
+    assert(Searcher.countQ(index, PrefixQ("w")) == 600L)
+    assert(Searcher.countQ(index, BoolQ(must = Seq(TermQ("common1")),
+      filter = Seq(TermRangeQ("w00000", "w01199")))) ==
+      NaiveOracle.matchingDocs(oracle, BoolQ(must = Seq(TermQ("common1")),
+        filter = Seq(TermRangeQ("w00000", "w01199")))).size.toLong)
+    val got = Searcher.matchingDocs(index, WildcardQ("w*9"))
+      .collect().map(_.toLong).toSeq.sorted
+    assert(got == NaiveOracle.matchingDocs(oracle, WildcardQ("w*9")))
+  }
+
+  test("under-cap expansions keep the scoring boolean path") {
+    val expected = NaiveOracle.search(oracle, PrefixQ("common"), 10)
+    val got = Searcher.topKQ(index, PrefixQ("common"), 10).as[(Long, Float)].collect().toSeq
+    assert(got == expected)
+  }
+}
+
 /** Resumable build: kill-and-resume semantics via the per-segment
   * manifest (north rule; reference analogue `SegmentInfos` generations).
   */
