@@ -59,18 +59,17 @@ final case class BuildRow(
 
 /** In-memory (or Parquet-backed) index handle.
   *
-  * `liveFilter` is the per-segment tombstone view: seg -> sorted deleted
-  * docIds (the liveDocs analogue,
-  * `core/codecs/lucene90/Lucene90LiveDocsFormat.java:49`); empty = no
-  * deletes. Kernels exclude these docs; `docmeta` is already tombstone-
-  * filtered by [[IndexBuilder.open]].
+  * `live` is the per-segment tombstone view (the liveDocs analogue,
+  * `core/codecs/lucene90/Lucene90LiveDocsFormat.java:49`): sidecar files
+  * loaded lazily EXECUTOR-side — see [[LiveDocs]]. Kernels exclude these
+  * docs; `docmeta` is already tombstone-filtered by [[IndexBuilder.open]].
   */
 final class Index(
     val postings: Dataset[PostingList],
     val docmeta: Dataset[DocMeta],
     val termStats: Dataset[TermStats],
     val fieldStats: FieldStats,
-    val liveFilter: Map[Int, Array[Long]] = Map.empty,
+    val live: LiveDocs = NoDeletes,
     /** True when `postings`' PHYSICAL partitioning co-locates every row of
       * a segment (the groupByKey(seg) build shuffle guarantees it, and
       * narrow ops preserve it). Queries then run their kernels in
@@ -634,7 +633,7 @@ object IndexBuilder {
     * they were computed for exactly this set (a crash between manifest
     * writes and the stats refresh must not leave stale stats behind).
     */
-  private def manifestSetHash(dir: String): String =
+  private[build] def manifestSetHash(dir: String): String =
     sha256Hex(listManifests(dir)
       .map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}").sorted.mkString("|")).take(16)
 
@@ -686,17 +685,17 @@ object IndexBuilder {
     else Some(spark.read.parquet(tombstoneDir(dir)).distinct())
   }
 
-  /** Resolve tombstone keys to per-segment sorted deleted docIds. The
-    * collect is bounded by the live delete count — bulk deletions are
-    * expected to be compacted away by merges (like the reference, where
-    * merges drop deleted docs).
+  /** Fingerprint of the on-disk tombstone file set (names + sizes) —
+    * with the live manifest set it keys the resolved livedocs sidecars:
+    * either changing forces one distributed re-resolution, otherwise
+    * opens reuse the cached sidecars with no job at all.
     */
-  private def resolveDeleted(docmeta: Dataset[DocMeta], tombs: DataFrame): Map[Int, Array[Long]] = {
-    val spark = docmeta.sparkSession
-    import spark.implicits._
-    docmeta.join(tombs, Seq("repo", "path", "commit"), "left_semi")
-      .select($"docId").as[Long].collect()
-      .groupBy(segOf).map { case (seg, ids) => seg -> ids.sorted }
+  private[build] def tombstoneSetKey(dir: String): String = {
+    val d = new java.io.File(tombstoneDir(dir))
+    val files = if (!d.exists() || d.listFiles() == null) Seq.empty
+      else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getName}:${f.length}").sorted
+    sha256Hex(files.mkString("|")).take(16)
   }
 
   /** Open a persistent index. `docmeta` excludes tombstoned docs;
@@ -724,11 +723,16 @@ object IndexBuilder {
       .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256", $"tokenCount", $"norm")
       .as[DocMeta]
     val (docmeta, live) = readTombstones(spark, dir) match {
-      case None => (docmeta0, Map.empty[Int, Array[Long]])
+      case None => (docmeta0, NoDeletes: LiveDocs)
       case Some(tombs) =>
-        val deleted = resolveDeleted(docmeta0, tombs)
-        if (deleted.isEmpty) (docmeta0, deleted)
-        else (docmeta0.join(tombs, Seq("repo", "path", "commit"), "left_anti").as[DocMeta], deleted)
+        // executor-side delete application: tombstones resolve to
+        // per-segment sidecar files read lazily by kernels/merges —
+        // the deleted ids NEVER pass through the driver (liveDocs model)
+        val scope = sha256Hex(
+          "open:" + tombstoneSetKey(dir) + ":" + manifestSetHash(dir)).take(16)
+        val ld = LiveDocs.resolve(spark, dir, scope, docmeta0.toDF(), tombs)
+        if (ld.isEmpty) (docmeta0, ld)
+        else (docmeta0.join(tombs, Seq("repo", "path", "commit"), "left_anti").as[DocMeta], ld)
     }
     val termStats = spark.read.parquet(s"$dir/stats/terms").as[TermStats]
     val fsJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/stats/field.json"))

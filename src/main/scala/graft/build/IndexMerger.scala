@@ -27,25 +27,29 @@ object IndexMerger {
 
   /** Deletion-aware order-preserving docId remap (`MergeState.DocMap`):
     * newDocId = (newSeg << shift) | (base(oldSeg) + ord - deletedBelow).
-    * `deleted` holds the tombstoned docIds per old segment (sorted).
+    * `deleted` is the lazy per-segment liveDocs view — merge tasks load
+    * only THEIR segments' sorted sidecar arrays, executor-side (the
+    * driver ships the tiny manifest, never the ids).
     */
   final class DocMap(
       bases: Map[Int, Long],
-      deleted: Map[Int, Array[Long]],
+      deleted: LiveDocs,
       newSeg: Int
   ) extends Serializable {
-    def isDeleted(docId: Long): Boolean =
-      deleted.get(IndexBuilder.segOf(docId))
-        .exists(arr => java.util.Arrays.binarySearch(arr, docId) >= 0)
+    def isDeleted(docId: Long): Boolean = {
+      val arr = deleted.deleted(IndexBuilder.segOf(docId))
+      arr != null && java.util.Arrays.binarySearch(arr, docId) >= 0
+    }
 
     def remap(docId: Long): Long = {
       val seg = IndexBuilder.segOf(docId)
-      val below = deleted.get(seg) match {
-        case None => 0
-        case Some(arr) =>
+      val arr = deleted.deleted(seg)
+      val below =
+        if (arr == null) 0
+        else {
           val i = java.util.Arrays.binarySearch(arr, docId)
           if (i >= 0) i else -(i + 1)
-      }
+        }
       (newSeg.toLong << IndexBuilder.SegShift) |
         (bases(seg) + IndexBuilder.ordOf(docId) - below)
     }
@@ -176,7 +180,7 @@ object IndexMerger {
     val perSeg = index.docmeta
       .select(shiftright(col("docId"), IndexBuilder.SegShift).cast("int").as("seg"))
       .groupBy($"seg").count().as[(Int, Long)].collect().toSeq
-    val dm = new DocMap(basesOf(perSeg), index.liveFilter, newSeg = 0)
+    val dm = new DocMap(basesOf(perSeg), index.live, newSeg = 0)
 
     val docmeta2 = index.docmeta.map(m => m.copy(docId = dm.remap(m.docId)))
 
@@ -253,11 +257,16 @@ object IndexMerger {
     val metas0 = raw.filter($"kind" === "m")
     val tombs = IndexBuilder.readTombstones(spark, dir)
     val (metas, deleted) = tombs match {
-      case None => (metas0, Map.empty[Int, Array[Long]])
+      case None => (metas0, NoDeletes: LiveDocs)
       case Some(t) =>
-        val del = metas0.join(t, Seq("repo", "path", "commit"), "left_semi")
-          .select($"docId").as[Long].collect()
-          .groupBy(IndexBuilder.segOf).map { case (s, ids) => s -> ids.sorted }
+        // executor-side delete application, scoped to this merge group:
+        // sidecars are written by a distributed job and read lazily by
+        // the merge tasks — no driver collect of deleted ids
+        val scope = IndexBuilder.sha256Hex("merge:" +
+          IndexBuilder.tombstoneSetKey(dir) + ":" +
+          manifests.map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}")
+            .sorted.mkString("|")).take(16)
+        val del = LiveDocs.resolve(spark, dir, scope, metas0, t)
         (metas0.join(t, Seq("repo", "path", "commit"), "left_anti"), del)
     }
 

@@ -1,0 +1,164 @@
+package graft.build
+
+import graft.model.DocMeta
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-segment deleted-docId view — the liveDocs analogue
+  * (`core/codecs/lucene90/Lucene90LiveDocsFormat.java:49`: one bitset
+  * file per segment, read SEGMENT-SIDE by each leaf reader, never
+  * collected anywhere central).
+  *
+  * The engine's restatement: deletions resolve to one sorted docId
+  * sidecar file per affected segment (written executor-side by a
+  * distributed job, see [[LiveDocs.resolve]]); kernels and merges load
+  * ONLY their own segment's sidecar, lazily, executor-side. The driver
+  * ships the tiny (seg -> count) manifest with the closure — never the
+  * ids. At 10^9+ deletes the driver holds nothing; each executor holds
+  * at most the deletes of the segments it is processing, the same bound
+  * the reference's per-leaf liveDocs bitsets give.
+  */
+sealed trait LiveDocs extends Serializable {
+  /** Sorted deleted docIds of `seg`, or null when the segment has none.
+    * May perform a (cached) sidecar read — call executor-side.
+    */
+  def deleted(seg: Int): Array[Long]
+  def isEmpty: Boolean
+  def deletedCount: Long
+}
+
+case object NoDeletes extends LiveDocs {
+  def deleted(seg: Int): Array[Long] = null
+  def isEmpty: Boolean = true
+  def deletedCount: Long = 0L
+}
+
+/** In-memory per-segment map — streaming/test convenience for small,
+  * already-local delete sets.
+  */
+final case class MapLiveDocs(m: Map[Int, Array[Long]]) extends LiveDocs {
+  def deleted(seg: Int): Array[Long] = m.getOrElse(seg, null)
+  def isEmpty: Boolean = m.isEmpty
+  def deletedCount: Long = m.valuesIterator.map(_.length.toLong).sum
+}
+
+/** Sidecar-file-backed view: `segs` maps each segment WITH deletes to
+  * its delete count (the manifest — tiny, closure-shipped); the sorted
+  * docId arrays live in `ldDir/seg_<s>.longs` and are loaded lazily,
+  * once per JVM per segment, by whoever calls [[deleted]] (executors).
+  */
+final class FileLiveDocs(val ldDir: String, val segs: Map[Int, Long]) extends LiveDocs {
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  /** Sidecar loads performed through THIS instance (driver instance in
+    * tests: must stay 0 — tasks deserialize their own copy, so executor
+    * loads never touch it).
+    */
+  @transient private lazy val loads = new java.util.concurrent.atomic.AtomicInteger(0)
+  def loadedSegs: Int = loads.get()
+
+  def deleted(seg: Int): Array[Long] =
+    if (!segs.contains(seg)) null
+    else {
+      val hit = cache.get(seg)
+      if (hit != null) hit
+      else {
+        val arr = LiveDocs.readSidecar(s"$ldDir/seg_$seg.longs")
+        loads.incrementAndGet()
+        cache.putIfAbsent(seg, arr)
+        arr
+      }
+    }
+
+  def isEmpty: Boolean = segs.isEmpty
+  def deletedCount: Long = segs.valuesIterator.sum
+}
+
+object LiveDocs {
+
+  private[build] def readSidecar(path: String): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
+    try {
+      val n = in.readInt()
+      val arr = new Array[Long](n)
+      var i = 0
+      while (i < n) { arr(i) = in.readLong(); i += 1 }
+      arr
+    } finally in.close()
+  }
+
+  private def writeSidecar(path: java.nio.file.Path, ids: Array[Long], n: Int): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(tmp)))
+    try {
+      out.writeInt(n)
+      var i = 0
+      while (i < n) { out.writeLong(ids(i)); i += 1 }
+    } finally out.close()
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve the current tombstone set against `docmeta` into per-segment
+    * sidecar files under `dir/livedocs/<scopeKey>/`, DISTRIBUTED: the
+    * semi-join and the sidecar writes run executor-side (each reducer
+    * owns whole segments via the `seg` repartition and writes their
+    * sorted files directly to shared storage); the driver receives one
+    * (seg, count) row per segment with deletes — the manifest — and
+    * commits it last (write-once + manifest selection, like segment
+    * generations). Re-resolution happens only when `scopeKey` changes
+    * (tombstone set or live segment set changed); otherwise the cached
+    * manifest is read back with NO job at all.
+    */
+  def resolve(spark: SparkSession, dir: String, scopeKey: String,
+      docmeta: DataFrame, tombs: DataFrame): LiveDocs = {
+    import spark.implicits._
+    val ldDir = s"$dir/livedocs/$scopeKey"
+    val manifestPath = java.nio.file.Paths.get(s"$ldDir/_manifest.json")
+    if (!java.nio.file.Files.exists(manifestPath)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ldDir))
+      val out = ldDir
+      val counts: Seq[(Int, Long)] = docmeta
+        .join(tombs, Seq("repo", "path", "commit"), "left_semi")
+        .select($"docId",
+          shiftright($"docId", IndexBuilder.SegShift).cast("int").as("seg"))
+        .repartition(col("seg"))
+        .sortWithinPartitions($"seg", $"docId")
+        .as[(Long, Int)]
+        .mapPartitions { it =>
+          // rows arrive grouped by seg, docId-ascending; buffer ONE
+          // segment at a time (bounded by that segment's delete count)
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          var curSeg = Int.MinValue
+          var buf = new Array[Long](1024)
+          var n = 0
+          def flush(): Unit = if (n > 0) {
+            writeSidecar(java.nio.file.Paths.get(s"$out/seg_$curSeg.longs"), buf, n)
+            res += ((curSeg, n.toLong))
+            n = 0
+          }
+          it.foreach { case (id, seg) =>
+            if (seg != curSeg) { flush(); curSeg = seg }
+            if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+            buf(n) = id
+            n += 1
+          }
+          flush()
+          res.iterator
+        }
+        .collect().toSeq
+      val json = counts.sortBy(_._1)
+        .map { case (s, c) => s""""$s":$c""" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(manifestPath, json)
+    }
+    val segs: Map[Int, Long] =
+      "\"(-?\\d+)\"\\s*:\\s*(\\d+)".r
+        .findAllMatchIn(java.nio.file.Files.readString(manifestPath))
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    if (segs.isEmpty) NoDeletes else new FileLiveDocs(ldDir, segs)
+  }
+}

@@ -543,7 +543,7 @@ object Searcher {
     val scorers = pl.scorers
     val kk = k
     val q = pl.query
-    val live = index.liveFilter
+    val live = index.live
 
     // optional cross-partition min-competitive priming (the
     // `MaxScoreAccumulator` analogue, `core/search/MaxScoreAccumulator.java`):
@@ -566,7 +566,7 @@ object Searcher {
         val ps = primedSeg
         primedRows = perSegment(index, pl.terms, onlySeg = ps) { (seg, rows) =>
           SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-              floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg)
+              floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg)
             .iterator.map { case (d, s) => ScoredDocD(d, s) }
         }.collect().toSeq
         if (primedRows.length >= k) floor = Math.nextDown(primedRows.map(_.score).min)
@@ -578,7 +578,7 @@ object Searcher {
     // 3. per-segment kernels over the pruned postings scan
     val fanout = perSegment(index, pl.terms, skipSeg = skipSeg, wide = pl.wide) { (seg, rows) =>
       SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-          floatMode = !doubleMode, deletedOrds = live.getOrElse(seg, null), seg = seg,
+          floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg,
           floor = fl)
         .iterator.map { case (d, s) => ScoredDocD(d, s) }
     }
@@ -611,10 +611,10 @@ object Searcher {
     }
     val scorers = pl.scorers
     val q = pl.query
-    val live = index.liveFilter
+    val live = index.live
     perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
       Iterator.single(
-        SegmentKernel.count(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg))
+        SegmentKernel.count(q, concatByTerm(rows), scorers, live.deleted(seg), seg))
     }
       .agg(coalesce(sum($"value"), lit(0L)).as("n"))
       .as[Long].head()
@@ -632,9 +632,9 @@ object Searcher {
     }
     val scorers = pl.scorers
     val q = pl.query
-    val live = index.liveFilter
+    val live = index.live
     perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
-      SegmentKernel.docs(q, concatByTerm(rows), scorers, live.getOrElse(seg, null), seg)
+      SegmentKernel.docs(q, concatByTerm(rows), scorers, live.deleted(seg), seg)
         .map(java.lang.Long.valueOf)
     }
   }

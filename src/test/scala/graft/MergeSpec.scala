@@ -74,17 +74,25 @@ class MergeSpec extends SparkTest {
     IndexBuilder.deleteDocs(spark, dir, victims)
 
     val idx1 = IndexBuilder.open(spark, dir)
-    assert(idx1.liveFilter.values.map(_.length).sum == nVictims)
+    assert(idx1.live.deletedCount == nVictims)
+    // executor-side delete application: the driver's LiveDocs instance
+    // must never load a sidecar — kernels deserialize their own copy and
+    // read only their segment's file (liveDocs model, no driver collect)
+    assert(idx1.live.isInstanceOf[graft.build.FileLiveDocs])
+    val driverLive = idx1.live.asInstanceOf[graft.build.FileLiveDocs]
+    assert(driverLive.loadedSegs == 0)
     assert(Searcher.count(idx1, "needle_0") == 0, "tombstoned docs must not match")
     assert(Searcher.topK(idx1, "needle_0", 10).count() == 0)
     assert(idx1.docmeta.count() == 1200 - nVictims)
+    assert(driverLive.loadedSegs == 0,
+      "queries with deletes must not load delete sidecars on the driver")
 
     // compact: 24 mini-segments -> bounded count; deletes rewritten out
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 8)
     val manifests = new java.io.File(s"$dir/manifest").listFiles().length
     assert(manifests <= 10, s"segment count not bounded: $manifests")
     val idx2 = IndexBuilder.open(spark, dir)
-    assert(idx2.liveFilter.isEmpty, "merge must purge tombstoned docs")
+    assert(idx2.live.isEmpty, "merge must purge tombstoned docs")
     assert(idx2.docmeta.count() == 1200 - nVictims)
     assert(Searcher.count(idx2, "needle_0") == 0)
     assert(CheckIndex.run(idx2).isEmpty)

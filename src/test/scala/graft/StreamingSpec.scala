@@ -49,7 +49,7 @@ class StreamingSpec extends SparkTest {
     val i3 = IndexBuilder.open(spark, idx)
     // live view: 200 (batch 2) + 300 (updated versions)
     assert(i3.docmeta.count() == 500)
-    assert(i3.liveFilter.values.map(_.length).sum == 300)
+    assert(i3.live.deletedCount == 300)
     assert(Searcher.count(i3, "updneedle") == 300)
     assert(Searcher.count(i3, "oldneedle") == 0, "old versions must be invisible")
     assert(Searcher.topK(i3, "oldneedle", 10).count() == 0)
