@@ -698,14 +698,42 @@ object IndexBuilder {
     sha256Hex(files.mkString("|")).take(16)
   }
 
+  /** One cheap columnar probe: does the parquet read's AMBIENT
+    * partitioning already co-locate every segment? Build tasks emit whole
+    * segments into their output files, so it almost always does — the
+    * only breaker is a file large enough to be split across read
+    * partitions (row-group splits). The probe scans ONLY the `seg`
+    * column (one narrow job, no shuffle, tiny collect of (seg,
+    * partition) pairs); a later filtered query scan re-plans the SAME
+    * file splits (splits derive from the cached file listing, not from
+    * pushed filters), so a positive probe holds for every query against
+    * this Index snapshot.
+    */
+  private def segAlignmentProbe(postings: Dataset[PostingList]): Boolean = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val pairs = postings.select($"seg").as[Int].mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val segs = scala.collection.mutable.Set.empty[Int]
+        it.foreach(segs += _)
+        segs.iterator.map(s => (s, pid))
+      }
+    }.collect()
+    pairs.groupBy(_._1).valuesIterator.forall(_.map(_._2).distinct.length == 1)
+  }
+
   /** Open a persistent index. `docmeta` excludes tombstoned docs;
-    * `liveFilter` carries their docIds for kernel-side exclusion.
+    * `live` carries their sidecar view for kernel-side exclusion.
     *
-    * `serving = true` pays ONE repartition-by-seg + persist up front so
-    * every subsequent query runs on the no-shuffle seg-aligned path
-    * (parquet partitioning is unknown, so alignment must be
-    * re-established) — the long-lived reader setup; per-query one-shot
-    * opens should keep the default.
+    * Seg alignment: a plain open PROBES the read's ambient partitioning
+    * (one narrow seg-column job) and, when each segment is already
+    * co-located in one read partition — the build write layout
+    * guarantees it unless a file got split — every query runs the
+    * no-shuffle seg-aligned path with NO up-front repartition.
+    * `serving = true` additionally persists the postings (long-lived
+    * reader), repartitioning first only if the probe failed.
     */
   def open(spark: SparkSession, dir: String, serving: Boolean = false): Index = {
     import spark.implicits._
@@ -714,8 +742,10 @@ object IndexBuilder {
       .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
         $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
       .as[PostingList]
+    val aligned0 = segAlignmentProbe(postings0)
     val postings =
       if (!serving) postings0
+      else if (aligned0) postings0.persist()
       else postings0
         .repartition(math.max(1, spark.sparkContext.defaultParallelism), $"seg")
         .persist()
@@ -740,6 +770,6 @@ object IndexBuilder {
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
     new Index(postings, docmeta, termStats,
       FieldStats(num("docCount"), num("sumTotalTermFreq")), live,
-      segAligned = serving)
+      segAligned = aligned0 || serving)
   }
 }

@@ -198,6 +198,13 @@ class PartitionLocalBuildSpec extends SparkTest {
     val index = IndexBuilder.open(spark, dir)
     assert(graft.build.CheckIndex.run(index).isEmpty)
     assert(index.fieldStats.docCount == 800)
+    // plain (non-serving) open: the alignment probe detects the build's
+    // write layout and enables the no-shuffle kernel path WITHOUT the
+    // up-front repartition job — the query plan must contain no Exchange
+    assert(index.segAligned, "alignment probe should detect the build layout")
+    val planStr = Searcher.topK(index, "def AND class", 10)
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("Exchange"), s"query plan has a shuffle:\n$planStr")
     // differential vs oracle with the same docId assignment (partition order)
     val perPart = src.mapPartitions { it =>
       val seg = org.apache.spark.TaskContext.getPartitionId()
