@@ -73,6 +73,8 @@ object Cli {
           Searcher.topK(index, "def AND class", 10).explain("formatted")
           println("=== docmeta projection (expect ReadSchema with 2 cols) ===")
           index.docmeta.select("docId", "norm").explain("formatted")
+          println("=== fuzzy candidate scan (expect range-pruned PushedFilters, no full-vocab scan) ===")
+          Searcher.fuzzyCandidates(index, graft.query.FuzzyQ("def", 1)).explain("formatted")
         case "explainq" :: sfDir :: names =>
           // plan audit for driver-catalog queries (scale-shape review):
           // look for unpartitioned WindowExec over large inputs, missing

@@ -133,17 +133,24 @@ object Searcher {
         .as[String].collect().toSeq
     }
 
-  /** Fuzzy expansion with the reference's default semantics
-    * (`core/search/FuzzyQuery.java:34,60` TopTermsBlendedFreqScoringRewrite):
-    * dictionary terms within `maxEdits` Damerau-Levenshtein
-    * (transpositions count 1, `FuzzyQuery` `transpositions=true` default),
-    * boost = 1 - ed/min(|term|,|query|) (`FuzzyTermsEnum.java:251-258`),
-    * top `maxExpansions` by (boost desc, term asc)
-    * (`TopTermsRewrite.ScoreTerm.compareTo`), scored with blended
-    * df = max over picked terms (`BlendedTermQuery.java:282-291`).
-    * Returns the rewritten disjunction.
+  /** Fuzzy candidate scan (pre-collect): length-windowed, RANGE-PRUNED
+    * dictionary scan + Damerau UDF verification + distributed top-N.
+    * Exposed for plan audits (`Cli explain`).
+    *
+    * Range pruning (the IntersectTermsEnum analogue,
+    * `core/codecs/lucene103/blocktree/IntersectTermsEnum.java`: walk only
+    * trie prefixes the automaton can accept): the first-transition band —
+    * in any <= e-edit alignment one of the candidate's first e+1 chars
+    * must be one of the query's first e+1 chars, unless the candidate is
+    * no longer than e — is evaluated driver-side against the dictionary's
+    * DISTINCT (e+1)-char prefix table (cached per index; bounded by
+    * |alphabet|^(e+1), NOT by vocabulary size), and the selected prefixes
+    * collapse into contiguous `term BETWEEN` runs PUSHED to the scan. A
+    * cold fuzzy query therefore reads O(matching prefix ranges) of the
+    * dictionary, not O(vocab); the UDF still decides membership, so
+    * results are unchanged.
     */
-  def expandFuzzyBlended(index: Index, f: FuzzyQ): Query = {
+  private[graft] def fuzzyCandidates(index: Index, f: FuzzyQ): DataFrame = {
     import index.postings.sparkSession.implicits._
     // fielded fuzzy (`@F:base`): candidates come from the field's
     // namespace; distance/boost are computed on the bare tokens
@@ -171,21 +178,38 @@ object Searcher {
     val lim = math.min(f.maxExpansions, Query.MaxClauseCount)
     val base0 = dict(index, ns.nonEmpty)
     val base = if (ns.isEmpty) base0 else base0.filter($"term".startsWith(ns))
-    // first-transition banding (IntersectTermsEnum-lite,
-    // `core/codecs/lucene103/blocktree/IntersectTermsEnum.java`): in any
-    // <= e-edit alignment, the first match-aligned (or transposed) pair
-    // sits within the first e+1 chars of BOTH strings — so one of the
-    // candidate's first e+1 chars must be one of the query's first e+1
-    // chars (unless either side is no longer than e). Necessary-only,
-    // codegen'd, prunes the Damerau UDF evals ~|alphabet|/(e+1)-fold; the
-    // UDF still decides membership, so results are unchanged.
-    val tchars = t.take(maxEdits + 1).map(_.toString).distinct
-    val banded =
-      if (t.length <= maxEdits || tchars.isEmpty) lit(true)
-      else (0 to maxEdits).map(k =>
-        substring($"term", nsLen + k + 1, 1).isin(tchars: _*)).reduce(_ || _) ||
-        length($"term") <= nsLen + maxEdits
-    val top0 = base
+    val tchars = t.take(maxEdits + 1).toSet
+    val banded: org.apache.spark.sql.Column =
+      if (t.length <= maxEdits) lit(true) // every windowed term qualifies
+      else {
+        // dictionary prefix table: distinct (ns + e + 1)-char prefixes,
+        // sorted — ONE cached scan whose result size is alphabet-bounded
+        val plen = nsLen + maxEdits + 1
+        val prefixes = cachedExpansion(index, s"fzp:$ns:$plen") {
+          base.select(substring($"term", 1, plen).as("term"))
+            .distinct().orderBy($"term").as[String].collect().toSeq
+        }
+        def selected(p: String): Boolean = {
+          val pb = p.substring(math.min(nsLen, p.length))
+          pb.length <= maxEdits ||
+            (0 to math.min(maxEdits, pb.length - 1)).exists(k => tchars.contains(pb.charAt(k)))
+        }
+        // collapse selected prefixes into maximal contiguous runs of the
+        // sorted prefix table -> a small OR of pushable term ranges
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var i = 0
+        while (i < prefixes.length) {
+          if (selected(prefixes(i))) {
+            var j = i
+            while (j + 1 < prefixes.length && selected(prefixes(j + 1))) j += 1
+            runs += ((prefixes(i), prefixes(j) + "\uffff"))
+            i = j + 1
+          } else i += 1
+        }
+        if (runs.isEmpty) lit(false)
+        else runs.map { case (lo, hi) => $"term" >= lo && $"term" <= hi }.reduce(_ || _)
+      }
+    base
       .filter(length($"term") >= length(lit(f.term)) - maxEdits &&
         length($"term") <= length(lit(f.term)) + maxEdits)
       .filter(banded)
@@ -194,6 +218,25 @@ object Searcher {
       .select($"term", $"df", $"eb._1".as("ed"), $"eb._2".as("boost"))
       .orderBy(desc("boost"), asc("term"))
       .limit(lim)
+  }
+
+  /** Fuzzy expansion with the reference's default semantics
+    * (`core/search/FuzzyQuery.java:34,60` TopTermsBlendedFreqScoringRewrite):
+    * dictionary terms within `maxEdits` Damerau-Levenshtein
+    * (transpositions count 1, `FuzzyQuery` `transpositions=true` default),
+    * boost = 1 - ed/min(|term|,|query|) (`FuzzyTermsEnum.java:251-258`),
+    * top `maxExpansions` by (boost desc, term asc)
+    * (`TopTermsRewrite.ScoreTerm.compareTo`), scored with blended
+    * df = max over picked terms (`BlendedTermQuery.java:282-291`).
+    * Returns the rewritten disjunction.
+    */
+  def expandFuzzyBlended(index: Index, f: FuzzyQ): Query = {
+    import index.postings.sparkSession.implicits._
+    val ns =
+      if (f.term.startsWith("@")) f.term.substring(0, f.term.indexOf(':') + 1) else ""
+    val t = f.term.substring(ns.length)
+    val nsLen = ns.length
+    val top0 = fuzzyCandidates(index, f)
       .as[(String, Long, Int, Float)].collect()
     if (top0.isEmpty) return MatchNone
     val top = top0.map { case (term, df, ed, boost) =>
