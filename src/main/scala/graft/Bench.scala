@@ -101,7 +101,7 @@ object Bench {
     "(def AND return) OR needle_3",
     "ident_17 AND NOT ident_23",
     "\"class camelCaseName7\"",
-    "ident_1*", "camelCaseName2*"
+    "ident_17*", "camelCaseName2*"
   )
 
   def main(args: Array[String]): Unit = {

@@ -81,6 +81,14 @@ final class Index(
     val segAligned: Boolean = false
 ) extends Serializable {
 
+  /** Snapshot identity for the executor-side hot-filter cache
+    * ([[graft.exec.FilterCache]]): every Index instance is an immutable
+    * snapshot, so a fresh token per instance guarantees cached filter
+    * match sets can never outlive the data they were computed from.
+    */
+  val filterCacheToken: String = java.util.UUID.randomUUID().toString
+
+
   /** Driver-side per-term stats cache — the reference's per-reader
     * `TermStates` caching: an Index is an immutable snapshot, so looked-up
     * term stats never go stale. Misses are cached as df=0 rows (callers

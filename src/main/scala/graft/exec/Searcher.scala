@@ -587,6 +587,7 @@ object Searcher {
     val kk = k
     val q = pl.query
     val live = index.live
+    val ftok = index.filterCacheToken
 
     // optional cross-partition min-competitive priming (the
     // `MaxScoreAccumulator` analogue, `core/search/MaxScoreAccumulator.java`):
@@ -609,7 +610,8 @@ object Searcher {
         val ps = primedSeg
         primedRows = perSegment(index, pl.terms, onlySeg = ps) { (seg, rows) =>
           SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
-              floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg)
+              floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg,
+              cacheToken = ftok)
             .iterator.map { case (d, s) => ScoredDocD(d, s) }
         }.collect().toSeq
         if (primedRows.length >= k) floor = Math.nextDown(primedRows.map(_.score).min)
@@ -622,7 +624,7 @@ object Searcher {
     val fanout = perSegment(index, pl.terms, skipSeg = skipSeg, wide = pl.wide) { (seg, rows) =>
       SegmentKernel.run(q, concatByTerm(rows), scorers, kk,
           floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg,
-          floor = fl)
+          floor = fl, cacheToken = ftok)
         .iterator.map { case (d, s) => ScoredDocD(d, s) }
     }
     val localTopK =
@@ -655,9 +657,11 @@ object Searcher {
     val scorers = pl.scorers
     val q = pl.query
     val live = index.live
+    val ftok = index.filterCacheToken
     perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
       Iterator.single(
-        SegmentKernel.count(q, concatByTerm(rows), scorers, live.deleted(seg), seg))
+        SegmentKernel.count(q, concatByTerm(rows), scorers, live.deleted(seg), seg,
+          cacheToken = ftok))
     }
       .agg(coalesce(sum($"value"), lit(0L)).as("n"))
       .as[Long].head()
@@ -676,8 +680,10 @@ object Searcher {
     val scorers = pl.scorers
     val q = pl.query
     val live = index.live
+    val ftok = index.filterCacheToken
     perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
-      SegmentKernel.docs(q, concatByTerm(rows), scorers, live.deleted(seg), seg)
+      SegmentKernel.docs(q, concatByTerm(rows), scorers, live.deleted(seg), seg,
+          cacheToken = ftok)
         .map(java.lang.Long.valueOf)
     }
   }
@@ -686,6 +692,49 @@ object Searcher {
     import spark.implicits._
     val df = Seq.empty[ScoredDocD].toDF()
     if (doubleMode) df else df.select($"docId", $"score".cast("float").as("score"))
+  }
+}
+
+/** Per-executor cache of non-scoring subquery match sets — the
+  * `LRUQueryCache` analogue (`core/search/LRUQueryCache.java:87`: cache
+  * per (reader core, query) the matching-doc bitset; here per
+  * (index snapshot token, segment, subquery) the sorted docId array).
+  * Policy follows `UsageTrackingQueryCachingPolicy.java:28`: a subquery
+  * is cached on its SECOND sighting, so one-shot filters never pay the
+  * materialisation. Only non-scoring subtrees (FILTER clauses,
+  * ConstantScore inners) are cacheable — their match set is
+  * score-independent and the index snapshot is immutable, so entries
+  * never go stale. Executor-local (one cache per JVM, like the
+  * reference's per-reader cache); bounded by entry count and total
+  * cached ids, cleared wholesale on overflow.
+  */
+object FilterCache {
+  private val MaxEntries = 512
+  private val MaxTotalIds = 64L << 20 // 64M longs = 512 MB ceiling
+  private val seen = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+  private val totalIds = new java.util.concurrent.atomic.AtomicLong(0)
+  val hits = new java.util.concurrent.atomic.AtomicLong(0)
+  val misses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Sighting count AFTER this sighting (cache-on-second policy). */
+  def sight(key: String): Int = {
+    if (seen.size > 8 * MaxEntries) seen.clear()
+    seen.merge(key, 1, (a, b) => a + b)
+  }
+
+  def get(key: String): Array[Long] = {
+    val v = cache.get(key)
+    if (v != null) hits.incrementAndGet() else misses.incrementAndGet()
+    v
+  }
+
+  def put(key: String, ids: Array[Long]): Unit = {
+    if (cache.size >= MaxEntries || totalIds.get() + ids.length > MaxTotalIds) {
+      cache.clear()
+      totalIds.set(0)
+    }
+    if (cache.putIfAbsent(key, ids) == null) totalIds.addAndGet(ids.length.toLong)
   }
 }
 
@@ -737,9 +786,11 @@ object SegmentKernel {
       floatMode: Boolean = false,
       deletedOrds: Array[Long] = null,
       seg: Int = -1,
-      floor: Double = Double.NegativeInfinity
+      floor: Double = Double.NegativeInfinity,
+      cacheToken: String = null
   ): Array[(Long, Double)] = {
     val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
+    val cacheCtx = if (cacheToken != null && seg >= 0) s"$cacheToken|$seg|" else null
     val hasDeletes = deletedOrds != null && deletedOrds.nonEmpty
 
     def termCursor(t: String, needPos: Boolean): Option[TermCursor] =
@@ -778,7 +829,7 @@ object SegmentKernel {
         val cs = should.collect { case TermQ(t) => termCursor(t, needPos = false) }.flatten
         if (cs.isEmpty) Array.empty else taatTopK(cs.toArray, k, msm, floatMode, floor)
       case other =>
-        buildCursor(other, byTerm, scorers) match {
+        buildCursor(other, byTerm, scorers, cacheCtx) match {
           case Some(c) => collectAll(withLiveDocs(c, deletedOrds), k, floatMode, floor)
           case None => Array.empty
         }
@@ -793,10 +844,12 @@ object SegmentKernel {
       byTerm: Map[String, PostingList],
       scorers: Searcher.Scorers,
       deletedOrds: Array[Long] = null,
-      seg: Int = -1
+      seg: Int = -1,
+      cacheToken: String = null
   ): Long = {
     val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
-    buildCursor(q, byTerm, scorers) match {
+    val cacheCtx = if (cacheToken != null && seg >= 0) s"$cacheToken|$seg|" else null
+    buildCursor(q, byTerm, scorers, cacheCtx) match {
       case Some(c) => countAll(withLiveDocs(c, deletedOrds))
       case None => 0L
     }
@@ -808,12 +861,46 @@ object SegmentKernel {
       byTerm: Map[String, PostingList],
       scorers: Searcher.Scorers,
       deletedOrds: Array[Long] = null,
-      seg: Int = -1
+      seg: Int = -1,
+      cacheToken: String = null
   ): Iterator[Long] = {
     val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
-    buildCursor(q, byTerm, scorers) match {
+    val cacheCtx = if (cacheToken != null && seg >= 0) s"$cacheToken|$seg|" else null
+    buildCursor(q, byTerm, scorers, cacheCtx) match {
       case Some(c) => docsAll(withLiveDocs(c, deletedOrds))
       case None => Iterator.empty
+    }
+  }
+
+  /** Cursor for a NON-SCORING subquery routed through [[FilterCache]]
+    * when a cache context is active: a hit replaces the whole subtree
+    * walk with a sorted-docId cursor; a second sighting materialises and
+    * caches the match set (the reference's cache-on-use policy).
+    * DocSetQ-bearing subtrees bypass the cache (per-query-unique sets
+    * would churn it with giant keys). Returns None when the subquery
+    * cannot match in this segment — including a cached-empty set.
+    */
+  private def cachedNonScoring(
+      q: Query,
+      byTerm: Map[String, PostingList],
+      scorers: Searcher.Scorers,
+      cacheCtx: String
+  ): Option[DocCursor] = {
+    if (cacheCtx == null || hasDocSet(q)) return buildCursor(q, byTerm, scorers, cacheCtx)
+    val key = cacheCtx + q.toString
+    val hit = FilterCache.get(key)
+    if (hit != null) {
+      if (hit.isEmpty) None else Some(new SortedDocsCursor(hit))
+    } else if (FilterCache.sight(key) < 2) {
+      buildCursor(q, byTerm, scorers, cacheCtx)
+    } else buildCursor(q, byTerm, scorers, cacheCtx) match {
+      case None =>
+        FilterCache.put(key, Array.emptyLongArray)
+        None
+      case Some(c) =>
+        val ids = docsAll(c).toArray
+        FilterCache.put(key, ids)
+        if (ids.isEmpty) None else Some(new SortedDocsCursor(ids))
     }
   }
 
@@ -821,7 +908,8 @@ object SegmentKernel {
   def buildCursor(
       q: Query,
       byTerm: Map[String, PostingList],
-      scorers: Searcher.Scorers
+      scorers: Searcher.Scorers,
+      cacheCtx: String = null
   ): Option[DocCursor] = q match {
     case MatchNone | MatchAll => None // MatchAll only survives in pure-negation -> empty
     case TermQ(t) =>
@@ -897,22 +985,23 @@ object SegmentKernel {
       if (ids.isEmpty) None
       else Some(new SortedDocsCursor(ids.toArray.sorted))
     case ConstScoreQ(inner, boost) =>
-      buildCursor(inner, byTerm, scorers).map(c => new ConstScoreCursor(c, boost.toDouble))
+      cachedNonScoring(inner, byTerm, scorers, cacheCtx)
+        .map(c => new ConstScoreCursor(c, boost.toDouble))
     case BoostQ(inner, boost) =>
-      buildCursor(inner, byTerm, scorers).map(c => new BoostCursor(c, boost.toDouble))
+      buildCursor(inner, byTerm, scorers, cacheCtx).map(c => new BoostCursor(c, boost.toDouble))
     case DisMaxQ(cs, tb) =>
-      val sub = cs.flatMap(buildCursor(_, byTerm, scorers))
+      val sub = cs.flatMap(buildCursor(_, byTerm, scorers, cacheCtx))
       if (sub.isEmpty) None
       else if (sub.size == 1) Some(sub.head)
       else Some(new DisMaxCursor(sub.toArray, tb))
     case BoolQ(must0, should, mustNot, msm, filter) =>
       val must = must0.filterNot(_ == MatchAll)
-      val mc = must.map(buildCursor(_, byTerm, scorers))
+      val mc = must.map(buildCursor(_, byTerm, scorers, cacheCtx))
       if (mc.exists(_.isEmpty)) return None // a required clause can't match here
-      val fc = filter.map(buildCursor(_, byTerm, scorers))
+      val fc = filter.map(cachedNonScoring(_, byTerm, scorers, cacheCtx))
       if (fc.exists(_.isEmpty)) return None // a FILTER clause can't match here
-      val sc = should.flatMap(buildCursor(_, byTerm, scorers))
-      val nc = mustNot.flatMap(buildCursor(_, byTerm, scorers))
+      val sc = should.flatMap(buildCursor(_, byTerm, scorers, cacheCtx))
+      val nc = mustNot.flatMap(cachedNonScoring(_, byTerm, scorers, cacheCtx))
 
       // FILTER clauses join the conjunction as non-scoring members
       // (`core/search/BooleanQuery.java:40`, Occur.FILTER)

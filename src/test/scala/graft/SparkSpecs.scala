@@ -399,6 +399,42 @@ class WideExpansionSpec extends SparkTest {
   }
 }
 
+/** Executor-side hot-filter cache (LRUQueryCache +
+  * UsageTrackingQueryCachingPolicy analogue): repeated FILTER /
+  * ConstantScore subqueries are answered from cached per-segment docId
+  * sets after the second sighting — results must be identical with the
+  * cache cold, warming, and hot.
+  */
+class FilterCacheSpec extends SparkTest {
+  import spark.implicits._
+  import graft.query._
+
+  test("repeated filtered queries hit the cache with unchanged results") {
+    val rows = (0L until 800L).map(i => Datagen.row(33L, i, 12, 200))
+    val docs = rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      InputDoc(math.floorMod(key.hashCode, 3), key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val shapes: Seq[Query] = Seq(
+      BoolQ(must = Seq(TermQ("def")), filter = Seq(TermQ("class"))),
+      BoolQ(must = Seq(TermQ("val")),
+        filter = Seq(BoolQ(should = Seq(TermQ("if"), TermQ("else")), minShouldMatch = 1))),
+      ConstScoreQ(PrefixQ("ident_1"), 1f)
+    )
+    shapes.foreach { q =>
+      val first = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      val h0 = graft.exec.FilterCache.hits.get()
+      // sightings 2..4: the 2nd materialises+caches, the 3rd+ must hit
+      (2 to 4).foreach { _ =>
+        val again = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+        assert(again == first, s"cache changed results for [$q]")
+      }
+      assert(graft.exec.FilterCache.hits.get() > h0, s"no cache hits for [$q]")
+    }
+  }
+}
+
 /** Resumable build: kill-and-resume semantics via the per-segment
   * manifest (north rule; reference analogue `SegmentInfos` generations).
   */
