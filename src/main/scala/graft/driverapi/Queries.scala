@@ -1325,6 +1325,21 @@ object Queries {
       |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** 32-bit signed-random-projection signature over the `v` column: 32
+    * fixed integer hyperplanes (weights ((i*31 + j*17) % 7) - 3 — a
+    * constant closure, no training, no data-sized broadcast), sign bits
+    * from INTEGER-quantised dot products so the sum is order-independent
+    * and the DuckDB twin matches bit-for-bit. Shared by
+    * `dedup_embedding_srp` (global banding) and `dedup_embedding_cosine`
+    * (re-bucketing of oversized IVF cells).
+    */
+  private def srpSigExpr: org.apache.spark.sql.Column =
+    (0 until 32).map { i =>
+      expr(s"CASE WHEN aggregate(zip_with(v, sequence(0, size(v) - 1), " +
+        s"(x, j) -> CAST(floor(x*1000 + 0.5) AS BIGINT) * (CAST(($i*31 + j*17) % 7 AS BIGINT) - 3)), " +
+        s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    }.reduce(_ + _)
+
   /** Cosine over DOUBLE arrays as a sequential left fold — the element
     * order and op order match DuckDB's `list_dot_product`, so scores are
     * bit-identical across engines.
@@ -1642,38 +1657,72 @@ object Queries {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin))),
 
-    // embedding-cosine near-dup: candidate pairs come from shared TRAINED
-    // IVF cells (bucket join — never an all-pairs self-join). Cell count,
-    // training, and assignment shapes are all bounded — see [[ivfTrained]].
+    // embedding-cosine near-dup with a BOUNDED pair step: candidate
+    // pairs come from shared TRAINED IVF cells, but the within-cell
+    // enumeration is capped by a pair budget B — cells of size <= B pair
+    // exactly through a cid-bucket sort-merge self-join (per-key work
+    // <= B^2, no collect_list anywhere in the plan), while OVERSIZED
+    // cells are re-bucketed by 2x16-bit SRP bands before pairing, so a
+    // mega-cell can never concentrate O(cell^2) work (or an unbounded
+    // per-cid list) on one reducer. Total pair cost O(n*B + n*bandBucket)
+    // — see PLANS.md for the derivation; the SRP re-bucket trades recall
+    // inside oversized cells exactly like the global-SRP entry below,
+    // and the oracle mirrors both paths bit-for-bit.
     "dedup_embedding_cosine" -> (((spark, dir) => {
       import spark.implicits._
+      // pair budget: exact pairing up to B members per cell. Small here
+      // so the fixture exercises BOTH paths (cells straddle it at every
+      // SF); production deployments size B to the executor-memory pair
+      // budget (thousands) — oversized cells are the rare tail either way
+      val B = 40
       val (emb, assign, _) = ivfTrained(spark, dir)
-      val withVec = assign.join(emb, "vec_id")
-      // within-cell pairs via ONE groupBy + local pair enumeration (no
-      // bucket self-join: a self-join re-shuffles both legs and re-runs
-      // the assignment lineage); cells are the bounded IVF buckets, so
-      // the per-group list and its pair fan-out are bounded per reducer
-      withVec.groupBy($"cid")
-        .agg(collect_list(struct($"vec_id", $"v")).as("ms"))
-        .select(explode(expr(
-          "flatten(transform(ms, (x, i) -> transform(slice(ms, i + 2, size(ms)), " +
-            "y -> struct(x.vec_id as av, x.v as xv, y.vec_id as bv, y.v as yv))))")).as("p"))
-        .select(
-          least($"p.av", $"p.bv").as("a"), greatest($"p.av", $"p.bv").as("b"),
-          (expr("aggregate(zip_with(p.xv, p.yv, (x, q) -> x * q), CAST(0 AS DOUBLE), (acc, x) -> acc + x)") /
-            (sqrt(expr("aggregate(transform(p.xv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")) *
-              sqrt(expr("aggregate(transform(p.yv, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)")))).as("c"))
+      val sizes = assign.groupBy($"cid").agg(count(lit(1)).as("sz"))
+      // sizes is <= k <= 4096 rows -> broadcast; persist the sized
+      // member table: the small-cell and big-cell legs each read it twice
+      val sized = assign.join(emb, "vec_id")
+        .join(broadcast(sizes), "cid").persist()
+      def cosXY = (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+        (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
+          sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))).as("c")
+      val small = sized.filter($"sz" <= B)
+      val smallPairs = small.as("x").join(small.as("y"), "cid")
+        .filter($"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), cosXY)
+      val big = sized.filter($"sz" > B).withColumn("sig", srpSigExpr)
+      val bigBands = big.select($"cid", $"vec_id", $"v",
+        expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
+      val bigPairs = bigBands.as("x").join(bigBands.as("y"), Seq("cid", "b", "key"))
+        .filter($"x.vec_id" < $"y.vec_id")
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), cosXY)
+        .distinct()
+      smallPairs.union(bigPairs)
         .filter($"c" >= 0.45)
         .select($"a", $"b", r4($"c").as("cos"))
         .orderBy($"a", $"b")
     }, Some(
       s"""WITH $ivfSql,
         |w AS (SELECT a.vec_id, a.cid, e.v FROM assign a JOIN e USING (vec_id)),
-        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
+        |szs AS (SELECT cid, count(*) AS sz FROM w GROUP BY cid),
+        |ws AS (SELECT w.vec_id, w.cid, w.v, szs.sz FROM w JOIN szs USING (cid)),
+        |spairs AS (SELECT x.vec_id AS a, y.vec_id AS b,
         |   list_dot_product(x.v, y.v)/(sqrt(list_dot_product(x.v, x.v))*sqrt(list_dot_product(y.v, y.v))) AS c
-        |   FROM w x JOIN w y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+        |   FROM ws x JOIN ws y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |   WHERE x.sz <= 40 AND y.sz <= 40),
+        |bigm AS (SELECT vec_id, cid, v FROM ws WHERE sz > 40),
+        |bq AS (SELECT vec_id, j - 1 AS j, CAST(floor(x*1000 + 0.5) AS BIGINT) AS qx
+        |       FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM bigm)),
+        |bd AS (SELECT vec_id, i, sum(qx * (((i*31 + j*17) % 7) - 3)) AS dot
+        |       FROM bq, generate_series(0, 31) g(i) GROUP BY vec_id, i),
+        |bs AS (SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
+        |       FROM bd GROUP BY vec_id),
+        |bb AS (SELECT m.cid, m.vec_id, m.v, 0 AS b, bs.sig & 65535 AS key FROM bigm m JOIN bs USING (vec_id)
+        |       UNION ALL SELECT m.cid, m.vec_id, m.v, 1, bs.sig >> 16 FROM bigm m JOIN bs USING (vec_id)),
+        |bpairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+        |   list_dot_product(x.v, y.v)/(sqrt(list_dot_product(x.v, x.v))*sqrt(list_dot_product(y.v, y.v))) AS c
+        |   FROM bb x JOIN bb y ON x.cid = y.cid AND x.b = y.b AND x.key = y.key AND x.vec_id < y.vec_id),
+        |allp AS (SELECT a, b, c FROM spairs UNION ALL SELECT a, b, c FROM bpairs)
         |SELECT a, b, floor((c) * 10000 + 0.5)/10000 AS cos
-        |FROM pairs WHERE c >= 0.45 ORDER BY a, b""".stripMargin))),
+        |FROM allp WHERE c >= 0.45 ORDER BY a, b""".stripMargin))),
 
     // embedding near-dup via signed-random-projection LSH — the fully
     // LINEAR scale path (vs the trained-IVF bucketing above): 32 fixed
@@ -1689,14 +1738,9 @@ object Queries {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val sigBits = (0 until 32).map { i =>
-        expr(s"CASE WHEN aggregate(zip_with(v, sequence(0, size(v) - 1), " +
-          s"(x, j) -> CAST(floor(x*1000 + 0.5) AS BIGINT) * (CAST(($i*31 + j*17) % 7 AS BIGINT) - 3)), " +
-          s"CAST(0 AS BIGINT), (a, x) -> a + x) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
-      }.reduce(_ + _)
       // persist: the band self-join's two legs must not recompute the
       // 32-projection signature pass
-      val sig = emb.withColumn("sig", sigBits).persist()
+      val sig = emb.withColumn("sig", srpSigExpr).persist()
       val bands = sig.select($"vec_id", $"v",
         expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
       bands.as("x").join(bands.as("y"), Seq("b", "key"))
