@@ -157,6 +157,11 @@ object Bench {
     spark.sqlContext.clearCache()
     System.gc()
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+    // build-vs-query attribution (VERDICT r3 #7): one-time artifact
+    // construction — analyzer-variant indexes, tokenized column, minhash
+    // bands, trained IVF — is timed SEPARATELY into `prep`, so each
+    // query row below measures the query, not the cache it warms
+    val prep = driverapi.Queries.prewarm(spark, sfDir)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -165,10 +170,11 @@ object Bench {
       results(name) = (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.values.sum + secs1 + secs4 + secs2 + secs8
+    val prepJson = prep.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum + prep.map(_._2).sum + secs1 + secs4 + secs2 + secs8
 
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":{"docs":$ScalingDocs,"mode":"local-cluster N executor JVMs x 1 core","n1_docs_per_sec":$thru1%.0f,"n4_docs_per_sec":$thru4%.0f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"n2_docs_per_sec":$thru2%.0f,"n8_sec":$secs8%.2f,"n8_docs_per_sec":$thru8%.0f,"scaling_efficiency_2_to_8":$efficiency%.3f,"weak_scaling_sec_2exec_quarter_docs":$secsWeak2%.2f,"weak_scaling_efficiency":$effWeak%.3f},"query_p50_sec":$p50%.4f,"query_p90_sec":$p90%.4f}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"prep":$prepJson,"sf":"$sfDir","indexing":{"docs":$ScalingDocs,"mode":"local-cluster N executor JVMs x 1 core","n1_docs_per_sec":$thru1%.0f,"n4_docs_per_sec":$thru4%.0f,"scaling_efficiency_1_to_4":$eff1to4%.3f,"n2_docs_per_sec":$thru2%.0f,"n8_sec":$secs8%.2f,"n8_docs_per_sec":$thru8%.0f,"scaling_efficiency_2_to_8":$efficiency%.3f,"weak_scaling_sec_2exec_quarter_docs":$secsWeak2%.2f,"weak_scaling_efficiency":$effWeak%.3f},"query_p50_sec":$p50%.4f,"query_p90_sec":$p90%.4f}""")
     spark.stop()
   }
 }

@@ -15,7 +15,12 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
+    val (opts, names2) = names.partition(_.startsWith("--"))
+    if (opts.contains("--prewarm"))
+      graft.driverapi.Queries.prewarm(spark, sfDir).foreach { case (k, v) =>
+        println(f"PREP $k $v%.2f s")
+      }
+    names2.foreach { name =>
       val t0 = System.nanoTime()
       graft.driverapi.Queries.all(name)._1(spark, sfDir).collect()
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
