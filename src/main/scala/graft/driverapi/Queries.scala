@@ -251,6 +251,53 @@ object Queries {
          |FROM tok WHERE term IN ('spark','merge','window','zzz_absent')
          |GROUP BY term ORDER BY term""".stripMargin))),
 
+    // OPEN Collector SPI (Collector/LeafCollector pair): a user-defined
+    // per-segment stats collector — match count, integer-quantised score
+    // sum (order-independent, so the cross-engine compare is exact), and
+    // quantised max — reduced by a plain partial/final aggregation, the
+    // CollectorManager.reduce analogue
+    "ft_collector_stats" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      val factory = new Searcher.CollectorFactory[(Long, Long, Long)] {
+        def newLeaf(seg: Int): Searcher.LeafCollector[(Long, Long, Long)] =
+          new Searcher.LeafCollector[(Long, Long, Long)] {
+            private var n = 0L
+            private var sumQ = 0L
+            private var maxQ = Long.MinValue
+            def collect(docId: Long, score: Double): Unit = {
+              val q = math.floor(score * 10000d + 0.5d).toLong
+              n += 1; sumQ += q; if (q > maxQ) maxQ = q
+            }
+            def finish(): Iterator[(Long, Long, Long)] =
+              if (n == 0L) Iterator.empty else Iterator.single((n, sumQ, maxQ))
+          }
+      }
+      Searcher.collectQ(index,
+          graft.query.QueryParser.parse("merge OR stream"), factory)
+        .toDF("n0", "sum0", "max0")
+        .agg(coalesce(sum($"n0"), lit(0L)).as("n"),
+          coalesce(sum($"sum0"), lit(0L)).as("sum_q"),
+          coalesce(max($"max0"), lit(0L)).as("max_q"))
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(floor(s * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+         |       CAST(max(CAST(floor(s * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS max_q
+         |FROM sc""".stripMargin))),
+
     "ft_collection_stats" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)

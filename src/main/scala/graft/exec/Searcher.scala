@@ -639,6 +639,61 @@ object Searcher {
     else merged.select($"docId", $"score".cast("float").as("score"))
   }
 
+  /** Open collector SPI — the `Collector` / `LeafCollector` pair of the
+    * reference (`core/search/Collector.java:31`,
+    * `LeafCollector.java:34`): a factory builds one leaf collector per
+    * SEGMENT inside the executor task, the leaf consumes every match's
+    * (docId, score) in ascending docId order, and `finish()` emits that
+    * segment's partial rows; the caller reduces the resulting Dataset
+    * (Spark's partial/final aggregation IS the reference's
+    * `CollectorManager.reduce`). Top-k, count, and docs stay on their
+    * specialised kernel paths; this is the extension point for
+    * user-defined collection (histograms, per-segment stats, early
+    * termination via [[LeafCollector.competitive]]).
+    */
+  trait LeafCollector[A] extends Serializable {
+    def collect(docId: Long, score: Double): Unit
+
+    /** Return false to stop consuming this segment (early termination —
+      * `CollectionTerminatedException` semantics). Checked per doc.
+      */
+    def competitive: Boolean = true
+
+    /** Per-segment partial rows, emitted once after the walk. */
+    def finish(): Iterator[A]
+  }
+
+  trait CollectorFactory[A] extends Serializable {
+    def newLeaf(seg: Int): LeafCollector[A]
+  }
+
+  /** Run `query0` through a custom collector: one leaf per segment,
+    * partial rows out — reduce them with ordinary Dataset aggregation.
+    * Scores are double-precision BM25 (doubleMode) unless `sim`/mode
+    * says otherwise; matches stream in ascending docId order per
+    * segment, tombstones excluded.
+    */
+  def collectQ[A: org.apache.spark.sql.Encoder](
+      index: Index, query0: Query, factory: CollectorFactory[A],
+      doubleMode: Boolean = true,
+      sim: SimilarityFactory = BM25Sim): org.apache.spark.sql.Dataset[A] = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val pl = plan(index, query0, doubleMode, sim) match {
+      case None => return spark.emptyDataset[A]
+      case Some(p) => p
+    }
+    val scorers = pl.scorers
+    val q = pl.query
+    val live = index.live
+    val ftok = index.filterCacheToken
+    val fm = !doubleMode
+    perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
+      SegmentKernel.collectWith(q, concatByTerm(rows), scorers,
+        factory.newLeaf(seg), fm, live.deleted(seg), seg, ftok)
+    }
+  }
+
   /** Count matching docs — no heap, no scoring, no global sort; the
     * kernel emits ONE partial count per segment and Spark's partial/final
     * agg sums them (`core/search/TotalHitCountCollector.java:27`,
@@ -833,6 +888,36 @@ object SegmentKernel {
           case Some(c) => collectAll(withLiveDocs(c, deletedOrds), k, floatMode, floor)
           case None => Array.empty
         }
+    }
+  }
+
+  /** Drive a user LeafCollector over every match of `q0` in this
+    * segment — the per-leaf scoring loop of `Weight.bulkScorer`
+    * feeding `LeafCollector.collect`. Ascending docId order; honors
+    * [[Searcher.LeafCollector.competitive]] for early termination.
+    */
+  def collectWith[A](
+      q0: Query,
+      byTerm: Map[String, PostingList],
+      scorers: Searcher.Scorers,
+      leaf: Searcher.LeafCollector[A],
+      floatMode: Boolean = false,
+      deletedOrds: Array[Long] = null,
+      seg: Int = -1,
+      cacheToken: String = null
+  ): Iterator[A] = {
+    val q = if (seg >= 0 && hasDocSet(q0)) scopeDocSets(q0, seg) else q0
+    val cacheCtx = if (cacheToken != null && seg >= 0) s"$cacheToken|$seg|" else null
+    buildCursor(q, byTerm, scorers, cacheCtx) match {
+      case None => leaf.finish()
+      case Some(c0) =>
+        val c = withLiveDocs(c0, deletedOrds)
+        var d = c.nextDoc()
+        while (d != NoMoreDocs && leaf.competitive) {
+          leaf.collect(d, fin(c.score(), floatMode))
+          d = c.nextDoc()
+        }
+        leaf.finish()
     }
   }
 

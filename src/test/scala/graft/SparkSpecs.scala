@@ -399,6 +399,60 @@ class WideExpansionSpec extends SparkTest {
   }
 }
 
+/** Open Collector SPI (Collector/LeafCollector): custom per-segment
+  * collection must see exactly the matching (docId, score) stream the
+  * top-k path sees, and `competitive = false` must terminate a
+  * segment's walk early.
+  */
+class CollectorSpec extends SparkTest {
+  import spark.implicits._
+  import graft.query._
+
+  private lazy val docs = {
+    val rows = (0L until 500L).map(i => Datagen.row(55L, i, 10, 150))
+    rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      InputDoc(math.floorMod(key.hashCode, 4), key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+  }
+  private lazy val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+
+  test("stats collector == aggregate over the scored match set") {
+    val q = BoolQ(should = Seq(TermQ("def"), TermQ("needle_0")), minShouldMatch = 1)
+    val factory = new Searcher.CollectorFactory[(Long, Long)] {
+      def newLeaf(seg: Int): Searcher.LeafCollector[(Long, Long)] =
+        new Searcher.LeafCollector[(Long, Long)] {
+          private var n = 0L
+          private var sumQ = 0L
+          def collect(docId: Long, score: Double): Unit = {
+            n += 1; sumQ += math.floor(score * 10000d + 0.5d).toLong
+          }
+          def finish(): Iterator[(Long, Long)] = Iterator.single((n, sumQ))
+        }
+    }
+    val parts = Searcher.collectQ(index, q, factory).collect()
+    val all = Searcher.topKQ(index, q, 100000, doubleMode = true)
+      .as[(Long, Double)].collect()
+    assert(parts.map(_._1).sum == all.length.toLong)
+    assert(parts.map(_._2).sum ==
+      all.map(h => math.floor(h._2 * 10000d + 0.5d).toLong).sum)
+  }
+
+  test("competitive=false terminates the segment walk early") {
+    val factory = new Searcher.CollectorFactory[Long] {
+      def newLeaf(seg: Int): Searcher.LeafCollector[Long] =
+        new Searcher.LeafCollector[Long] {
+          private var n = 0L
+          def collect(docId: Long, score: Double): Unit = n += 1
+          override def competitive: Boolean = n < 3
+          def finish(): Iterator[Long] = Iterator.single(n)
+        }
+    }
+    val perSeg = Searcher.collectQ(index, TermQ("def"), factory).collect()
+    assert(perSeg.nonEmpty && perSeg.forall(_ <= 3L))
+  }
+}
+
 /** Executor-side hot-filter cache (LRUQueryCache +
   * UsageTrackingQueryCachingPolicy analogue): repeated FILTER /
   * ConstantScore subqueries are answered from cached per-segment docId
