@@ -280,7 +280,9 @@ object IndexBuilder {
   }
 
   def buildSegment(seg: Int, docs: Iterator[InputDoc], preSorted: Boolean = false,
-      analyzerMode: String = "std"): Iterator[BuildRow] = {
+      analyzerMode: String = "std",
+      codec: String = graft.codec.PostingFormats.Default): Iterator[BuildRow] = {
+    val fmt = graft.codec.PostingFormats.byName(codec)
     val sorted = if (preSorted) docs.toArray else docs.toArray.sortBy(_.sortKey)
     val inv = new java.util.HashMap[String, Postings]()
     val metas = new mutable.ArrayBuffer[BuildRow](sorted.length)
@@ -384,9 +386,9 @@ object IndexBuilder {
       val buf = inv.get(term)
       val pl =
         if (hasPositions(term))
-          PostingCodec.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
+          fmt.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
             buf.n, buf.posFlat, buf.posOff, buf.posN)
-        else PostingCodec.encode(seg, term,
+        else fmt.encode(seg, term,
           java.util.Arrays.copyOf(buf.docIds, buf.n),
           java.util.Arrays.copyOf(buf.freqs, buf.n),
           java.util.Arrays.copyOf(buf.norms, buf.n), positions = null)
@@ -432,11 +434,14 @@ object IndexBuilder {
 
   /** Build fully in memory (cached) — test/driver-query path. */
   def buildInMemory(spark: SparkSession, docs: Dataset[InputDoc],
-      analyzerMode: String = "std"): Index = {
+      analyzerMode: String = "std",
+      codec: String = graft.codec.PostingFormats.Default): Index = {
     import spark.implicits._
     val mode = analyzerMode
+    val cdc = codec // capture the NAME, resolved registry-side in the task
     val out = docs.groupByKey(_.seg)
-      .flatMapGroups((seg, it) => buildSegment(seg, it, preSorted = false, analyzerMode = mode))
+      .flatMapGroups((seg, it) =>
+        buildSegment(seg, it, preSorted = false, analyzerMode = mode, codec = cdc))
       .persist()
     toIndex(spark, out)
   }
@@ -484,10 +489,14 @@ object IndexBuilder {
 
   // ---------- persistent, resumable build (north rule: checkpoint + lineage) ----------
 
-  /** Config hash for lineage: analyzer + codec + layout version. */
-  val CodeConfigHash: String = sha256Hex(
-    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=pfor-delta-b${PostingCodec.BlockSize};layout=v7-pfor"
+  /** Config hash for lineage: analyzer + codec + layout version. The
+    * codec NAME participates, so switching posting formats invalidates
+    * (and resume rebuilds) segments written under the other one.
+    */
+  def codeConfigHash(codec: String): String = sha256Hex(
+    s"analyzer=word+lower+max${CodeAnalyzer.MaxTokenLength};codec=$codec-delta-b${PostingCodec.BlockSize};layout=v8-codec-spi"
   ).take(16)
+  val CodeConfigHash: String = codeConfigHash(graft.codec.PostingFormats.Default)
 
   /** Order-independent fingerprint of a segment's input slice
     * (xor+count of per-row key hashes; commit pins content).

@@ -90,7 +90,8 @@ object IndexMerger {
       rows: Iterator[PostingList],
       dm: DocMap,
       newSeg: Int,
-      cap: Int
+      cap: Int,
+      codec: String = graft.codec.PostingFormats.Default
   ): Iterator[PostingList] =
     new Iterator[PostingList] {
       private val it = rows.buffered
@@ -110,7 +111,7 @@ object IndexMerger {
       private def emitPending(): Unit = {
         val prev = peakBufferedPostings.get()
         if (n > prev) peakBufferedPostings.compareAndSet(prev, n)
-        pending = PostingCodec.encode(newSeg, curTerm,
+        pending = graft.codec.PostingFormats.byName(codec).encode(newSeg, curTerm,
           java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(fqs, n),
           java.util.Arrays.copyOf(nms, n),
           if (hasPos) java.util.Arrays.copyOf(pss, n) else null)

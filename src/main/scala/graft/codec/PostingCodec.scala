@@ -228,6 +228,8 @@ object PostingCodec {
     val minNorms = new Array[Byte](numBlocks)
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ArrayBuffer[Byte](n * 3)
+    buf += PForFormat.id // self-describing payload (see PostingFormat)
+    offsets(0) = 1
     // per-block scratch, reused across blocks (encode is the build hot path)
     val deltas = new Array[Long](BlockSize)
     val fvals = new Array[Long](BlockSize)
@@ -334,6 +336,8 @@ object PostingCodec {
     val minNorms = new Array[Byte](numBlocks)
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ArrayBuffer[Byte](n * 3)
+    buf += PForFormat.id // self-describing payload (see PostingFormat)
+    offsets(0) = 1
     val deltas = new Array[Long](BlockSize)
     val fvals = new Array[Long](BlockSize)
     var pvals = new Array[Long](4 * BlockSize)
@@ -416,8 +420,14 @@ object PostingCodec {
       positions: Array[Array[Int]]
   )
 
-  /** Decode block `b` of `pl`. */
-  def decodeBlock(pl: PostingList, b: Int, withPositions: Boolean = false): Decoded = {
+  /** Decode block `b` of `pl` — dispatches on the row's self-described
+    * format (the Codec SPI read side, see [[PostingFormat]]).
+    */
+  def decodeBlock(pl: PostingList, b: Int, withPositions: Boolean = false): Decoded =
+    PostingFormats.of(pl).decodeBlockImpl(pl, b, withPositions)
+
+  /** PFOR block decode (legacy prefix-less rows and PForFormat rows). */
+  private[codec] def decodeBlockPFor(pl: PostingList, b: Int, withPositions: Boolean): Decoded = {
     val count = pl.counts(b)
     val r = new Reader(pl.payload, pl.offsets(b))
     // docIds: varint first delta + packed rest, then prefix-sum
@@ -500,6 +510,18 @@ object PostingCodec {
   def concat(rows: Seq[PostingList]): PostingList = {
     if (rows.size == 1) return rows.head
     val head = rows.head
+    val fmt = PostingFormats.of(head)
+    if (rows.exists(r => !(PostingFormats.of(r) eq fmt))) {
+      // rare: the same term written under different codecs (mixed-codec
+      // generations) — decode and re-encode once with the head's format
+      val withPos = graft.build.IndexBuilder.hasPositions(head.term)
+      val ds = rows.map(r => decodeAll(r, withPos))
+      val ids = ds.flatMap(_.docIds).toArray
+      val freqs = ds.flatMap(_.freqs).toArray
+      val norms = ds.flatMap(_.norms).toArray
+      val poss = if (withPos) ds.flatMap(_.positions).toArray else null
+      return fmt.encode(head.seg, head.term, ids, freqs, norms, poss)
+    }
     val numBlocks = rows.map(_.numBlocks).sum
     val counts = new Array[Int](numBlocks)
     val bases = new Array[Long](numBlocks)
@@ -511,6 +533,11 @@ object PostingCodec {
     var b = 0
     var pOff = 0
     rows.foreach { pl =>
+      // each row's block 0 starts AFTER its own format prefix byte —
+      // re-anchor the start offset per row (head: keeps the prefix
+      // visible to the format dispatch; later rows: their embedded
+      // prefix bytes become dead padding)
+      offsets(b) = pOff + pl.offsets(0)
       System.arraycopy(pl.counts, 0, counts, b, pl.numBlocks)
       System.arraycopy(pl.baseDocIds, 0, bases, b, pl.numBlocks)
       System.arraycopy(pl.maxDocIds, 0, maxDocs, b, pl.numBlocks)

@@ -1,0 +1,221 @@
+package graft.codec
+
+import graft.model.PostingList
+import scala.collection.mutable.ArrayBuffer
+
+/** Pluggable posting format — the Codec SPI
+  * (`core/codecs/Codec.java:34`: named, registry-loaded, recorded
+  * per segment so readers pick the right decoder). The engine's
+  * restatement: every NEW PostingList payload is SELF-DESCRIBING — byte
+  * 0 is the format id and `offsets(0) = 1` points past it; rows written
+  * before the SPI (`offsets(0) = 0`) decode as PFOR. Decoding therefore
+  * dispatches per ROW, so segments written under different codecs
+  * coexist in one index exactly like the reference's per-segment codec
+  * recording; ENCODES take the format explicitly (captured at
+  * build/merge planning time — never read from mutable global state
+  * inside an executor task).
+  */
+trait PostingFormat extends Serializable {
+  def id: Byte
+  def name: String
+  def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], positions: Array[Array[Int]] = null): PostingList
+  def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
+      posEnd: Int): PostingList
+  private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
+      withPositions: Boolean): PostingCodec.Decoded
+}
+
+/** Format registry (the codec SPI lookup, `Codec.forName`). */
+object PostingFormats {
+  val Default = "pfor"
+  private val all: Map[String, PostingFormat] =
+    Seq(PForFormat, VByteFormat).map(f => f.name -> f).toMap
+  private val byIdMap: Map[Byte, PostingFormat] =
+    Seq(PForFormat, VByteFormat).map(f => f.id -> f).toMap
+
+  def byName(name: String): PostingFormat =
+    all.getOrElse(name, throw new IllegalArgumentException(s"unknown posting format '$name'"))
+  def byId(id: Byte): PostingFormat =
+    byIdMap.getOrElse(id, throw new IllegalArgumentException(s"unknown posting format id $id"))
+
+  /** Format that wrote `pl` (legacy prefix-less rows are PFOR). */
+  def of(pl: PostingList): PostingFormat =
+    if (pl.offsets.length == 0 || pl.offsets(0) == 0) PForFormat else byId(pl.payload(0))
+}
+
+/** Delta + FOR/PFOR 128-doc blocks — the default; delegates to
+  * [[PostingCodec]] (see that object for the layout).
+  */
+object PForFormat extends PostingFormat {
+  val id: Byte = 0
+  val name = "pfor"
+  def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], positions: Array[Array[Int]]): PostingList =
+    PostingCodec.encode(seg, term, docIds, freqs, norms, positions)
+  def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
+      posEnd: Int): PostingList =
+    PostingCodec.encodeFlat(seg, term, docIds, freqs, norms, n, posFlat, posOff, posEnd)
+  private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
+      withPositions: Boolean): PostingCodec.Decoded =
+    PostingCodec.decodeBlockPFor(pl, b, withPositions)
+}
+
+/** Variable-byte posting format: same 128-doc block structure, skip
+  * metadata, and impacts as PFOR, but every run is plain varints —
+  * byte-aligned decode with no bit unpacking (the classic VInt postings
+  * layout of older reference codecs, cf.
+  * `core/codecs/lucene103/...` VByte tails). Block payload:
+  *   [varint firstDocDelta][varint docDelta x (count-1)]
+  *   [varint (freq-1) x count]
+  *   [norm byte x count]
+  *   [varint posDelta x sum(freq)]   (when positions kept)
+  */
+object VByteFormat extends PostingFormat {
+  val id: Byte = 1
+  val name = "vbyte"
+  private val BlockSize = PostingCodec.BlockSize
+
+  @inline private def writeV(buf: ArrayBuffer[Byte], value: Long): Unit = {
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      buf += ((v & 0x7f) | 0x80).toByte
+      v >>>= 7
+    }
+    buf += v.toByte
+  }
+
+  def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], positions: Array[Array[Int]]): PostingList =
+    encodeGeneric(seg, term, docIds, freqs, norms, docIds.length,
+      if (positions == null) null else i => positions(i))
+
+  def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
+      norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
+      posEnd: Int): PostingList = {
+    val slice: Int => Array[Int] = { i =>
+      val start = posOff(i)
+      val end = if (i + 1 < n) posOff(i + 1) else posEnd
+      java.util.Arrays.copyOfRange(posFlat, start, end)
+    }
+    encodeGeneric(seg, term, docIds, freqs, norms, n, slice)
+  }
+
+  private def encodeGeneric(seg: Int, term: String, docIds: Array[Long],
+      freqs: Array[Int], norms: Array[Byte], n: Int,
+      posOf: Int => Array[Int]): PostingList = {
+    val numBlocks = (n + BlockSize - 1) / BlockSize
+    val counts = new Array[Int](numBlocks)
+    val bases = new Array[Long](numBlocks)
+    val maxDocs = new Array[Long](numBlocks)
+    val maxFreqs = new Array[Int](numBlocks)
+    val minNorms = new Array[Byte](numBlocks)
+    val offsets = new Array[Int](numBlocks + 1)
+    val buf = new ArrayBuffer[Byte](n * 3)
+    buf += id // self-describing payload
+    offsets(0) = 1
+    var ttf = 0L
+    var from = 0
+    var prevBlockLast = -1L
+    var b = 0
+    while (from < n) {
+      val until = math.min(from + BlockSize, n)
+      counts(b) = until - from
+      bases(b) = prevBlockLast
+      maxDocs(b) = docIds(until - 1)
+      var maxFreq = 0
+      var minNormLen = Int.MaxValue
+      var minNorm: Byte = 0
+      var prev = prevBlockLast
+      var i = from
+      while (i < until) {
+        writeV(buf, docIds(i) - prev - (if (prev < 0) 0 else 1))
+        prev = docIds(i)
+        i += 1
+      }
+      i = from
+      while (i < until) {
+        val f = freqs(i)
+        writeV(buf, (f - 1).toLong)
+        if (f > maxFreq) maxFreq = f
+        ttf += f
+        i += 1
+      }
+      i = from
+      while (i < until) {
+        val nb = norms(i)
+        buf += nb
+        val len = graft.util.SmallFloat.byte4ToInt(nb)
+        if (len < minNormLen) { minNormLen = len; minNorm = nb }
+        i += 1
+      }
+      if (posOf != null) {
+        i = from
+        while (i < until) {
+          val ps = posOf(i)
+          var prevPos = -1
+          var j = 0
+          while (j < ps.length) {
+            writeV(buf, (ps(j) - prevPos - 1).toLong)
+            prevPos = ps(j)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      maxFreqs(b) = maxFreq
+      minNorms(b) = minNorm
+      offsets(b + 1) = buf.length
+      prevBlockLast = docIds(until - 1)
+      from = until
+      b += 1
+    }
+    PostingList(seg, term, n, ttf, counts, bases, maxDocs, maxFreqs, minNorms,
+      offsets, buf.toArray)
+  }
+
+  private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
+      withPositions: Boolean): PostingCodec.Decoded = {
+    val count = pl.counts(b)
+    val r = new PostingCodec.Reader(pl.payload, pl.offsets(b))
+    val ids = new Array[Long](count)
+    var prev = pl.baseDocIds(b)
+    var i = 0
+    while (i < count) {
+      ids(i) = prev + r.readVLong() + (if (prev < 0) 0 else 1)
+      prev = ids(i)
+      i += 1
+    }
+    val freqs = new Array[Int](count)
+    var totalFreq = 0
+    i = 0
+    while (i < count) {
+      freqs(i) = (r.readVLong() + 1).toInt
+      totalFreq += freqs(i)
+      i += 1
+    }
+    val norms = new Array[Byte](count)
+    i = 0
+    while (i < count) { norms(i) = r.readByte(); i += 1 }
+    var poss: Array[Array[Int]] = null
+    if (withPositions) {
+      poss = new Array[Array[Int]](count)
+      i = 0
+      while (i < count) {
+        val ps = new Array[Int](freqs(i))
+        var prevPos = -1
+        var j = 0
+        while (j < ps.length) {
+          ps(j) = prevPos + r.readVLong().toInt + 1
+          prevPos = ps(j)
+          j += 1
+        }
+        poss(i) = ps
+        i += 1
+      }
+    }
+    PostingCodec.Decoded(ids, freqs, norms, poss)
+  }
+}

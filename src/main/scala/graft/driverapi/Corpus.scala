@@ -54,6 +54,16 @@ object Corpus {
       build(spark, spark.read.parquet(s"$dir/documents.parquet"), "all")
     }
 
+  /** VByte posting-format variant (Codec SPI, `ft_vbyte_topk`): same
+    * std analyzer, postings encoded with [[graft.codec.VByteFormat]] —
+    * results must be identical to the PFOR index (codecs are
+    * semantics-transparent).
+    */
+  def getVByte(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"vbyte:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "std", codec = "vbyte")
+    }
+
   /** Position-preserving StopFilter variant (`ft_stop_*` entries). */
   def getStopFiltered(spark: SparkSession, dir: String): (Index, DataFrame) =
     cached(spark, s"stop:$dir") {
@@ -94,7 +104,8 @@ object Corpus {
     * (`@path:` terms + `@norms:path` sidecar, see IndexBuilder.fieldTerm);
     * `commit` carries doc_id for the docId<->doc_id mapping.
     */
-  private def build(spark: SparkSession, docs: DataFrame, analyzerMode: String): (Index, DataFrame) = {
+  private def build(spark: SparkSession, docs: DataFrame, analyzerMode: String,
+      codec: String = graft.codec.PostingFormats.Default): (Index, DataFrame) = {
     import spark.implicits._
     val maxId = docs.agg(max($"doc_id")).head().getLong(0)
     val span = maxId / numSegments(maxId + 1) + 1
@@ -107,7 +118,7 @@ object Corpus {
           repo = "documents", path = source, commit = id.toString, lang = lang,
           content = text)
       }
-    val index = IndexBuilder.buildInMemory(spark, input, analyzerMode)
+    val index = IndexBuilder.buildInMemory(spark, input, analyzerMode, codec)
     index.postings.persist()
     index.docmeta.persist()
     index.termStats.persist()

@@ -111,6 +111,7 @@ object Queries {
       case "all" => Corpus.getCombinedField(spark, dir)
       case "shingle" => Corpus.getShingled(spark, dir)
       case "ngram" => Corpus.getNgram(spark, dir)
+      case "vbyte" => Corpus.getVByte(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
     spark.createDataset(topRoundedHits(index, q0, k, sim).toSeq).toDF("docId", "score")
@@ -415,6 +416,16 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
          |FROM (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%e%')
          |ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // Codec SPI: the SAME query over an index whose postings are encoded
+    // with the vbyte format (PostingFormats registry, self-describing
+    // payloads) — scores must be identical to the PFOR default, and the
+    // oracle is the ordinary BM25 SQL (codecs are semantics-transparent)
+    "ft_vbyte_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+        graft.query.TermQ("table"), graft.query.TermQ("batch")), minShouldMatch = 1),
+        10, variant = "vbyte")(spark, dir)
+    }, Some(bm25Sql(Seq("table", "batch"), requireAll = false, 10)))),
 
     // general wildcard (not just trailing-*): dictionary expansion via the
     // sorted term-stats table (WildcardQuery.java:38)
@@ -2130,6 +2141,7 @@ object Queries {
       step("idx_stop") { force(Corpus.getStopFiltered(spark, dir)) },
       step("idx_shingle") { force(Corpus.getShingled(spark, dir)) },
       step("idx_ngram") { force(Corpus.getNgram(spark, dir)) },
+      step("idx_vbyte") { force(Corpus.getVByte(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() }

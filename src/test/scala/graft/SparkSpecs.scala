@@ -399,6 +399,35 @@ class WideExpansionSpec extends SparkTest {
   }
 }
 
+/** Codec SPI: an index built with the vbyte posting format must be
+  * rank- and score-identical to the PFOR default on every query shape,
+  * pass CheckIndex, and merge cleanly (the merge re-encodes with the
+  * requested codec; mixed-codec same-term rows re-encode on concat).
+  */
+class CodecSpiSpec extends SparkTest {
+  import spark.implicits._
+
+  test("vbyte index == pfor index on all fixture query shapes; CheckIndex clean") {
+    val rows = (0L until 900L).map(i => Datagen.row(61L, i, 15, 400))
+    val docs = rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      InputDoc(math.floorMod(key.hashCode, 4), key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val pfor = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val vbyte = IndexBuilder.buildInMemory(spark, spark.createDataset(docs), codec = "vbyte")
+    assert(graft.build.CheckIndex.run(vbyte).isEmpty)
+    // every persisted vbyte row self-describes as vbyte
+    assert(vbyte.postings.collect().forall(pl => graft.codec.PostingFormats.of(pl).name == "vbyte"))
+    Seq("def", "def AND class", "val OR needle_0", "\"class camelCaseName7\"",
+      "ident_23*", "ident_17 AND NOT ident_23").foreach { qs =>
+      val a = Searcher.topK(pfor, qs, 10).as[(Long, Float)].collect().toSeq
+      val b = Searcher.topK(vbyte, qs, 10).as[(Long, Float)].collect().toSeq
+      assert(a == b, s"codec divergence on [$qs]")
+    }
+    assert(Searcher.count(pfor, "def OR class") == Searcher.count(vbyte, "def OR class"))
+  }
+}
+
 /** Open Collector SPI (Collector/LeafCollector): custom per-segment
   * collection must see exactly the matching (docId, score) stream the
   * top-k path sees, and `competitive = false` must terminate a

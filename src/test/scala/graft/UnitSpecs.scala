@@ -128,6 +128,57 @@ class CodecSpec extends AnyFunSuite {
   }
 }
 
+/** Codec SPI: the vbyte format must round-trip identically to PFOR and
+  * self-describe its payload so mixed-format rows decode correctly
+  * through the shared dispatch (PostingFormats.of).
+  */
+class VByteFormatSpec extends AnyFunSuite {
+  private def gen(rnd: scala.util.Random): (Array[Long], Array[Int], Array[Byte], Array[Array[Int]]) = {
+    val n = 1 + rnd.nextInt(700)
+    val base = math.abs(rnd.nextLong()) % (1L << 41)
+    val ids = new Array[Long](n)
+    var cur = base
+    val freqs = new Array[Int](n)
+    val norms = new Array[Byte](n)
+    val ps = new Array[Array[Int]](n)
+    (0 until n).foreach { i =>
+      cur += 1 + rnd.nextInt(5000)
+      ids(i) = cur
+      freqs(i) = 1 + rnd.nextInt(40)
+      norms(i) = rnd.nextInt(256).toByte
+      var p = rnd.nextInt(3)
+      ps(i) = Array.fill(freqs(i)) { p += 1 + rnd.nextInt(5); p }
+    }
+    (ids, freqs, norms, ps)
+  }
+
+  test("vbyte round-trip == input == pfor decode, dispatch by payload id byte") {
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val (ids, freqs, norms, ps) = gen(rnd)
+      val vb = graft.codec.VByteFormat.encode(3, "t", ids, freqs, norms, ps)
+      val pf = graft.codec.PForFormat.encode(3, "t", ids, freqs, norms, ps)
+      assert(vb.payload(0) == graft.codec.VByteFormat.id && vb.offsets(0) == 1)
+      assert(pf.payload(0) == graft.codec.PForFormat.id && pf.offsets(0) == 1)
+      assert(graft.codec.PostingFormats.of(vb).name == "vbyte")
+      assert(graft.codec.PostingFormats.of(pf).name == "pfor")
+      // both decode through the SAME dispatching entry point
+      val dv = PostingCodec.decodeAll(vb, withPositions = true)
+      val dp = PostingCodec.decodeAll(pf, withPositions = true)
+      assert(dv.docIds.toSeq == ids.toSeq && dp.docIds.toSeq == ids.toSeq)
+      assert(dv.freqs.toSeq == freqs.toSeq && dv.norms.toSeq == norms.toSeq)
+      assert(dv.positions.map(_.toSeq).toSeq == ps.map(_.toSeq).toSeq)
+      assert(vb.counts.toSeq == pf.counts.toSeq)
+      assert(vb.maxDocIds.toSeq == pf.maxDocIds.toSeq)
+      assert(vb.maxFreqs.toSeq == pf.maxFreqs.toSeq) // impacts codec-independent
+    }
+  }
+
+  test("unknown format id rejected") {
+    intercept[IllegalArgumentException] { graft.codec.PostingFormats.byName("nope") }
+  }
+}
+
 class PForSpec extends AnyFunSuite {
   /** Outlier-heavy streams: a handful of huge deltas per block must not
     * widen the whole block (PForUtil.java exception patching).
