@@ -58,6 +58,18 @@ object Cli {
             println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
             hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
           }
+        case "delete" :: dir :: repo :: path :: commit :: Nil =>
+          // IndexWriter.deleteDocuments(Term) analogue: append a tombstone;
+          // readers exclude on next open, merges purge physically
+          import spark.implicits._
+          IndexBuilder.deleteDocs(spark, dir,
+            Seq((repo, path, commit)).toDF("repo", "path", "commit"))
+          println(s"tombstoned ($repo, $path, $commit)")
+        case "merge" :: dir :: Nil =>
+          val ms = graft.build.IndexMerger.tieredMerge(spark, dir)
+          if (ms.isEmpty) println("merge: nothing over budget")
+          else ms.foreach(m => println(
+            s"merged -> seg=${m.seg} docs=${m.docs} postings=${m.postings} bytes=${m.bytes}"))
         case "check" :: dir :: Nil =>
           // CheckIndex analogue: structural invariants over the whole index
           val violations = graft.build.CheckIndex.run(IndexBuilder.open(spark, dir))
@@ -84,7 +96,7 @@ object Cli {
             driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
           }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | serve <dir> <k> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | serve <dir> <k> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -955,6 +955,74 @@ object Kernel {
     heap.result()
   }
 
+  /** MAXSCORE bulk scorer over term cursors (pure disjunction, msm=1) —
+    * `core/search/MaxScoreBulkScorer.java:26` (Turtle & Flood):
+    * cursors sorted by static upper bound ascending; the maximal prefix
+    * whose SUMMED bounds cannot beat the current threshold is
+    * NON-ESSENTIAL — its cursors are never iterated, only probed (in
+    * decreasing-bound order, with running partial-score + remaining-
+    * bound cutoffs) on docs an essential cursor matched. Rank-identical
+    * to WAND / exhaustive evaluation: a doc is skipped only when its
+    * float-cast upper bound cannot exceed the heap minimum, and docs
+    * stream ascending so equal-score candidates lose the HitQueue
+    * tie-break anyway. WAND stays the engine default
+    * (`BooleanScorerSupplier` also picks one); select this with
+    * -Dgraft.disjunction=maxscore.
+    */
+  def maxscoreTopK(cursors: Array[TermCursor], k: Int, floatMode: Boolean = false,
+      floor: Double = Double.NegativeInfinity): Array[(Long, Double)] = {
+    val heap = new HitHeap(k, floor)
+    val subs: Array[TermCursor] =
+      cursors.filter(_.nextDoc() != NoMoreDocs).sortBy(_.maxScoreBound)
+    if (subs.isEmpty) return heap.result()
+    val n = subs.length
+    val prefix = new Array[Double](n + 1) // prefix(i) = sum of bounds of subs(0 until i)
+    var i = 0
+    while (i < n) { prefix(i + 1) = prefix(i) + subs(i).maxScoreBound; i += 1 }
+    var firstEssential = 0
+
+    def updateBoundary(): Unit = {
+      if (!heap.canPrune) { firstEssential = 0; return }
+      val t = heap.minScore
+      var e = 0
+      while (e < n && fin(prefix(e + 1), floatMode) <= t) e += 1
+      firstEssential = e
+    }
+
+    var live = true
+    while (live) {
+      updateBoundary()
+      if (firstEssential >= n) return heap.result() // nothing can compete any more
+      var d = NoMoreDocs
+      var j = firstEssential
+      while (j < n) { if (subs(j).doc < d) d = subs(j).doc; j += 1 }
+      if (d == NoMoreDocs) live = false
+      else {
+        // full score = essential matches + non-essential probes with cutoffs
+        var s = 0d
+        j = firstEssential
+        while (j < n) { if (subs(j).doc == d) s += subs(j).score(); j += 1 }
+        var jj = firstEssential - 1
+        var viable = true
+        while (jj >= 0 && viable) {
+          // cursors 0..jj are still unadded; their bound sum is prefix(jj+1)
+          if (heap.canPrune && fin(s + prefix(jj + 1), floatMode) <= heap.minScore)
+            viable = false
+          else {
+            val c = subs(jj)
+            if (c.doc < d) c.advance(d)
+            if (c.doc == d) s += c.score()
+            jj -= 1
+          }
+        }
+        if (viable) heap.insert(fin(s, floatMode), d)
+        j = firstEssential
+        while (j < n) { if (subs(j).doc == d) subs(j).nextDoc(); j += 1 }
+      }
+    }
+    heap.result()
+  }
+
   /** Conjunction of terms with block-max pruning —
     * `core/search/BlockMaxConjunctionBulkScorer.java`. Rank-identical to
     * exhaustive evaluation.

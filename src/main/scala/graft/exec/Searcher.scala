@@ -799,6 +799,13 @@ object FilterCache {
 object SegmentKernel {
   import Kernel._
 
+  /** Disjunction bulk-scorer choice (read once per JVM): WAND by
+    * default, MAXSCORE with -Dgraft.disjunction=maxscore — both
+    * rank-identical (MaxScoreSpec proves equality on random postings).
+    */
+  private val useMaxScore: Boolean =
+    "maxscore".equalsIgnoreCase(System.getProperty("graft.disjunction", "wand"))
+
   /** Wrap the root with the segment's tombstone exclusion (liveDocs,
     * `core/search/Weight.java:294-300` acceptDocs).
     */
@@ -878,6 +885,9 @@ object SegmentKernel {
         // time accumulation beats document-at-a-time WAND
         // (`BooleanScorerSupplier.java:176-223` makes the same choice)
         else if (cs.size > 16) taatTopK(cs.toArray, k, 1, floatMode, floor)
+        // WAND is the default document-at-a-time pruner; MAXSCORE is the
+        // drop-in alternative (rank-identical, -Dgraft.disjunction=maxscore)
+        else if (useMaxScore) maxscoreTopK(cs.toArray, k, floatMode, floor)
         else wandTopK(cs.toArray, k, floatMode, floor)
       case BoolQ(Nil, should, Nil, msm, Nil) if !hasDeletes && should.nonEmpty &&
           should.size > 16 && should.forall(_.isInstanceOf[TermQ]) =>

@@ -438,3 +438,68 @@ class AnalyzerModesSpec extends AnyFunSuite {
     assert(analyze("std", "camelCase").map(_.term).toSeq == Seq("camelcase"))
   }
 }
+
+/** MAXSCORE bulk scorer — rank identity vs WAND and vs brute-force
+  * evaluation over random encoded postings (pure-JVM differential,
+  * no Spark): same hits, same float scores, same tie order, with and
+  * without a primed floor.
+  */
+class MaxScoreSpec extends AnyFunSuite {
+  import graft.exec.Kernel
+
+  private def run(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val numDocs = 1500
+    val numTerms = 2 + rnd.nextInt(8)
+    val lens = Array.fill(numDocs)(5 + rnd.nextInt(400))
+    val norms = lens.map(SmallFloat.intToByte4)
+    val fs = FieldStats(numDocs.toLong, lens.map(_.toLong).sum)
+    // per-term random postings
+    val terms = (0 until numTerms).map { t =>
+      val density = 0.02 + rnd.nextDouble() * 0.4
+      val ids = (0 until numDocs).filter(_ => rnd.nextDouble() < density)
+      val freqs = ids.map(_ => 1 + rnd.nextInt(12))
+      (ids.toArray.map(_.toLong), freqs.toArray)
+    }
+    val scorers = terms.map { case (ids, _) =>
+      Kernel.FloatScorer(BM25.termScorer(TermStats("t", ids.length.toLong, 0L), fs))
+    }
+    val pls = terms.map { case (ids, freqs) =>
+      PostingCodec.encode(0, "t", ids, freqs, ids.map(id => norms(id.toInt)), null)
+    }
+    // brute-force baseline with the collector-boundary float cast
+    val brute: Seq[(Long, Double)] = {
+      val acc = new Array[Double](numDocs)
+      val hit = new Array[Boolean](numDocs)
+      terms.indices.foreach { t =>
+        val (ids, freqs) = terms(t)
+        ids.indices.foreach { i =>
+          val d = ids(i).toInt
+          acc(d) += scorers(t).score(freqs(i), norms(d))
+          hit(d) = true
+        }
+      }
+      (0 until numDocs).filter(hit).map(d => (d.toLong, acc(d).toFloat.toDouble))
+    }
+    def topOf(k: Int): Seq[(Long, Double)] =
+      brute.sortBy { case (d, s) => (-s, d) }.take(k)
+    Seq(3, 10, 64).foreach { k =>
+      def cursors() = pls.indices.map(t => new Kernel.TermCursor(pls(t), scorers(t))).toArray
+      val wand = Kernel.wandTopK(cursors(), k, floatMode = true)
+      val ms = Kernel.maxscoreTopK(cursors(), k, floatMode = true)
+      val exp = topOf(k)
+      assert(wand.toSeq == exp, s"wand k=$k seed=$seed")
+      assert(ms.toSeq == exp, s"maxscore k=$k seed=$seed")
+      // primed floor: just below the true kth score — still rank-identical
+      if (exp.size >= k && k > 1) {
+        val floor = Math.nextDown(exp(k - 1)._2)
+        val msF = Kernel.maxscoreTopK(cursors(), k, floatMode = true, floor = floor)
+        assert(msF.toSeq == exp, s"maxscore primed k=$k seed=$seed")
+      }
+    }
+  }
+
+  test("maxscore == wand == brute force over random postings (20 seeds)") {
+    (1 to 20).foreach(s => run(s * 7919))
+  }
+}
