@@ -77,9 +77,17 @@ final class FileLiveDocs(val ldDir: String, val segs: Map[Int, Long]) extends Li
 
 object LiveDocs {
 
+  /** Sidecar IO goes through the Hadoop FileSystem API (like Spark's own
+    * file sinks), so executor-side reads/writes work unchanged whether
+    * the index dir is local, HDFS, or an object store — the sandbox uses
+    * the default local FS.
+    */
+  private def fsOf(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
   private[build] def readSidecar(path: String): Array[Long] = {
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fsOf(p).open(p)))
     try {
       val n = in.readInt()
       val arr = new Array[Long](n)
@@ -89,18 +97,19 @@ object LiveDocs {
     } finally in.close()
   }
 
-  private def writeSidecar(path: java.nio.file.Path, ids: Array[Long], n: Int): Unit = {
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      java.nio.file.Files.newOutputStream(tmp)))
+  private def writeSidecar(path: String, ids: Array[Long], n: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    val fs = fsOf(p)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
     try {
       out.writeInt(n)
       var i = 0
       while (i < n) { out.writeLong(ids(i)); i += 1 }
     } finally out.close()
-    java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   /** Resolve the current tombstone set against `docmeta` into per-segment
@@ -118,9 +127,10 @@ object LiveDocs {
       docmeta: DataFrame, tombs: DataFrame): LiveDocs = {
     import spark.implicits._
     val ldDir = s"$dir/livedocs/$scopeKey"
-    val manifestPath = java.nio.file.Paths.get(s"$ldDir/_manifest.json")
-    if (!java.nio.file.Files.exists(manifestPath)) {
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ldDir))
+    val manifestP = new org.apache.hadoop.fs.Path(s"$ldDir/_manifest.json")
+    val mfs = fsOf(manifestP)
+    if (!mfs.exists(manifestP)) {
+      mfs.mkdirs(new org.apache.hadoop.fs.Path(ldDir))
       val out = ldDir
       val counts: Seq[(Int, Long)] = docmeta
         .join(tombs, Seq("repo", "path", "commit"), "left_semi")
@@ -137,7 +147,7 @@ object LiveDocs {
           var buf = new Array[Long](1024)
           var n = 0
           def flush(): Unit = if (n > 0) {
-            writeSidecar(java.nio.file.Paths.get(s"$out/seg_$curSeg.longs"), buf, n)
+            writeSidecar(s"$out/seg_$curSeg.longs", buf, n)
             res += ((curSeg, n.toLong))
             n = 0
           }
@@ -153,11 +163,18 @@ object LiveDocs {
         .collect().toSeq
       val json = counts.sortBy(_._1)
         .map { case (s, c) => s""""$s":$c""" }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(manifestPath, json)
+      val mo = mfs.create(manifestP, true)
+      try mo.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally mo.close()
+    }
+    val manifestJson = {
+      val in = mfs.open(manifestP)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
     }
     val segs: Map[Int, Long] =
       "\"(-?\\d+)\"\\s*:\\s*(\\d+)".r
-        .findAllMatchIn(java.nio.file.Files.readString(manifestPath))
+        .findAllMatchIn(manifestJson)
         .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
     if (segs.isEmpty) NoDeletes else new FileLiveDocs(ldDir, segs)
   }
