@@ -982,7 +982,11 @@ object SegmentKernel {
       cacheCtx: String
   ): Option[DocCursor] = {
     if (cacheCtx == null || hasDocSet(q)) return buildCursor(q, byTerm, scorers, cacheCtx)
-    val key = cacheCtx + q.toString
+    // toString + structural hash: a false hit would need two distinct
+    // query trees agreeing on BOTH (toString alone is ambiguous for
+    // crafted terms containing ", " — unreachable via the analyzer, but
+    // the cache must not rely on that)
+    val key = cacheCtx + q.hashCode + "|" + q.toString
     val hit = FilterCache.get(key)
     if (hit != null) {
       if (hit.isEmpty) None else Some(new SortedDocsCursor(hit))

@@ -342,16 +342,18 @@ class WideExpansionSpec extends SparkTest {
   import spark.implicits._
   import graft.query._
 
-  private lazy val docs = (0 until 600).map { i =>
+  // 1100 docs: 4400 distinct w-terms AND 1100 distinct @path:f-terms —
+  // both the unprefixed and the field-anchored namespaces exceed the cap
+  private lazy val docs = (0 until 1100).map { i =>
     val toks = (0 until 4).map(j => f"w${4 * i + j}%05d").mkString(" ")
     InputDoc(i % 3, f"$i%04d", "r", s"p/f$i", i.toString, "en",
       s"$toks common${i % 7} anchor")
   }
   private lazy val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
-  private lazy val oracle = NaiveOracle.fromContents(
+  private lazy val oracle = NaiveOracle.fromContentsWithPath(
     docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
       ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
-        ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content)
+        ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content, d.path)
       }
     })
 
@@ -372,7 +374,12 @@ class WideExpansionSpec extends SparkTest {
         filter = Seq(TermRangeQ("w00000", "w01199"))),
       // wide MUST_NOT clause
       BoolQ(must = Seq(TermQ("common2")),
-        mustNot = Seq(TermRangeQ("w00000", "w01199")))
+        mustNot = Seq(TermRangeQ("w00000", "w01199"))),
+      // FIELD-ANCHORED wide expansion: the @path: namespace alone
+      // exceeds the cap (1100 @path:f-terms); the pattern's own prefix
+      // restricts the scan and the kernel match to that field
+      ConstScoreQ(PrefixQ("@path:f"), 1f),
+      BoolQ(must = Seq(TermQ("common3")), filter = Seq(PrefixQ("@path:f1")))
     )
     shapes.foreach { q =>
       val expected = NaiveOracle.search(oracle, q, 20)
@@ -382,7 +389,8 @@ class WideExpansionSpec extends SparkTest {
   }
 
   test("count / docs paths go wide (non-scoring), never throw, == oracle") {
-    assert(Searcher.countQ(index, PrefixQ("w")) == 600L)
+    assert(Searcher.countQ(index, PrefixQ("w")) == 1100L)
+    assert(Searcher.countQ(index, PrefixQ("@path:f")) == 1100L)
     assert(Searcher.countQ(index, BoolQ(must = Seq(TermQ("common1")),
       filter = Seq(TermRangeQ("w00000", "w01199")))) ==
       NaiveOracle.matchingDocs(oracle, BoolQ(must = Seq(TermQ("common1")),
