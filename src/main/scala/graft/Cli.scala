@@ -58,6 +58,19 @@ object Cli {
             println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
             hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
           }
+        case "buildfrom" :: src :: dir :: nSegs :: rest if rest.size <= 1 =>
+          // index a REAL source table (Iceberg-shaped schema
+          // repo/path/commit/lang/content); format defaults to parquet,
+          // "iceberg"/"table" select other catalogs — see SourceReader
+          val fmt = rest.headOption.getOrElse("parquet")
+          val t0 = System.nanoTime()
+          val docs = graft.build.SourceReader.readDocs(spark, src, nSegs.toInt, fmt)
+          val manifests = IndexBuilder.buildPersistent(spark, docs, dir)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val total = manifests.map(_.docs).sum
+          manifests.foreach(m => println(
+            s"seg=${m.seg} status=${m.status} docs=${m.docs} postings=${m.postings} bytes=${m.bytes}"))
+          println(f"buildfrom: $total docs in $secs%.1fs (${total / secs}%.0f docs/sec)")
         case "delete" :: dir :: repo :: path :: commit :: Nil =>
           // IndexWriter.deleteDocuments(Term) analogue: append a tombstone;
           // readers exclude on next open, merges purge physically
@@ -96,7 +109,7 @@ object Cli {
             driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
           }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | search <dir> <k> <query...> | serve <dir> <k> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | buildfrom <srcPathOrTable> <dir> <nSegs> [format] | search <dir> <k> <query...> | serve <dir> <k> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()

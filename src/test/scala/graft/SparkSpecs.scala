@@ -562,3 +562,30 @@ class ResumeSpec extends SparkTest {
     assert(t0 == t1, "complete segment was rebuilt on resume")
   }
 }
+
+/** Source-table ingestion (the Iceberg-shaped input contract): building
+  * from a parquet table with the (repo, path, commit, lang, content)
+  * schema must equal building from the in-memory corpus directly.
+  */
+class SourceReaderSpec extends SparkTest {
+  import spark.implicits._
+
+  test("buildfrom a contract-schema parquet table == direct build") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graftsrc").toString
+    Datagen.corpus(spark, 400, seed = 77L).write.mode("overwrite").parquet(srcDir)
+    val read = graft.build.SourceReader.read(spark, srcDir)
+    assert(read.count() == 400)
+    val idxDir = java.nio.file.Files.createTempDirectory("graftsrcidx").toString
+    IndexBuilder.buildPersistent(spark,
+      graft.build.SourceReader.readDocs(spark, srcDir, 4), idxDir)
+    val idx = IndexBuilder.open(spark, idxDir)
+    assert(graft.build.CheckIndex.run(idx).isEmpty)
+    val direct = IndexBuilder.buildInMemory(spark,
+      Datagen.toInputDocs(Datagen.corpus(spark, 400, seed = 77L), 4))
+    Seq("def AND class", "needle_0", "val OR needle_0").foreach { q =>
+      val a = Searcher.topK(idx, q, 10).as[(Long, Float)].collect().toSeq
+      val b = Searcher.topK(direct, q, 10).as[(Long, Float)].collect().toSeq
+      assert(a == b, s"source-table build diverges on [$q]")
+    }
+  }
+}
