@@ -762,6 +762,14 @@ object Searcher {
   * never go stale. Executor-local (one cache per JVM, like the
   * reference's per-reader cache); bounded by entry count and total
   * cached ids, cleared wholesale on overflow.
+  *
+  * Scope note: the cache replaces the KERNEL work of a repeated filter
+  * (postings decode + subtree walk/verification); the postings SCAN
+  * still includes the filter's terms — the driver cannot know executor
+  * cache state, and narrowing the scan on an assumption of cache
+  * residency would silently corrupt results after an eviction. The
+  * reference has the same boundary: LRUQueryCache saves the scorer
+  * walk, not the terms-dictionary seek.
   */
 object FilterCache {
   private val MaxEntries = 512

@@ -87,6 +87,14 @@ class MergeSpec extends SparkTest {
     assert(driverLive.loadedSegs == 0,
       "queries with deletes must not load delete sidecars on the driver")
 
+    // wide (over-cap) expansion respects deletes: count over the live
+    // index equals the count over an index built fresh from survivors
+    val freshForWide = IndexBuilder.buildInMemory(spark,
+      Datagen.toInputDocs(src.filter(!$"content".contains("needle_0")), 24))
+    assert(Searcher.countQ(idx1, graft.query.PrefixQ("ident_2")) ==
+      Searcher.countQ(freshForWide, graft.query.PrefixQ("ident_2")),
+      "wide count must exclude tombstoned docs")
+
     // compact: 24 mini-segments -> bounded count; deletes rewritten out
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 8)
     val manifests = new java.io.File(s"$dir/manifest").listFiles().length
