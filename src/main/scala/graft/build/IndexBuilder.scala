@@ -668,7 +668,14 @@ object IndexBuilder {
     val raw = openRaw(spark, dir)
     val posts = raw.filter($"kind" === "p")
     posts.groupBy($"term").agg(sum($"df").as("df"), sum($"ttf").as("ttf"))
-      .coalesce(8) // few write tasks: per-task Hadoop-conf deser is costly
+      // range-partitioned + sorted on term: the stats table IS the term
+      // dictionary, and a sorted layout gives cold term/expansion lookups
+      // tight parquet min/max pruning (a groupBy's hash output has no
+      // term locality, so every row group would match every predicate
+      // at a large vocabulary). Few write tasks: per-task Hadoop-conf
+      // deser is costly.
+      .repartitionByRange(8, $"term")
+      .sortWithinPartitions($"term")
       .write.mode("overwrite").parquet(s"$dir/stats/terms")
     val metas = raw.filter($"kind" === "m")
     val (n, sttf) = metas.agg(count(lit(1)), coalesce(sum($"tokenCount".cast("long")), lit(0L)))
