@@ -130,3 +130,90 @@ class RandomQuerySpec extends SparkTest {
     }
   }
 }
+
+/** Deletes x random queries differential: a live filter must EXCLUDE
+  * tombstoned docs from every execution path while collection/term
+  * statistics still count them (the reference's semantics — deleted
+  * docs affect idf/norms until a merge purges them).
+  */
+class DeleteDifferentialSpec extends SparkTest {
+  import spark.implicits._
+  import graft.query._
+
+  test("random trees over an index with live deletes == filtered oracle") {
+    val rows = (0L until 800L).map(i => Datagen.row(91L, i, 15, 200))
+    val docs = rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      val seg = math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), 3)
+      graft.build.InputDoc(seg, key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val base = graft.build.IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val oracleDocs = NaiveOracle.fromContents(
+      docs.groupBy(_.seg).toSeq.flatMap { case (seg, ds) =>
+        ds.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+          ((seg.toLong << graft.build.IndexBuilder.SegShift) | ord.toLong, d.content)
+        }
+      })
+    val rnd = new scala.util.Random(777)
+    // tombstone ~12% of docs
+    val deletedIds = oracleDocs.map(_.docId).filter(_ => rnd.nextDouble() < 0.12).toSet
+    val live = graft.build.MapLiveDocs(
+      deletedIds.toSeq.groupBy(graft.build.IndexBuilder.segOf)
+        .map { case (s, ids) => s -> ids.sorted.toArray })
+    val index = new graft.build.Index(base.postings, base.docmeta, base.termStats,
+      base.fieldStats, live, base.segAligned)
+
+    // filtered-oracle expectation: stats over the FULL corpus (deleted
+    // docs still counted), results excluding tombstoned docIds
+    def expectTop(q: Query, k: Int): Seq[(Long, Float)] =
+      NaiveOracle.search(oracleDocs, q, Int.MaxValue)
+        .filterNot(h => deletedIds.contains(h._1)).take(k)
+
+    val shapes: Seq[Query] = Seq(
+      TermQ("def"), TermQ("needle_0"),
+      BoolQ(must = Seq(TermQ("def"), TermQ("class"))),
+      BoolQ(should = Seq(TermQ("val"), TermQ("needle_1")), minShouldMatch = 1),
+      PhraseQ(Seq("class", "camelcasename7")),
+      BoolQ(must = Seq(TermQ("def")), mustNot = Seq(TermQ("ident_3"))),
+      PrefixQ("ident_1"),
+      DisMaxQ(Seq(TermQ("def"), TermQ("return")), 0.3d),
+      BoolQ(must = Seq(TermQ("return")), filter = Seq(TermQ("val"))),
+      ConstScoreQ(PrefixQ("camel"), 1f),
+      PhraseQ(Seq("def", "class"), slop = 2)
+    ) ++ (1 to 25).map(_ => randomTree(rnd, 2))
+
+    shapes.foreach { q =>
+      val expected = expectTop(q, 10)
+      val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"deleted-diff [$q]:\n got=$got\n exp=$expected")
+    }
+    // count/docs paths exclude deletes too
+    val allDef = NaiveOracle.matchingDocs(oracleDocs, TermQ("def"))
+      .filterNot(deletedIds.contains)
+    assert(Searcher.countQ(index, TermQ("def")) == allDef.size.toLong)
+    assert(Searcher.matchingDocs(index, TermQ("def"))
+      .collect().map(_.longValue).sorted.toSeq == allDef)
+  }
+
+  private val vocab = Datagen.Keywords ++
+    (0 until 40).map(i => s"ident_$i") ++ (0 until 10).map(i => s"camelcasename$i") ++
+    Seq("needle_0", "needle_1")
+
+  private def randomTree(rnd: scala.util.Random, depth: Int): Query = {
+    def term() = TermQ(vocab(rnd.nextInt(vocab.length)))
+    if (depth == 0) term()
+    else rnd.nextInt(6) match {
+      case 0 => term()
+      case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
+      case 2 => DisMaxQ(Seq.fill(1 + rnd.nextInt(3))(randomTree(rnd, depth - 1)), 0.5d)
+      case 3 => ConstScoreQ(randomTree(rnd, depth - 1), 1f)
+      case _ =>
+        val must = Seq.fill(rnd.nextInt(2))(randomTree(rnd, depth - 1))
+        val should = Seq.fill(rnd.nextInt(3))(randomTree(rnd, depth - 1))
+        val mustNot = Seq.fill(rnd.nextInt(2))(term())
+        val anchored = must.nonEmpty
+        val msm = if (!anchored && should.nonEmpty) 1 else 0
+        BoolQ(must, should, mustNot, msm)
+    }
+  }
+}
