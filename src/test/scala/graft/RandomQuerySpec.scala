@@ -104,11 +104,14 @@ class RandomQuerySpec extends SparkTest {
             ((seg.toLong << IndexBuilder.SegShift) | ord.toLong, d.content, d.path)
           }
         })
-      // fixed default seed for reproducibility; GRAFT_SEED overrides for
-      // fuzzing sweeps (seeds 777/1001/31337/999983 verified green)
+      // fixed default seed for reproducibility; GRAFT_SEED/GRAFT_DEPTH
+      // override for fuzzing sweeps (r4: seeds 777/31337/555001 at depth 2
+      // and 90210/13/424243 at depth 3 verified green; earlier rounds
+      // 777/1001/31337/999983)
       val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_SEED", "4242").toInt + numSegments)
+      val depth = sys.env.getOrElse("GRAFT_DEPTH", "2").toInt
       (1 to 60).foreach { i =>
-        val q = randomQuery(rnd, 2)
+        val q = randomQuery(rnd, depth)
         val expected = NaiveOracle.search(oracleDocs, q, 10)
         val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
         assert(got == expected, s"random #$i query [$q]:\n got=$got\n exp=$expected")
