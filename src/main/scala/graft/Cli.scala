@@ -58,6 +58,22 @@ object Cli {
             println(s"query [$q] -> ${hits.length} hits in ${ms.round}ms")
             hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
           }
+        case "searchbatch" :: dir :: k :: file :: Nil =>
+          // ONE Spark job for the whole query file (throughput mode):
+          // union scan, one kernel pass per segment, partitioned-window
+          // rank per query
+          val index = IndexBuilder.open(spark, dir)
+          val qs = scala.io.Source.fromFile(file).getLines().filter(_.nonEmpty).toSeq
+            .map(q => q -> graft.query.QueryParser.parse(q))
+          val t0 = System.nanoTime()
+          val rows = Searcher.topKBatch(index, qs, k.toInt).collect()
+          val ms = (System.nanoTime() - t0) / 1e6
+          println(s"batch: ${qs.size} queries -> ${rows.length} hits in ${ms.round}ms (one job)")
+          rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).foreach { case (qid, hs) =>
+            println(s"query [$qid] -> ${hs.length} hits")
+            hs.sortBy(_.getLong(3)).take(3).foreach(r =>
+              println(f"  doc=${r.getLong(1)} score=${r.getFloat(2)}%.4f rank=${r.getLong(3)}"))
+          }
         case "buildfrom" :: src :: dir :: nSegs :: rest if rest.size <= 1 =>
           // index a REAL source table (Iceberg-shaped schema
           // repo/path/commit/lang/content); format defaults to parquet,
@@ -109,7 +125,7 @@ object Cli {
             driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
           }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | buildfrom <srcPathOrTable> <dir> <nSegs> [format] | search <dir> <k> <query...> | serve <dir> <k> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | buildfrom <srcPathOrTable> <dir> <nSegs> [format] | search <dir> <k> <query...> | serve <dir> <k> | searchbatch <dir> <k> <queriesFile> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -170,6 +170,48 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // BATCH search: three queries in ONE postings scan + one kernel
+    // pass per segment, ranked per query by a PARTITIONED window —
+    // the training-data-mining shape ("run 10k queries over the
+    // corpus"); per-query results identical to the single-query path
+    "ft_batch_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val batch = Seq("merge", "stream", "table").map(t => t -> (graft.query.TermQ(t): graft.query.Query))
+      // all hits per query (fixture-small), then the same rounded
+      // re-rank discipline as the single-query catalog entries
+      val hits = Searcher.topKBatch(index, batch, 100000, doubleMode = true)
+        .select($"qid", $"docId", $"score").as[(String, Long, Double)].collect()
+      val reranked = hits.groupBy(_._1).toSeq.flatMap { case (qid, hs) =>
+        hs.map { case (_, d, s) => (qid, d, r4d(s)) }
+          .sortBy { case (_, d, s) => (-s, d) }
+          .take(10).zipWithIndex
+          .map { case ((q, d, s), i) => (q, d, s, (i + 1).toLong) }
+      }
+      spark.createDataset(reranked).toDF("qid", "docId", "score", "rank")
+        .join(mapping, "docId")
+        .select($"qid", $"doc_id", $"score", $"rank")
+        .orderBy($"qid", $"rank")
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream', 'table') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.term AS qid, tf.doc_id,
+         |              (idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st)
+         |SELECT qid, doc_id, score, rank FROM (
+         |  SELECT qid, doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |         CAST(row_number() OVER (PARTITION BY qid
+         |           ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin))),
+
     "ft_range_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.TermRangeQ("va", "var"), 10)(spark, dir)
     }, Some(bm25SqlPred("term >= 'va' AND term <= 'var'", 0, "sum", 10)))),

@@ -639,6 +639,65 @@ object Searcher {
     else merged.select($"docId", $"score".cast("float").as("score"))
   }
 
+  /** BATCH top-k: many queries against one index in ONE postings scan +
+    * ONE kernel pass per segment — the throughput shape of a
+    * training-data mining run ("run 10k queries over the corpus"),
+    * where per-query job scheduling would dominate. All queries are
+    * planned driver-side (expansions, stats, scorers — warm caches
+    * amortise across the batch); the scan predicate is the UNION of
+    * every query's terms and wide patterns; each segment task runs
+    * every query's kernel over its local posting map; the global
+    * reduce ranks per query with a PARTITIONED window (qid is the
+    * partition key — no single-reducer global sort). Returns
+    * (qid, docId, score, rank), rank 1..k per query, ties broken
+    * score desc then docId asc exactly like the single-query path —
+    * per-query results are IDENTICAL to [[topKQ]] (BatchSearchSpec).
+    *
+    * Queries that cannot match (or whose scoring rewrite overflows —
+    * TooManyClauses propagates like the single-query path) simply
+    * contribute no rows.
+    */
+  def topKBatch(index: Index, queries: Seq[(String, Query)], k: Int,
+      doubleMode: Boolean = false,
+      sim: SimilarityFactory = BM25Sim): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val planned: Seq[(String, Plan)] = queries.flatMap { case (qid, q0) =>
+      plan(index, q0, doubleMode, sim).map(qid -> _)
+    }
+    if (planned.isEmpty)
+      return Seq.empty[(String, Long, Double)].toDF("qid", "docId", "score")
+        .withColumn("rank", lit(1L)).limit(0)
+    val allTerms = planned.flatMap(_._2.terms).toSet
+    val allWide = planned.flatMap(_._2.wide).distinct
+    val live = index.live
+    val ftok = index.filterCacheToken
+    val kk = k
+    val fm = !doubleMode
+    // ship (qid, query, scorers) once; the per-segment task reuses the
+    // byTerm map across all queries
+    val shipped: Seq[(String, Query, Scorers)] =
+      planned.map { case (qid, p) => (qid, p.query, p.scorers) }
+    val fanout = perSegment(index, allTerms, wide = allWide) { (seg, rows) =>
+      val byTerm = concatByTerm(rows)
+      val del = live.deleted(seg)
+      shipped.iterator.flatMap { case (qid, q, scorers) =>
+        SegmentKernel.run(q, byTerm, scorers, kk, floatMode = fm,
+            deletedOrds = del, seg = seg, cacheToken = ftok)
+          .iterator.map { case (d, s) => (qid, d, s) }
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val ranked = fanout.toDF("qid", "docId", "score")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"qid").orderBy(desc("score"), asc("docId"))).cast("long"))
+      .filter($"rank" <= k)
+    val scored =
+      if (doubleMode) ranked
+      else ranked.select($"qid", $"docId", $"score".cast("float").as("score"), $"rank")
+    scored.orderBy($"qid", $"rank")
+  }
+
   /** Open collector SPI — the `Collector` / `LeafCollector` pair of the
     * reference (`core/search/Collector.java:31`,
     * `LeafCollector.java:34`): a factory builds one leaf collector per

@@ -589,3 +589,37 @@ class SourceReaderSpec extends SparkTest {
     }
   }
 }
+
+/** Batch top-k (one scan + one kernel pass for N queries): per-query
+  * results must be IDENTICAL to the single-query path across shapes.
+  */
+class BatchSearchSpec extends SparkTest {
+  import spark.implicits._
+  import graft.query._
+
+  test("topKBatch == per-query topKQ for every query in the batch") {
+    val rows = (0L until 900L).map(i => Datagen.row(44L, i, 12, 250))
+    val docs = rows.map { r =>
+      val key = s"${r.repo}/${r.path}@${r.commit}"
+      InputDoc(math.floorMod(key.hashCode, 4), key, r.repo, r.path, r.commit, r.lang, r.content)
+    }
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val batch: Seq[(String, Query)] = Seq(
+      "t1" -> TermQ("def"),
+      "t2" -> BoolQ(must = Seq(TermQ("def"), TermQ("class"))),
+      "t3" -> BoolQ(should = Seq(TermQ("val"), TermQ("needle_0")), minShouldMatch = 1),
+      "t4" -> PhraseQ(Seq("class", "camelcasename7")),
+      "t5" -> PrefixQ("ident_2"),
+      "t6" -> DisMaxQ(Seq(TermQ("def"), TermQ("return")), 0.5d),
+      "t7" -> BoolQ(must = Seq(TermQ("return")), filter = Seq(TermQ("val"))),
+      "t8" -> TermQ("zzz_absent")
+    )
+    val got = Searcher.topKBatch(index, batch, 10)
+      .select($"qid", $"docId", $"score").as[(String, Long, Float)].collect()
+      .groupBy(_._1).map { case (q, hs) => q -> hs.map(h => (h._2, h._3)).toSeq }
+    batch.foreach { case (qid, q) =>
+      val single = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      assert(got.getOrElse(qid, Seq.empty) == single, s"batch diverges on [$qid: $q]")
+    }
+  }
+}
