@@ -70,16 +70,23 @@ final class Index(
     val termStats: Dataset[TermStats],
     val fieldStats: FieldStats,
     val live: LiveDocs = NoDeletes,
-    /** True when `postings`' PHYSICAL partitioning co-locates every row of
-      * a segment (the groupByKey(seg) build shuffle guarantees it, and
-      * narrow ops preserve it). Queries then run their kernels in
-      * `mapPartitions` with partition-local seg grouping — ZERO query-time
-      * shuffle (one stage + a TakeOrderedAndProject driver merge) instead
-      * of a groupByKey exchange per query. False for indexes opened from
-      * parquet or term-range-merged, whose partitioning is unknown.
+    /** Evaluated LAZILY on first use (see [[segAligned]]) so open paths
+      * that never run a per-segment query (CheckIndex, delete, stats
+      * tooling) skip the alignment probe's job entirely.
       */
-    val segAligned: Boolean = false
+    segAlignedInit: () => Boolean = () => false
 ) extends Serializable {
+
+  /** True when `postings`' PHYSICAL partitioning co-locates every row of
+    * a segment (the groupByKey(seg) build shuffle guarantees it, and
+    * narrow ops preserve it; opened parquet indexes PROBE it on first
+    * use). Queries then run their kernels in `mapPartitions` with
+    * partition-local seg grouping — ZERO query-time shuffle (one stage +
+    * a TakeOrderedAndProject driver merge) instead of a groupByKey
+    * exchange per query.
+    */
+  @transient lazy val segAligned: Boolean = segAlignedInit()
+
 
   /** Snapshot identity for the executor-side hot-filter cache
     * ([[graft.exec.FilterCache]]): every Index instance is an immutable
@@ -429,7 +436,7 @@ object IndexBuilder {
     // `out` came through the groupByKey(seg) build shuffle, so each
     // segment's rows are physically co-located -> no-shuffle query path
     new Index(postings, docmeta, termStats, FieldStats(fs._1, fs._2),
-      segAligned = true)
+      segAlignedInit = () => true)
   }
 
   /** Build fully in memory (cached) — test/driver-query path. */
@@ -455,14 +462,17 @@ object IndexBuilder {
     * partitioning isn't trusted; consolidation of many mini-segments is
     * `IndexMerger.forceMerge`'s job.
     */
-  def buildPartitionLocal(spark: SparkSession, source: Dataset[SourceRow], dir: String): Seq[SegmentManifest] = {
+  def buildPartitionLocal(spark: SparkSession, source: Dataset[SourceRow], dir: String,
+      codec: String = graft.codec.PostingFormats.Default): Seq[SegmentManifest] = {
     import spark.implicits._
     val acc = new SegMetricsAccumulator
     spark.sparkContext.register(acc, "segMetrics")
+    val cdc = codec
     val out = source.mapPartitions { it =>
       val seg = org.apache.spark.TaskContext.getPartitionId()
       buildSegment(seg, it.map(r =>
-        InputDoc(seg, "", r.repo, r.path, r.commit, r.lang, r.content)), preSorted = true)
+        InputDoc(seg, "", r.repo, r.path, r.commit, r.lang, r.content)),
+        preSorted = true, codec = cdc)
         .map { r => acc.add(r); r }
     }
     val gen = nextGen(dir)
@@ -470,7 +480,7 @@ object IndexBuilder {
     val manifests = scala.collection.mutable.ArrayBuffer.empty[SegmentManifest]
     acc.value.forEach { (seg, m) =>
       val man = SegmentManifest(seg, "complete", m(0), m(1), m(2),
-        s"partition-local:${m(0)}", CodeConfigHash, gen)
+        s"partition-local:${m(0)}", codeConfigHash(codec), gen)
       writeManifest(dir, man)
       manifests += man
     }
@@ -584,13 +594,15 @@ object IndexBuilder {
       spark: SparkSession,
       docs: Dataset[InputDoc],
       dir: String,
-      resume: Boolean = true
+      resume: Boolean = true,
+      codec: String = graft.codec.PostingFormats.Default
   ): Seq[SegmentManifest] = {
     import spark.implicits._
+    val cch = codeConfigHash(codec)
     val fps = fingerprints(docs)
     val todo = fps.filter { case (seg, fp) =>
       !resume || !readManifest(dir, seg).exists(m =>
-        m.status == "complete" && m.inputFingerprint == fp && m.codeConfigHash == CodeConfigHash)
+        m.status == "complete" && m.inputFingerprint == fp && m.codeConfigHash == cch)
     }.keySet
 
     if (todo.nonEmpty) {
@@ -599,11 +611,12 @@ object IndexBuilder {
       // double-tally, in which case derive metrics from the read-back path
       val acc = new SegMetricsAccumulator
       spark.sparkContext.register(acc, "segMetrics")
+      val cdc = codec
       val out = docs.filter($"seg".isin(todo.toSeq: _*))
         .as[InputDoc]
         .groupByKey(_.seg)
         .flatMapGroups { (seg, it) =>
-          buildSegment(seg, it).map { r => acc.add(r); r }
+          buildSegment(seg, it, codec = cdc).map { r => acc.add(r); r }
         }
       val gen = nextGen(dir)
       out.write.mode("overwrite").parquet(s"$dir/segments/$gen")
@@ -612,7 +625,7 @@ object IndexBuilder {
       todo.foreach { seg =>
         val m = metrics.getOrDefault(seg, new Array[Long](4))
         writeManifest(dir, SegmentManifest(seg, "complete", m(0),
-          m(1), m(2), fps(seg), CodeConfigHash, gen))
+          m(1), m(2), fps(seg), cch, gen))
       }
       // refresh global stats (invalid once any segment changed)
       writeStats(spark, dir)
@@ -766,7 +779,11 @@ object IndexBuilder {
       .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
         $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
       .as[PostingList]
-    val aligned0 = segAlignmentProbe(postings0)
+    // serving opens probe EAGERLY (the repartition decision needs it);
+    // plain opens defer the probe to the Index's lazy segAligned, so
+    // one-shot tooling (CheckIndex, stats) never pays the job
+    val served = serving
+    lazy val aligned0 = segAlignmentProbe(postings0)
     val postings =
       if (!serving) postings0
       else if (aligned0) postings0.persist()
@@ -794,6 +811,6 @@ object IndexBuilder {
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
     new Index(postings, docmeta, termStats,
       FieldStats(num("docCount"), num("sumTotalTermFreq")), live,
-      segAligned = aligned0 || serving)
+      segAlignedInit = () => served || aligned0)
   }
 }

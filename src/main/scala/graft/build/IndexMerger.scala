@@ -245,7 +245,8 @@ object IndexMerger {
       dir: String,
       segs: Seq[Int],
       numPartitions: Int = 8,
-      maxPostingsPerRow: Int = 1 << 20
+      maxPostingsPerRow: Int = 1 << 20,
+      codec: String = graft.codec.PostingFormats.Default
   ): SegmentManifest = {
     import spark.implicits._
     val manifests = IndexBuilder.listManifests(dir).filter(m => segs.contains(m.seg))
@@ -289,7 +290,7 @@ object IndexMerger {
       .as[PostingList]
       .repartitionByRange(numPartitions, $"term")
       .sortWithinPartitions($"term", $"seg")
-      .mapPartitions(rows => mergeRows(rows, dm, ns, maxPostingsPerRow))
+      .mapPartitions(rows => mergeRows(rows, dm, ns, maxPostingsPerRow, codec))
       .map(pl => BuildRow(
         kind = "p", seg = ns, docId = -1L, repo = null, path = null, commit = null,
         lang = null, sha256 = null, tokenCount = 0, norm = 0,
@@ -310,7 +311,7 @@ object IndexMerger {
     val man = SegmentManifest(newSeg, "complete", docs, posts, bytes,
       "merged:" + IndexBuilder.sha256Hex(
         manifests.map(m => s"${m.seg}:${m.inputFingerprint}").sorted.mkString("|")).take(16),
-      IndexBuilder.CodeConfigHash, gen)
+      IndexBuilder.codeConfigHash(codec), gen)
     IndexBuilder.writeManifest(dir, man)
     // drop source manifests AFTER the new one is durable (crash between
     // the two writes leaves both old and new visible; old wins until the
@@ -320,6 +321,13 @@ object IndexMerger {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(IndexBuilder.manifestPath(dir, s)))
     }
     IndexBuilder.writeStats(spark, dir)
+    // merges are the livedocs compaction point: every cached sidecar
+    // scope is invalidated by the manifest-set change anyway (readers
+    // must reopen after a merge, like with the deleted old manifests),
+    // and the next open re-resolves only the still-live tombstones —
+    // without this, historical scopes accumulate one full delete-set
+    // copy per tombstone batch
+    LiveDocs.gc(dir)
     man
   }
 

@@ -48,8 +48,6 @@ final case class MapLiveDocs(m: Map[Int, Array[Long]]) extends LiveDocs {
   * once per JVM per segment, by whoever calls [[deleted]] (executors).
   */
 final class FileLiveDocs(val ldDir: String, val segs: Map[Int, Long]) extends LiveDocs {
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 
   /** Sidecar loads performed through THIS instance (driver instance in
     * tests: must stay 0 — tasks deserialize their own copy, so executor
@@ -61,18 +59,29 @@ final class FileLiveDocs(val ldDir: String, val segs: Map[Int, Long]) extends Li
   def deleted(seg: Int): Array[Long] =
     if (!segs.contains(seg)) null
     else {
-      val hit = cache.get(seg)
+      // JVM-GLOBAL cache (FileLiveDocs.cache): task closures deserialize
+      // their own instance per query, so an instance-level cache would
+      // re-read the sidecar once per task per query — the global map
+      // keyed by (scope dir, seg) gives the once-per-executor-JVM bound
+      // (scope dirs are write-once, so entries never go stale)
+      val key = s"$ldDir/seg_$seg.longs"
+      val hit = FileLiveDocs.cache.get(key)
       if (hit != null) hit
       else {
-        val arr = LiveDocs.readSidecar(s"$ldDir/seg_$seg.longs")
+        val arr = LiveDocs.readSidecar(key)
         loads.incrementAndGet()
-        cache.putIfAbsent(seg, arr)
+        if (FileLiveDocs.cache.size > 4096) FileLiveDocs.cache.clear()
+        FileLiveDocs.cache.putIfAbsent(key, arr)
         arr
       }
     }
 
   def isEmpty: Boolean = segs.isEmpty
   def deletedCount: Long = segs.valuesIterator.sum
+}
+
+object FileLiveDocs {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 }
 
 object LiveDocs {
@@ -99,7 +108,15 @@ object LiveDocs {
 
   private def writeSidecar(path: String, ids: Array[Long], n: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    // ATTEMPT-UNIQUE tmp name: task retries/speculation (and two sessions
+    // racing on the same unresolved scope) must never interleave writes
+    // into one tmp file. Attempts compute identical content from the same
+    // deterministic partition, so whichever complete file wins the final
+    // rename is correct.
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId().toString)
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp-" + attempt)
     val fs = fsOf(p)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
     try {
@@ -108,8 +125,24 @@ object LiveDocs {
       while (i < n) { out.writeLong(ids(i)); i += 1 }
     } finally out.close()
     fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"rename $tmp -> $p failed")
+    if (!fs.rename(tmp, p)) {
+      // a concurrent identical attempt won the rename — accept its file
+      fs.delete(tmp, false)
+      if (!fs.exists(p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    }
+  }
+
+  /** Drop ALL resolved sidecar scopes of an index — called by merges
+    * (the natural compaction point: merged segments purge their deletes
+    * and the manifest-set change invalidates every old scope anyway).
+    * The next open re-resolves only what the remaining tombstones still
+    * cover, so livedocs storage stays bounded by the LIVE delete set
+    * instead of growing with every historical tombstone batch.
+    */
+  def gc(dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/livedocs")
+    val fs = fsOf(root)
+    if (fs.exists(root)) fs.delete(root, true)
   }
 
   /** Resolve the current tombstone set against `docmeta` into per-segment

@@ -435,10 +435,9 @@ object Queries {
     "ft_wildcard_wide_count" -> (((spark, dir) => {
       import spark.implicits._
       val (index, _) = Corpus.get(spark, dir)
-      val prev = graft.query.Query.MaxClauseCount
-      graft.query.Query.setMaxClauseCount(8)
-      try Seq(Searcher.countQ(index, graft.query.WildcardQ("*e*"))).toDF("n")
-      finally graft.query.Query.setMaxClauseCount(prev)
+      graft.query.Query.withMaxClauseCount(8) {
+        Seq(Searcher.countQ(index, graft.query.WildcardQ("*e*"))).toDF("n")
+      }
     }, Some(
       s"""WITH $tokCte
          |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
@@ -447,11 +446,10 @@ object Queries {
     // same wide path under an explicit ConstantScoreQuery in a SCORING
     // top-k: every match scores the boost, ties by docId asc
     "ft_constscore_wide_topk" -> (((spark, dir) => {
-      val prev = graft.query.Query.MaxClauseCount
-      graft.query.Query.setMaxClauseCount(8)
-      try ftScoredQ(graft.query.ConstScoreQ(
-        graft.query.WildcardQ("*e*"), 1f), 10)(spark, dir)
-      finally graft.query.Query.setMaxClauseCount(prev)
+      graft.query.Query.withMaxClauseCount(8) {
+        ftScoredQ(graft.query.ConstScoreQ(
+          graft.query.WildcardQ("*e*"), 1f), 10)(spark, dir)
+      }
     }, Some(
       s"""WITH $tokCte
          |SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
@@ -2170,7 +2168,10 @@ object Queries {
   def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
     def step(name: String)(body: => Any): (String, Double) = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      try body catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     def force(ix: (graft.build.Index, DataFrame)): Unit = {

@@ -662,7 +662,10 @@ object Searcher {
       sim: SimilarityFactory = BM25Sim): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
-    val planned: Seq[(String, Plan)] = queries.flatMap { case (qid, q0) =>
+    // duplicate qids would merge their hit streams under one window
+    // partition (k/2 distinct docs with doubled rows) — keep the first
+    // occurrence of each qid, like a map of named queries
+    val planned: Seq[(String, Plan)] = queries.distinctBy(_._1).flatMap { case (qid, q0) =>
       plan(index, q0, doubleMode, sim).map(qid -> _)
     }
     if (planned.isEmpty)
@@ -852,6 +855,7 @@ object FilterCache {
   }
 
   def put(key: String, ids: Array[Long]): Unit = {
+    if (ids.length > MaxTotalIds / 4) return // one entry must not own the cache
     if (cache.size >= MaxEntries || totalIds.get() + ids.length > MaxTotalIds) {
       cache.clear()
       totalIds.set(0)

@@ -181,10 +181,24 @@ object Query {
     * default matches the reference's 1024.
     */
   @volatile private var maxClauses: Int = 1024
-  def MaxClauseCount: Int = maxClauses
+  private val maxClausesLocal = new ThreadLocal[Integer]()
+  def MaxClauseCount: Int = {
+    val o = maxClausesLocal.get()
+    if (o != null) o.intValue() else maxClauses
+  }
   def setMaxClauseCount(n: Int): Unit = {
     require(n >= 1, "maxClauseCount must be >= 1")
     maxClauses = n
+  }
+
+  /** Scope a cap override to the CURRENT THREAD's planning (expansion
+    * probes and rewrites all run on the planning thread) — unlike the
+    * global setter, concurrent planners in the same JVM are unaffected.
+    */
+  def withMaxClauseCount[A](n: Int)(body: => A): A = {
+    require(n >= 1, "maxClauseCount must be >= 1")
+    maxClausesLocal.set(n)
+    try body finally maxClausesLocal.remove()
   }
 
   /** Thrown when a SCORING multi-term rewrite expands past

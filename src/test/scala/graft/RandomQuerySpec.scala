@@ -163,8 +163,9 @@ class DeleteDifferentialSpec extends SparkTest {
     val live = graft.build.MapLiveDocs(
       deletedIds.toSeq.groupBy(graft.build.IndexBuilder.segOf)
         .map { case (s, ids) => s -> ids.sorted.toArray })
+    val aligned = base.segAligned
     val index = new graft.build.Index(base.postings, base.docmeta, base.termStats,
-      base.fieldStats, live, base.segAligned)
+      base.fieldStats, live, () => aligned)
 
     // filtered-oracle expectation: stats over the FULL corpus (deleted
     // docs still counted), results excluding tombstoned docIds

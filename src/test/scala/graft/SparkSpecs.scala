@@ -434,6 +434,24 @@ class CodecSpiSpec extends SparkTest {
     }
     assert(Searcher.count(pfor, "def OR class") == Searcher.count(vbyte, "def OR class"))
   }
+
+  test("persistent build records the codec; switching codecs invalidates resume") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcodecres").toString
+    val docs = Datagen.toInputDocs(Datagen.corpus(spark, 300, seed = 63L), 3)
+    IndexBuilder.buildPersistent(spark, docs, dir, codec = "vbyte")
+    val idxV = IndexBuilder.open(spark, dir)
+    assert(idxV.postings.collect().forall(pl => graft.codec.PostingFormats.of(pl).name == "vbyte"))
+    val mpath = java.nio.file.Paths.get(s"$dir/manifest/seg_1.json")
+    val t0 = java.nio.file.Files.getLastModifiedTime(mpath)
+    // same codec: resume is a no-op
+    IndexBuilder.buildPersistent(spark, docs, dir, codec = "vbyte")
+    assert(t0 == java.nio.file.Files.getLastModifiedTime(mpath))
+    // codec change: the lineage hash differs, so every segment rebuilds
+    IndexBuilder.buildPersistent(spark, docs, dir, codec = "pfor")
+    val idxP = IndexBuilder.open(spark, dir)
+    assert(idxP.postings.collect().forall(pl => graft.codec.PostingFormats.of(pl).name == "pfor"))
+    assert(graft.build.CheckIndex.run(idxP).isEmpty)
+  }
 }
 
 /** Open Collector SPI (Collector/LeafCollector): custom per-segment
