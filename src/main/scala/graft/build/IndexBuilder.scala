@@ -490,10 +490,8 @@ object IndexBuilder {
 
   /** Next write-once generation dir name — the `segments_N` counter. */
   private[build] def nextGen(dir: String): String = {
-    val segs = new java.io.File(s"$dir/segments")
-    val existing = if (!segs.exists()) Seq.empty
-      else segs.listFiles().toSeq.map(_.getName)
-        .collect { case g if g.startsWith("gen_") => g.stripPrefix("gen_").toLong }
+    val existing = IndexFs.listNames(s"$dir/segments")
+      .collect { case g if g.startsWith("gen_") => g.stripPrefix("gen_").toLong }
     "gen_" + (if (existing.isEmpty) 0L else existing.max + 1L)
   }
 
@@ -553,11 +551,11 @@ object IndexBuilder {
   private[build] def manifestPath(dir: String, seg: Int) = s"$dir/manifest/seg_$seg.json"
 
   private def readManifest(dir: String, seg: Int): Option[SegmentManifest] = {
-    val p = java.nio.file.Paths.get(manifestPath(dir, seg))
-    if (!java.nio.file.Files.exists(p)) None
+    val path = manifestPath(dir, seg)
+    if (!IndexFs.exists(path)) None
     else {
       // minimal JSON parse of our own flat writes
-      val s = java.nio.file.Files.readString(p)
+      val s = IndexFs.readString(path)
       def f(k: String): String = {
         val m = ("\"" + k + "\"\\s*:\\s*\"?([^\",}]*)\"?").r.findFirstMatchIn(s)
         m.map(_.group(1)).getOrElse("")
@@ -570,13 +568,11 @@ object IndexBuilder {
   }
 
   private[build] def writeManifest(dir: String, m: SegmentManifest): Unit = {
-    val p = java.nio.file.Paths.get(manifestPath(dir, m.seg))
-    java.nio.file.Files.createDirectories(p.getParent)
     val json =
       s"""{"seg":${m.seg},"status":"${m.status}","docs":${m.docs},"postings":${m.postings},""" +
         s""""bytes":${m.bytes},"inputFingerprint":"${m.inputFingerprint}",""" +
         s""""codeConfigHash":"${m.codeConfigHash}","dataDir":"${m.dataDir}"}"""
-    java.nio.file.Files.writeString(p, json)
+    IndexFs.writeString(manifestPath(dir, m.seg), json)
   }
 
   /** Resumable persistent build.
@@ -651,9 +647,7 @@ object IndexBuilder {
   }
 
   private[build] def listManifests(dir: String): Seq[SegmentManifest] = {
-    val d = new java.io.File(s"$dir/manifest")
-    if (!d.exists()) Seq.empty
-    else d.listFiles().toSeq.map(_.getName)
+    IndexFs.listNames(s"$dir/manifest")
       .collect { case n if n.startsWith("seg_") && n.endsWith(".json") =>
         n.stripPrefix("seg_").stripSuffix(".json").toInt }
       .sorted.flatMap(seg => readManifest(dir, seg))
@@ -668,9 +662,9 @@ object IndexBuilder {
       .map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}").sorted.mkString("|")).take(16)
 
   private def statsFresh(dir: String): Boolean = {
-    val p = java.nio.file.Paths.get(s"$dir/stats/field.json")
-    java.nio.file.Files.exists(p) && {
-      val s = java.nio.file.Files.readString(p)
+    val p = s"$dir/stats/field.json"
+    IndexFs.exists(p) && {
+      val s = IndexFs.readString(p)
       ("\"manifestSetHash\"\\s*:\\s*\"([0-9a-f]+)\"").r.findFirstMatchIn(s)
         .exists(_.group(1) == manifestSetHash(dir))
     }
@@ -693,8 +687,7 @@ object IndexBuilder {
     val metas = raw.filter($"kind" === "m")
     val (n, sttf) = metas.agg(count(lit(1)), coalesce(sum($"tokenCount".cast("long")), lit(0L)))
       .as[(Long, Long)].head()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$dir/stats/field.json"),
+    IndexFs.writeString(s"$dir/stats/field.json",
       s"""{"docCount":$n,"sumTotalTermFreq":$sttf,"manifestSetHash":"${manifestSetHash(dir)}"}""")
   }
 
@@ -716,9 +709,7 @@ object IndexBuilder {
   }
 
   private[build] def readTombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val d = new java.io.File(tombstoneDir(dir))
-    if (!d.exists() || d.listFiles() == null ||
-      !d.listFiles().exists(_.getName.endsWith(".parquet"))) None
+    if (!IndexFs.listNames(tombstoneDir(dir)).exists(_.endsWith(".parquet"))) None
     else Some(spark.read.parquet(tombstoneDir(dir)).distinct())
   }
 
@@ -728,10 +719,9 @@ object IndexBuilder {
     * opens reuse the cached sidecars with no job at all.
     */
   private[build] def tombstoneSetKey(dir: String): String = {
-    val d = new java.io.File(tombstoneDir(dir))
-    val files = if (!d.exists() || d.listFiles() == null) Seq.empty
-      else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
-        .map(f => s"${f.getName}:${f.length}").sorted
+    val files = IndexFs.list(tombstoneDir(dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => s"${st.getPath.getName}:${st.getLen}").sorted
     sha256Hex(files.mkString("|")).take(16)
   }
 
@@ -806,7 +796,7 @@ object IndexBuilder {
         else (docmeta0.join(tombs, Seq("repo", "path", "commit"), "left_anti").as[DocMeta], ld)
     }
     val termStats = spark.read.parquet(s"$dir/stats/terms").as[TermStats]
-    val fsJson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/stats/field.json"))
+    val fsJson = IndexFs.readString(s"$dir/stats/field.json")
     def num(k: String): Long =
       ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
     new Index(postings, docmeta, termStats,

@@ -317,16 +317,16 @@ object IndexMerger {
     // the two writes leaves both old and new visible; old wins until the
     // deletes complete — readers must not see the union, so delete new
     // manifest last on failure paths; here: delete olds, then refresh stats
-    segs.foreach { s =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(IndexBuilder.manifestPath(dir, s)))
-    }
+    segs.foreach { s => IndexFs.delete(IndexBuilder.manifestPath(dir, s)) }
     IndexBuilder.writeStats(spark, dir)
-    // merges are the livedocs compaction point: every cached sidecar
-    // scope is invalidated by the manifest-set change anyway (readers
-    // must reopen after a merge, like with the deleted old manifests),
-    // and the next open re-resolves only the still-live tombstones —
-    // without this, historical scopes accumulate one full delete-set
-    // copy per tombstone batch
+    // merges are the livedocs compaction point: the manifest-set change
+    // invalidates every cached sidecar scope for NEW opens, and the next
+    // open re-resolves only the still-live tombstones — without gc,
+    // historical scopes accumulate one full delete-set copy per tombstone
+    // batch. Deletion is GRACE-WINDOWED (see LiveDocs.gc): a reader opened
+    // before the merge keeps its point-in-time sidecars for the lease
+    // period, the same role the reference's IndexDeletionPolicy plays for
+    // liveDocs files still referenced by an open commit point.
     LiveDocs.gc(dir)
     man
   }

@@ -132,17 +132,35 @@ object LiveDocs {
     }
   }
 
-  /** Drop ALL resolved sidecar scopes of an index — called by merges
-    * (the natural compaction point: merged segments purge their deletes
-    * and the manifest-set change invalidates every old scope anyway).
-    * The next open re-resolves only what the remaining tombstones still
-    * cover, so livedocs storage stays bounded by the LIVE delete set
-    * instead of growing with every historical tombstone batch.
+  /** Reader lease for resolved sidecar scopes: [[gc]] only deletes scopes
+    * older than this, so an open snapshot (whose kernels read sidecars
+    * lazily, executor-side) keeps its point-in-time delete view across a
+    * concurrent merge for at least the lease period — the role the
+    * reference's `IndexDeletionPolicy` plays for liveDocs files still
+    * referenced by an open commit (`core/index/IndexDeletionPolicy.java:38`).
+    * Readers that outlive the lease must re-open (fail-fast
+    * FileNotFoundException, never a silent wrong answer). Tunable via
+    * `-Dgraft.livedocs.gcGraceMs`; tests use 0 for immediate compaction.
     */
-  def gc(dir: String): Unit = {
+  def gcGraceMs: Long =
+    sys.props.get("graft.livedocs.gcGraceMs").map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** Drop resolved sidecar scopes older than the grace window — called by
+    * merges (the natural compaction point: merged segments purge their
+    * deletes and the manifest-set change invalidates every old scope for
+    * new opens). The next open re-resolves only what the remaining
+    * tombstones still cover, so livedocs storage stays bounded by the
+    * LIVE delete set plus at most one lease window of history, instead of
+    * growing with every historical tombstone batch.
+    */
+  def gc(dir: String, graceMs: Long = gcGraceMs): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/livedocs")
     val fs = fsOf(root)
-    if (fs.exists(root)) fs.delete(root, true)
+    if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(root).foreach { st =>
+      if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+    }
   }
 
   /** Resolve the current tombstone set against `docmeta` into per-segment

@@ -31,29 +31,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingIndexer {
 
-  private def metaPath(indexDir: String) =
-    java.nio.file.Paths.get(s"$indexDir/stream_meta.json")
+  private def metaPath(indexDir: String) = s"$indexDir/stream_meta.json"
 
   /** Pin (or read) the stream's fixed segment-id base: allocated above
-    * any segment that existed when streaming began.
+    * any segment that existed when streaming began. All IO goes through
+    * [[IndexFs]] (Hadoop FileSystem API), so a stream can maintain an
+    * index on HDFS/object storage, not just the local FS.
     */
   private def segBase(indexDir: String): Int = {
     val p = metaPath(indexDir)
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.readString(p)
+    if (graft.build.IndexFs.exists(p)) {
+      val s = graft.build.IndexFs.readString(p)
       "\"segBase\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(0)
     } else {
-      val dir = new java.io.File(s"$indexDir/manifest")
-      val base =
-        if (!dir.exists() || dir.listFiles() == null) 0
-        else {
-          val segs = dir.listFiles().toSeq.map(_.getName)
-            .collect { case s if s.startsWith("seg_") =>
-              s.stripPrefix("seg_").stripSuffix(".json").toInt }
-          if (segs.isEmpty) 0 else segs.max + 1
-        }
-      java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, s"""{"segBase":$base}""")
+      val segs = graft.build.IndexFs.listNames(s"$indexDir/manifest")
+        .collect { case s if s.startsWith("seg_") =>
+          s.stripPrefix("seg_").stripSuffix(".json").toInt }
+      val base = if (segs.isEmpty) 0 else segs.max + 1
+      graft.build.IndexFs.writeString(p, s"""{"segBase":$base}""")
       base
     }
   }
@@ -80,7 +75,7 @@ object StreamingIndexer {
       .option("checkpointLocation", s"$indexDir/_stream_checkpoint")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val batchBase = base + (batchId * segsPerBatch).toInt
-        if (update && new java.io.File(s"$indexDir/manifest").exists()) {
+        if (update && graft.build.IndexFs.exists(s"$indexDir/manifest")) {
           // updateDocument semantics: tombstone every indexed version of
           // the incoming keys whose commit differs from the new one
           val existing = IndexBuilder.open(spark, indexDir).docmeta
