@@ -457,6 +457,38 @@ object Queries {
          |FROM (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%e%')
          |ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // over-cap expansion in a SCORING position — the reference's DEFAULT
+    // CONSTANT_SCORE_BLENDED_REWRITE (MultiTermQuery.java:103,133;
+    // PrefixQuery.java:29): instead of throwing TooManyClauses, the wide
+    // pattern degrades to a constant-score (1.0) match over ALL its terms
+    // and joins the boolean as an ordinary scored SHOULD clause:
+    // score = bm25(merge) + 1.0 when '*e*' also matches the doc
+    "ft_wildcard_wide_topk" -> (((spark, dir) => {
+      graft.query.Query.withMaxClauseCount(8) {
+        ftScoredQ(graft.query.BoolQ(
+          must = Seq(graft.query.TermQ("merge")),
+          should = Seq(graft.query.WildcardQ("*e*"))), 10)(spark, dir)
+      }
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |bm AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id),
+         |wide AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE '%e%'),
+         |sc AS (SELECT bm.doc_id, bm.s + CASE WHEN wide.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS s
+         |       FROM bm LEFT JOIN wide ON bm.doc_id = wide.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // Codec SPI: the SAME query over an index whose postings are encoded
     // with the vbyte format (PostingFormats registry, self-describing
     // payloads) — scores must be identical to the PFOR default, and the
@@ -2112,16 +2144,30 @@ object Queries {
         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 4, 1))) AS i FROM toks))
         |SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin))),
 
-    // batched binary decode (mapPartitions): stubbed codec, real plumbing —
-    // no SQL oracle (rows-only check) since the stub hash isn't ANSI-SQL
+    // batched binary decode (mapPartitions): stubbed codec, real plumbing.
+    // The stub is a PURE function of the payload bytes at fixed offsets
+    // (payload = unhex(md5(text)), so its hex IS md5(text)), which makes
+    // the "decode" fully oracle-checkable without any media library:
+    // width = 16 + (bytes[0..1] % 2033), height = 16 + (bytes[2..3] % 2033),
+    // channels = 1 + (bytes[4] % 4)
     "multimodal_decode" -> (((spark, dir) => {
       import spark.implicits._
       graft.pipeline.Multimodal.decodeFeatures(
           graft.pipeline.Multimodal.fromDocuments(spark, dir))
         .toDF()
-        .select($"doc_id", $"mediaType", $"byteLen", $"width", $"height")
+        .select($"doc_id", $"mediaType", $"byteLen".cast("long").as("byte_len"),
+          $"width".cast("long").as("width"), $"height".cast("long").as("height"),
+          $"channels".cast("long").as("channels"))
         .orderBy($"doc_id")
-    }, None)),
+    }, Some(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS mediaType,
+        |       CAST(octet_length(unhex(md5(text))) AS BIGINT) AS byte_len,
+        |       CAST(16 + (CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 2033) AS BIGINT) AS width,
+        |       CAST(16 + (CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 2033) AS BIGINT) AS height,
+        |       CAST(1 + (CAST(('0x' || substr(md5(text), 9, 2)) AS BIGINT) % 4) AS BIGINT) AS channels
+        |FROM documents ORDER BY doc_id""".stripMargin))),
 
     // frame sampling (flatMap generator over the opaque video payload):
     // 1 + doc_id % 4 frames per video, frame key = md5(hex(payload)-idx) —

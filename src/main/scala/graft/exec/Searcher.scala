@@ -318,10 +318,13 @@ object Searcher {
     * constant-score contexts (ConstScoreQ inner, FILTER / MUST_NOT
     * clauses, or a count/docs execution): there an over-cap expansion
     * degrades to the executor-side [[WideTermSetQ]] constant-score match
-    * (reference CONSTANT_SCORE_REWRITE, never throws, never truncates);
-    * in a scoring context it throws [[Query.TooManyClauses]] like the
-    * reference's scoring-boolean rewrites
-    * (`core/search/IndexSearcher.java:873,891`).
+    * (reference CONSTANT_SCORE_REWRITE, never throws, never truncates).
+    * In a SCORING position the behavior follows [[Query.MultiTermRewrite]]:
+    * the default blended mode wraps the wide match in a boost-1
+    * ConstScore — the reference's default CONSTANT_SCORE_BLENDED_REWRITE
+    * falling back to its bitset path (`core/search/MultiTermQuery.java:103,133`)
+    * — while the explicit scoring-boolean mode throws
+    * [[Query.TooManyClauses]] (`core/search/IndexSearcher.java:873,891`).
     */
   private def substituteExpansions(
       q: Query,
@@ -333,7 +336,10 @@ object Searcher {
       exp.getOrElse(q, Nil) match {
         case Nil => MatchNone
         case ts if ts.size > Query.MaxClauseCount =>
-          if (nonScoring) wideOf(q) else throw new Query.TooManyClauses(patternOf(q))
+          if (nonScoring) wideOf(q)
+          else if (Query.MultiTermRewrite == Query.ScoringBooleanRewrite)
+            throw new Query.TooManyClauses(patternOf(q))
+          else ConstScoreQ(wideOf(q), 1f)
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
     case f: FuzzyQ => fuzzyExp.getOrElse(f, MatchNone)

@@ -25,21 +25,30 @@ object Multimodal {
       // stubbed "decoded" metadata a real codec would produce:
       width: Int,
       height: Int,
+      channels: Int,
       embedding: Array[Float] // stubbed feature vector (deterministic)
   )
 
-  /** Deterministic fake decode: a real implementation would hand
-    * `payload` to an image/audio codec here (???-equivalent boundary).
+  /** Deterministic stub codec: a real implementation would hand `payload`
+    * to an image/audio codec here (???-equivalent boundary). The stub is
+    * a PURE function of the payload bytes at fixed offsets —
+    * width = 16 + (bytes[0..1] mod 2033), height = 16 + (bytes[2..3] mod
+    * 2033), channels = 1 + (bytes[4] mod 4) — so an external oracle can
+    * reproduce the "decode" from the same bytes and the whole pipeline
+    * stays differentially checkable even though no media library exists
+    * in this environment.
     */
   private def stubDecode(r: MediaRow): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(r.payload)
+    @inline def b(i: Int): Int =
+      if (r.payload.isEmpty) 0 else r.payload(i % r.payload.length) & 0xff
     MediaFeatures(
       doc_id = r.doc_id,
       mediaType = r.mediaType,
       byteLen = r.payload.length,
-      width = 16 + math.floorMod(h, 64),
-      height = 16 + math.floorMod(h >> 8, 64),
-      embedding = Array.tabulate(8)(i => math.floorMod(h >> i, 251) / 251.0f)
+      width = 16 + ((b(0) << 8 | b(1)) % 2033),
+      height = 16 + ((b(2) << 8 | b(3)) % 2033),
+      channels = 1 + (b(4) % 4),
+      embedding = Array.tabulate(8)(i => b(i) / 255.0f)
     )
   }
 

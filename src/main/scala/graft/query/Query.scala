@@ -201,16 +201,54 @@ object Query {
     try body finally maxClausesLocal.remove()
   }
 
+  /** Multi-term rewrite mode for expansions past [[MaxClauseCount]] in a
+    * SCORING position — the `MultiTermQuery.RewriteMethod` choice.
+    *
+    * [[ConstantScoreBlendedRewrite]] (the DEFAULT, matching the
+    * reference's default for Prefix/Wildcard/Regexp/TermRange —
+    * `core/search/MultiTermQuery.java:103,133`, `PrefixQuery.java:29`):
+    * never throws; an over-cap expansion degrades to a constant-score
+    * (boost 1) [[WideTermSetQ]] match over ALL matching terms, exactly
+    * like the reference's blended wrapper falling back to its bitset
+    * path. Under-cap expansions stay a scored disjunction either way.
+    *
+    * [[ScoringBooleanRewrite]] (the reference's
+    * SCORING_BOOLEAN_REWRITE, `core/search/IndexSearcher.java:873,891`):
+    * an over-cap expansion throws [[TooManyClauses]].
+    */
+  val ConstantScoreBlendedRewrite = "constant_score_blended"
+  val ScoringBooleanRewrite = "scoring_boolean"
+  @volatile private var mtRewrite: String = ConstantScoreBlendedRewrite
+  private val mtRewriteLocal = new ThreadLocal[String]()
+  def MultiTermRewrite: String = {
+    val o = mtRewriteLocal.get()
+    if (o != null) o else mtRewrite
+  }
+  def setMultiTermRewrite(m: String): Unit = {
+    require(m == ConstantScoreBlendedRewrite || m == ScoringBooleanRewrite, m)
+    mtRewrite = m
+  }
+
+  /** Scope a rewrite-mode override to the current thread's planning —
+    * same discipline as [[withMaxClauseCount]].
+    */
+  def withMultiTermRewrite[A](m: String)(body: => A): A = {
+    require(m == ConstantScoreBlendedRewrite || m == ScoringBooleanRewrite, m)
+    mtRewriteLocal.set(m)
+    try body finally mtRewriteLocal.remove()
+  }
+
   /** Thrown when a SCORING multi-term rewrite expands past
-    * [[MaxClauseCount]] — `IndexSearcher.TooManyClauses`
+    * [[MaxClauseCount]] under [[ScoringBooleanRewrite]] —
+    * `IndexSearcher.TooManyClauses`
     * (`core/search/IndexSearcher.java:860-875`). Constant-score /
-    * non-scoring contexts never throw: they route through
-    * [[WideTermSetQ]] instead, like the reference's
+    * non-scoring contexts (and the default blended mode) never throw:
+    * they route through [[WideTermSetQ]] instead, like the reference's
     * CONSTANT_SCORE_REWRITE.
     */
   final class TooManyClauses(pattern: String)
       extends RuntimeException(
-        s"maxClauseCount is set to $maxClauses; scoring rewrite of '$pattern' exceeds it " +
+        s"maxClauseCount is set to $MaxClauseCount; scoring rewrite of '$pattern' exceeds it " +
           "(wrap in a constant-score / filter context for an unbounded match)")
 
   /** Logical rewrite to fixpoint — re-implementation of the reference's

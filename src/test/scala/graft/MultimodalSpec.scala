@@ -9,11 +9,19 @@ class MultimodalSpec extends SparkTest {
     val media = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.decodeFeatures(media).collect()
     assert(feats.length == 500)
+    val payloads = media.collect().map(r => r.doc_id -> r.payload).toMap
     feats.foreach { f =>
       assert(f.byteLen == 16) // md5 payload stub
-      assert(f.width >= 16 && f.width < 80 && f.height >= 16 && f.height < 80)
+      assert(f.width >= 16 && f.width < 16 + 2033 && f.height >= 16 && f.height < 16 + 2033)
+      assert(f.channels >= 1 && f.channels <= 4)
       assert(f.embedding.length == 8)
       assert(Set("image", "audio", "video").contains(f.mediaType))
+      // stub codec contract: a pure function of the payload bytes at
+      // fixed offsets (what the DuckDB oracle recomputes from md5(text))
+      val p = payloads(f.doc_id)
+      assert(f.width == 16 + ((((p(0) & 0xff) << 8) | (p(1) & 0xff)) % 2033))
+      assert(f.height == 16 + ((((p(2) & 0xff) << 8) | (p(3) & 0xff)) % 2033))
+      assert(f.channels == 1 + ((p(4) & 0xff) % 4))
     }
     // deterministic across runs
     val again = Multimodal.decodeFeatures(media).collect()

@@ -100,12 +100,18 @@ object NaiveOracle {
       if (pattern.startsWith("@")) vocabSorted else vocabSorted.filterNot(_.startsWith("@"))
 
     // expand multi-term queries like the engine (sorted; over-cap in a
-    // scoring context throws TooManyClauses, in a non-scoring context the
-    // FULL term set is used — the WideTermSetQ / CONSTANT_SCORE_REWRITE
+    // scoring context follows Query.MultiTermRewrite — default blended =
+    // constant-score (boost 1) over ALL matching terms, explicit
+    // scoring-boolean = TooManyClauses; in a non-scoring context the FULL
+    // term set is used — the WideTermSetQ / CONSTANT_SCORE_REWRITE
     // semantics, where no term is ever dropped)
     def expanded(ts: Seq[String], pattern: String, ns: Boolean): Query =
       if (ts.isEmpty) MatchNone
-      else if (ts.size > Query.MaxClauseCount && !ns) throw new Query.TooManyClauses(pattern)
+      else if (ts.size > Query.MaxClauseCount && !ns) {
+        if (Query.MultiTermRewrite == Query.ScoringBooleanRewrite)
+          throw new Query.TooManyClauses(pattern)
+        else ConstScoreQ(BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1), 1f)
+      }
       else BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
     def expand(q: Query, ns: Boolean): Query = q match {
       case PrefixQ(p) =>

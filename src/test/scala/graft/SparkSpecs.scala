@@ -357,11 +357,31 @@ class WideExpansionSpec extends SparkTest {
       }
     })
 
-  test("scoring rewrite past the cap throws TooManyClauses (engine and oracle agree)") {
+  test("explicit scoring-boolean rewrite past the cap throws TooManyClauses (engine and oracle agree)") {
     assert(Query.MaxClauseCount == 1024)
-    intercept[Query.TooManyClauses] { Searcher.topKQ(index, PrefixQ("w"), 10).collect() }
-    intercept[Query.TooManyClauses] { NaiveOracle.search(oracle, PrefixQ("w"), 10) }
-    intercept[Query.TooManyClauses] { Searcher.topKQ(index, WildcardQ("w*"), 10).collect() }
+    Query.withMultiTermRewrite(Query.ScoringBooleanRewrite) {
+      intercept[Query.TooManyClauses] { Searcher.topKQ(index, PrefixQ("w"), 10).collect() }
+      intercept[Query.TooManyClauses] { NaiveOracle.search(oracle, PrefixQ("w"), 10) }
+      intercept[Query.TooManyClauses] { Searcher.topKQ(index, WildcardQ("w*"), 10).collect() }
+    }
+  }
+
+  test("default blended rewrite: over-cap SCORING expansion degrades to constant-score, == oracle") {
+    assert(Query.MultiTermRewrite == Query.ConstantScoreBlendedRewrite)
+    // bare over-cap pattern in scoring position: every match scores 1.0
+    val shapes: Seq[Query] = Seq(
+      PrefixQ("w"),
+      WildcardQ("w*"),
+      // over-cap pattern as a scored SHOULD clause next to a real term:
+      // score = bm25(common1) + 1.0 for the docs the pattern matches
+      BoolQ(must = Seq(TermQ("common1")), should = Seq(PrefixQ("w"))),
+      BoolQ(should = Seq(TermQ("common2"), TermRangeQ("w00000", "w01199")),
+        minShouldMatch = 1))
+    shapes.foreach { q =>
+      val expected = NaiveOracle.search(oracle, q, 15)
+      val got = Searcher.topKQ(index, q, 15).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"blended [$q]:\n got=$got\n exp=$expected")
+    }
   }
 
   test("constant-score wide expansion matches ALL terms, == oracle") {
