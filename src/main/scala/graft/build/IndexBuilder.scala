@@ -99,17 +99,18 @@ final class Index(
   /** Driver-side per-term stats cache — the reference's per-reader
     * `TermStates` caching: an Index is an immutable snapshot, so looked-up
     * term stats never go stale. Misses are cached as df=0 rows (callers
-    * treat df=0 as absent). Bounded: cleared when it exceeds 100k entries.
+    * treat df=0 as absent). Bounded by LRU eviction at 100k entries
+    * (see [[graft.util.Lru]]).
     */
-  @transient lazy val termStatsCache: java.util.concurrent.ConcurrentHashMap[String, TermStats] =
-    new java.util.concurrent.ConcurrentHashMap[String, TermStats]()
+  @transient lazy val termStatsCache: java.util.Map[String, TermStats] =
+    graft.util.Lru.map[String, TermStats](100000)
 
   /** Driver-side multi-term expansion cache (pattern kind + pattern ->
     * expanded terms) — the per-reader rewrite cache. Same snapshot
-    * immutability argument; cleared past 10k entries.
+    * immutability argument; LRU-bounded at 10k entries.
     */
-  @transient lazy val expansionCache: java.util.concurrent.ConcurrentHashMap[String, Seq[String]] =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  @transient lazy val expansionCache: java.util.Map[String, Seq[String]] =
+    graft.util.Lru.map[String, Seq[String]](10000)
 }
 
 /** Inverted-index builder: one shuffle, one tokenize pass, per-segment

@@ -1,7 +1,6 @@
 package graft.codec
 
 import graft.model.PostingList
-import scala.collection.mutable.ArrayBuffer
 
 /** Pluggable posting format — the Codec SPI
   * (`core/codecs/Codec.java:34`: named, registry-loaded, recorded
@@ -78,34 +77,65 @@ object VByteFormat extends PostingFormat {
   val name = "vbyte"
   private val BlockSize = PostingCodec.BlockSize
 
-  @inline private def writeV(buf: ArrayBuffer[Byte], value: Long): Unit = {
-    var v = value
-    while ((v & ~0x7fL) != 0) {
-      buf += ((v & 0x7f) | 0x80).toByte
-      v >>>= 7
+  /** Growable PRIMITIVE byte sink. `ArrayBuffer[Byte]` is unspecialized —
+    * every append boxes a java.lang.Byte into an Object[] — which made
+    * the original vbyte encode ~11x slower than the PFOR path at build
+    * time (BENCH_r04 prep: idx_vbyte 37.7 s vs idx_std 3.3 s). Plain
+    * byte-array writes with doubling growth restore array-speed appends.
+    */
+  private final class ByteWriter(initial: Int) {
+    private var arr = new Array[Byte](math.max(16, initial))
+    var len = 0
+    @inline private def ensure(extra: Int): Unit =
+      if (len + extra > arr.length) {
+        var cap = arr.length << 1
+        while (cap < len + extra) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    @inline def add(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    @inline def writeV(value: Long): Unit = {
+      ensure(10)
+      var v = value
+      while ((v & ~0x7fL) != 0) {
+        arr(len) = ((v & 0x7f) | 0x80).toByte
+        len += 1
+        v >>>= 7
+      }
+      arr(len) = v.toByte
+      len += 1
     }
-    buf += v.toByte
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
   }
 
   def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
       norms: Array[Byte], positions: Array[Array[Int]]): PostingList =
-    encodeGeneric(seg, term, docIds, freqs, norms, docIds.length,
-      if (positions == null) null else i => positions(i))
+    if (positions == null)
+      encodeGeneric(seg, term, docIds, freqs, norms, docIds.length, null, null, 0)
+    else {
+      // flatten once up front — encodeGeneric writes positions straight
+      // from the flat buffer, no per-posting array slicing
+      val n = docIds.length
+      val posOff = new Array[Int](n)
+      var total = 0
+      var i = 0
+      while (i < n) { posOff(i) = total; total += positions(i).length; i += 1 }
+      val flat = new Array[Int](total)
+      i = 0
+      while (i < n) {
+        System.arraycopy(positions(i), 0, flat, posOff(i), positions(i).length)
+        i += 1
+      }
+      encodeGeneric(seg, term, docIds, freqs, norms, n, flat, posOff, total)
+    }
 
   def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
       norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
-      posEnd: Int): PostingList = {
-    val slice: Int => Array[Int] = { i =>
-      val start = posOff(i)
-      val end = if (i + 1 < n) posOff(i + 1) else posEnd
-      java.util.Arrays.copyOfRange(posFlat, start, end)
-    }
-    encodeGeneric(seg, term, docIds, freqs, norms, n, slice)
-  }
+      posEnd: Int): PostingList =
+    encodeGeneric(seg, term, docIds, freqs, norms, n, posFlat, posOff, posEnd)
 
   private def encodeGeneric(seg: Int, term: String, docIds: Array[Long],
       freqs: Array[Int], norms: Array[Byte], n: Int,
-      posOf: Int => Array[Int]): PostingList = {
+      posFlat: Array[Int], posOff: Array[Int], posEnd: Int): PostingList = {
     val numBlocks = (n + BlockSize - 1) / BlockSize
     val counts = new Array[Int](numBlocks)
     val bases = new Array[Long](numBlocks)
@@ -113,8 +143,8 @@ object VByteFormat extends PostingFormat {
     val maxFreqs = new Array[Int](numBlocks)
     val minNorms = new Array[Byte](numBlocks)
     val offsets = new Array[Int](numBlocks + 1)
-    val buf = new ArrayBuffer[Byte](n * 3)
-    buf += id // self-describing payload
+    val buf = new ByteWriter(1 + n * 3 + (if (posFlat == null) 0 else posEnd))
+    buf.add(id) // self-describing payload
     offsets(0) = 1
     var ttf = 0L
     var from = 0
@@ -131,14 +161,14 @@ object VByteFormat extends PostingFormat {
       var prev = prevBlockLast
       var i = from
       while (i < until) {
-        writeV(buf, docIds(i) - prev - (if (prev < 0) 0 else 1))
+        buf.writeV(docIds(i) - prev - (if (prev < 0) 0 else 1))
         prev = docIds(i)
         i += 1
       }
       i = from
       while (i < until) {
         val f = freqs(i)
-        writeV(buf, (f - 1).toLong)
+        buf.writeV((f - 1).toLong)
         if (f > maxFreq) maxFreq = f
         ttf += f
         i += 1
@@ -146,20 +176,21 @@ object VByteFormat extends PostingFormat {
       i = from
       while (i < until) {
         val nb = norms(i)
-        buf += nb
+        buf.add(nb)
         val len = graft.util.SmallFloat.byte4ToInt(nb)
         if (len < minNormLen) { minNormLen = len; minNorm = nb }
         i += 1
       }
-      if (posOf != null) {
+      if (posFlat != null) {
         i = from
         while (i < until) {
-          val ps = posOf(i)
+          val start = posOff(i)
+          val end = if (i + 1 < n) posOff(i + 1) else posEnd
           var prevPos = -1
-          var j = 0
-          while (j < ps.length) {
-            writeV(buf, (ps(j) - prevPos - 1).toLong)
-            prevPos = ps(j)
+          var j = start
+          while (j < end) {
+            buf.writeV((posFlat(j) - prevPos - 1).toLong)
+            prevPos = posFlat(j)
             j += 1
           }
           i += 1
@@ -167,7 +198,7 @@ object VByteFormat extends PostingFormat {
       }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
-      offsets(b + 1) = buf.length
+      offsets(b + 1) = buf.len
       prevBlockLast = docIds(until - 1)
       from = until
       b += 1

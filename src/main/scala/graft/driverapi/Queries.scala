@@ -2212,13 +2212,21 @@ object Queries {
     * was ~90% variant index build).
     */
   def prewarm(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    // a failed step reports NEGATIVE elapsed seconds: the failure would
+    // otherwise silently push the artifact's construction cost back into
+    // the first query row that touches it — the exact attribution error
+    // the prep split exists to fix — so a contaminated run must be
+    // distinguishable from the Bench JSON alone
     def step(name: String)(body: => Any): (String, Double) = {
       val t0 = System.nanoTime()
+      var ok = true
       try body catch {
         case scala.util.control.NonFatal(e) =>
+          ok = false
           System.err.println(s"[prewarm] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     def force(ix: (graft.build.Index, DataFrame)): Unit = {
       ix._1.postings.count(); ix._1.termStats.count(); ix._2.count()

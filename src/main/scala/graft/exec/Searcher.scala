@@ -73,9 +73,8 @@ object Searcher {
     val hit = c.get(key)
     if (hit != null) hit
     else {
-      if (c.size > 10000) c.clear()
       val v = body
-      c.put(key, v)
+      c.put(key, v) // LRU-bounded (Index.expansionCache)
       v
     }
   }
@@ -272,7 +271,6 @@ object Searcher {
     val cache = index.termStatsCache
     val need = wanted.filterNot(cache.containsKey)
     if (need.nonEmpty) {
-      if (cache.size > 100000) cache.clear()
       val found = index.termStats.filter($"term".isin(need: _*)).as[TermStats]
         .collect().map(t => t.term -> t).toMap
       need.foreach(t => cache.put(t, found.getOrElse(t, TermStats(t, 0L, 0L))))
@@ -843,8 +841,18 @@ object FilterCache {
   private val MaxEntries = 512
   private val MaxTotalIds = 64L << 20 // 64M longs = 512 MB ceiling
   private val seen = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private val totalIds = new java.util.concurrent.atomic.AtomicLong(0)
+  // access-ordered LinkedHashMap = true LRU (the reference's
+  // LRUQueryCache.java:87 eviction policy): a workload rotating through
+  // more than MaxEntries distinct filters evicts only the LEAST recently
+  // used entries — hot filters survive the wave (the previous clear-all
+  // thrashed every filter past the ceiling). All mutation and the id
+  // accounting share one lock, so the ceiling cannot drift under
+  // concurrent puts; the lock is uncontended in practice (one
+  // put/get per filter per segment task, orders of magnitude rarer
+  // than scoring work).
+  private val lock = new Object
+  private var totalIds = 0L
+  private val cache = new java.util.LinkedHashMap[String, Array[Long]](64, 0.75f, true)
   val hits = new java.util.concurrent.atomic.AtomicLong(0)
   val misses = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -855,18 +863,29 @@ object FilterCache {
   }
 
   def get(key: String): Array[Long] = {
-    val v = cache.get(key)
+    val v = lock.synchronized(cache.get(key)) // records the access (LRU touch)
     if (v != null) hits.incrementAndGet() else misses.incrementAndGet()
     v
   }
 
   def put(key: String, ids: Array[Long]): Unit = {
     if (ids.length > MaxTotalIds / 4) return // one entry must not own the cache
-    if (cache.size >= MaxEntries || totalIds.get() + ids.length > MaxTotalIds) {
-      cache.clear()
-      totalIds.set(0)
+    lock.synchronized {
+      if (cache.containsKey(key)) return
+      cache.put(key, ids)
+      totalIds += ids.length
+      // evict least-recently-used until within both ceilings; the fresh
+      // entry is most-recent, so the iterator (LRU-first) never reaches
+      // it before the cache is back under budget
+      val it = cache.entrySet().iterator()
+      while ((cache.size > MaxEntries || totalIds > MaxTotalIds) && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          totalIds -= e.getValue.length
+          it.remove()
+        }
+      }
     }
-    if (cache.putIfAbsent(key, ids) == null) totalIds.addAndGet(ids.length.toLong)
   }
 }
 

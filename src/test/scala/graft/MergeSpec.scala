@@ -63,7 +63,10 @@ class MergeSpec extends SparkTest {
     val dir = java.nio.file.Files.createTempDirectory("grafttiered").toString
     val src = Datagen.corpus(spark, 1200, seed = 41L)
     IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 24), dir)
-    assert(new java.io.File(s"$dir/manifest").listFiles().length == 24)
+    // count manifest rows, not raw files (Hadoop local FS adds .crc sidecars)
+    def manifestNames() = new java.io.File(s"$dir/manifest").listFiles()
+      .map(_.getName).filter(n => n.startsWith("seg_") && n.endsWith(".json")).sorted.toSeq
+    assert(manifestNames().length == 24)
 
     // delete by key every doc matching needle_0
     val idx0 = IndexBuilder.open(spark, dir)
@@ -97,7 +100,7 @@ class MergeSpec extends SparkTest {
 
     // compact: 24 mini-segments -> bounded count; deletes rewritten out
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 8)
-    val manifests = new java.io.File(s"$dir/manifest").listFiles().length
+    val manifests = manifestNames().length
     assert(manifests <= 10, s"segment count not bounded: $manifests")
     val idx2 = IndexBuilder.open(spark, dir)
     assert(idx2.live.isEmpty, "merge must purge tombstoned docs")
@@ -119,9 +122,9 @@ class MergeSpec extends SparkTest {
     }
 
     // a second pass with nothing over budget is a no-op
-    val before = new java.io.File(s"$dir/manifest").listFiles().map(_.getName).sorted.toSeq
+    val before = manifestNames()
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 10)
-    val after = new java.io.File(s"$dir/manifest").listFiles().map(_.getName).sorted.toSeq
+    val after = manifestNames()
     assert(before == after)
   }
 }

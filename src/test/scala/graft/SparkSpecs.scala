@@ -562,6 +562,18 @@ class FilterCacheSpec extends SparkTest {
       assert(graft.exec.FilterCache.hits.get() > h0, s"no cache hits for [$q]")
     }
   }
+
+  test("LRU eviction: a hot entry survives a wave of cold entries past the ceiling") {
+    val hot = "spec-hot-" + System.nanoTime()
+    graft.exec.FilterCache.put(hot, Array(1L, 2L, 3L))
+    (0 until 600).foreach { i => // > the 512-entry ceiling
+      assert(graft.exec.FilterCache.get(hot) != null,
+        s"hot entry evicted after $i cold entries") // touch keeps it most-recent
+      graft.exec.FilterCache.put(s"spec-cold-$i-$hot", Array(i.toLong))
+    }
+    assert(graft.exec.FilterCache.get(hot) != null,
+      "hot filter must survive LRU eviction of cold filters (clear-all would thrash)")
+  }
 }
 
 /** Resumable build: kill-and-resume semantics via the per-segment
