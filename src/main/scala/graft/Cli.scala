@@ -99,6 +99,26 @@ object Cli {
           if (ms.isEmpty) println("merge: nothing over budget")
           else ms.foreach(m => println(
             s"merged -> seg=${m.seg} docs=${m.docs} postings=${m.postings} bytes=${m.bytes}"))
+        case "snapshot" :: dir :: Nil =>
+          // SnapshotDeletionPolicy analogue: pin the current commit point
+          val id = IndexBuilder.commitSnapshot(dir)
+          println(s"snapshot $id pinned (retained: ${IndexBuilder.listSnapshots(dir).mkString(", ")})")
+        case "release" :: dir :: id :: Nil =>
+          println(if (IndexBuilder.releaseSnapshot(dir, id.toInt))
+            s"snapshot $id released" else s"no snapshot $id")
+        case "purge" :: dir :: Nil =>
+          // IndexFileDeleter analogue: delete generation dirs nothing
+          // references, once past the reader lease
+          val purged = IndexBuilder.purgeGenerations(dir)
+          println(if (purged.isEmpty) "purge: nothing eligible"
+            else s"purged ${purged.mkString(", ")}")
+        case "searchat" :: dir :: snapId :: k :: qparts if qparts.nonEmpty =>
+          // point-in-time search over a pinned snapshot
+          val index = IndexBuilder.open(spark, dir, snapshot = Some(snapId.toInt))
+          val q = qparts.mkString(" ")
+          val hits = Searcher.topK(index, q, k.toInt).collect()
+          println(s"query [$q] @snapshot $snapId -> ${hits.length} hits")
+          hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
         case "check" :: dir :: Nil =>
           // CheckIndex analogue: structural invariants over the whole index
           val violations = graft.build.CheckIndex.run(IndexBuilder.open(spark, dir))
@@ -125,7 +145,7 @@ object Cli {
             driverapi.Queries.all(name)._1(spark, sfDir).explain("formatted")
           }
         case _ =>
-          System.err.println("usage: build <dir> <nDocs> <nSegs> | buildfrom <srcPathOrTable> <dir> <nSegs> [format] | search <dir> <k> <query...> | serve <dir> <k> | searchbatch <dir> <k> <queriesFile> | delete <dir> <repo> <path> <commit> | merge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
+          System.err.println("usage: build <dir> <nDocs> <nSegs> | buildfrom <srcPathOrTable> <dir> <nSegs> [format] | search <dir> <k> <query...> | searchat <dir> <snapId> <k> <query...> | serve <dir> <k> | searchbatch <dir> <k> <queriesFile> | delete <dir> <repo> <path> <commit> | merge <dir> | snapshot <dir> | release <dir> <snapId> | purge <dir> | check <dir> | explain <dir> | explainq <sfDir> <name...>")
           sys.exit(2)
       }
     } finally spark.stop()

@@ -626,6 +626,9 @@ object IndexBuilder {
       }
       // refresh global stats (invalid once any segment changed)
       writeStats(spark, dir)
+      // a rebuild can shadow a whole generation (all its segs replaced):
+      // mark it for the grace-windowed purge like a merge would
+      markDereferencedGens(dir)
     } else if (!statsFresh(dir)) {
       // covers a crash between manifest writes and the stats refresh
       writeStats(spark, dir)
@@ -636,10 +639,17 @@ object IndexBuilder {
   /** Live file set: manifests pick (gen dir, segs) pairs — write-once
     * files + manifest selection, the `segments_N` commit-point model.
     * A seg rebuilt into a newer generation shadows its old files.
+    * `manifestRoot` defaults to the live manifest set; snapshot opens
+    * pass a commit dir (same layout) so the SAME selection logic reads a
+    * point-in-time file set.
     */
-  private[build] def openRaw(spark: SparkSession, dir: String): DataFrame = {
+  private[build] def openRaw(spark: SparkSession, dir: String,
+      manifestRoot: String = null): DataFrame =
+    rawFor(spark, dir, listManifests(if (manifestRoot == null) dir else manifestRoot))
+
+  private def rawFor(spark: SparkSession, dir: String,
+      manifests: Seq[SegmentManifest]): DataFrame = {
     import spark.implicits._
-    val manifests = listManifests(dir)
     val byGen = manifests.groupBy(_.dataDir)
     byGen.map { case (gen, ms) =>
       spark.read.parquet(s"$dir/segments/$gen")
@@ -726,6 +736,121 @@ object IndexBuilder {
     sha256Hex(files.mkString("|")).take(16)
   }
 
+  // ---------- commit-point snapshots ----------
+  // The IndexDeletionPolicy / SnapshotDeletionPolicy analogue
+  // (`core/index/SnapshotDeletionPolicy.java:43`, `IndexDeletionPolicy
+  // .java:38`): a snapshot pins a point-in-time commit — its segment
+  // files (write-once generation dirs), its manifest selection, and its
+  // delete view — so a reader can open it unchanged across later
+  // appends, deletes, and merges. A commit is stored as a COPY of the
+  // live per-segment manifests under `commits/commit_<id>/manifest/`
+  // (same layout as the live set, so the ordinary manifest reader reads
+  // it) plus a meta.json recording the tombstone file list at commit
+  // time and the livedocs scope key snapshot opens resolve under.
+  // Retained snapshots also pin that scope against livedocs GC and
+  // their generation dirs against [[purgeGenerations]].
+
+  private def commitsDir(dir: String) = s"$dir/commits"
+  private def commitRoot(dir: String, id: Int) = s"${commitsDir(dir)}/commit_$id"
+
+  /** Pin the current commit point; returns the snapshot id. */
+  def commitSnapshot(dir: String): Int = {
+    val manifests = listManifests(dir)
+    require(manifests.nonEmpty, s"nothing to snapshot in $dir")
+    val tombs = IndexFs.list(tombstoneDir(dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+    val id = listSnapshots(dir).foldLeft(-1)(math.max) + 1
+    val root = commitRoot(dir, id)
+    val scope = sha256Hex("snap:" + tombs.mkString("|") + ":" +
+      manifests.map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}")
+        .sorted.mkString("|")).take(16)
+    manifests.foreach { m =>
+      IndexFs.writeString(manifestPath(root, m.seg),
+        IndexFs.readString(manifestPath(dir, m.seg)))
+    }
+    // meta last = the snapshot's commit record (readers require it)
+    IndexFs.writeString(s"$root/meta.json",
+      s"""{"id":$id,"scope":"$scope","tombstones":[${tombs.map("\"" + _ + "\"").mkString(",")}]}""")
+    id
+  }
+
+  def listSnapshots(dir: String): Seq[Int] =
+    IndexFs.listNames(commitsDir(dir))
+      .collect { case n if n.startsWith("commit_") => n.stripPrefix("commit_").toInt }
+      .filter(id => IndexFs.exists(s"${commitRoot(dir, id)}/meta.json")) // half-written commits invisible
+      .sorted
+
+  /** Release a pinned snapshot (its generations/scopes become
+    * purgeable; data is not deleted here — see [[purgeGenerations]]).
+    */
+  def releaseSnapshot(dir: String, id: Int): Boolean =
+    IndexFs.delete(commitRoot(dir, id), recursive = true)
+
+  private def readSnapshotMeta(dir: String, id: Int): (String, Seq[String]) = {
+    val s = IndexFs.readString(s"${commitRoot(dir, id)}/meta.json")
+    val scope = "\"scope\"\\s*:\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse(sys.error(s"corrupt snapshot meta for $id"))
+    val tombs = "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    (scope, tombs)
+  }
+
+  /** Livedocs scope keys pinned by retained snapshots — excluded from
+    * [[LiveDocs.gc]] regardless of age.
+    */
+  def snapshotScopes(dir: String): Set[String] =
+    listSnapshots(dir).map(id => readSnapshotMeta(dir, id)._1).toSet
+
+  /** Generation dirs referenced by the live manifest set or any retained
+    * snapshot — everything else is purgeable garbage.
+    */
+  private def referencedGens(dir: String): Set[String] =
+    (listManifests(dir) ++
+      listSnapshots(dir).flatMap(id => listManifests(commitRoot(dir, id))))
+      .map(_.dataDir).toSet
+
+  /** Delete unreferenced generation dirs — the IndexFileDeleter analogue
+    * (`core/index/IndexFileDeleter.java:54`), shared-storage-safe:
+    * a merge only MARKS dereferenced generations (`_deref` marker, the
+    * dereference timestamp); this purge deletes a marked generation
+    * once the marker is older than the reader lease ([[LiveDocs.gcGraceMs]])
+    * AND it is still unreferenced (a snapshot taken before the merge
+    * keeps its generations alive indefinitely). Returns purged dir names.
+    */
+  def purgeGenerations(dir: String, graceMs: Long = LiveDocs.gcGraceMs): Seq[String] = {
+    // releasing a snapshot can newly dereference generations the merge
+    // couldn't mark (they were pinned then) — re-mark before purging
+    markDereferencedGens(dir)
+    val live = referencedGens(dir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    IndexFs.list(s"$dir/segments")
+      .filter(st => st.getPath.getName.startsWith("gen_"))
+      .filter(st => !live.contains(st.getPath.getName))
+      .filter { st =>
+        IndexFs.list(s"$dir/segments/${st.getPath.getName}")
+          .find(_.getPath.getName == "_deref")
+          .exists(_.getModificationTime <= cutoff)
+      }
+      .map { st =>
+        IndexFs.delete(s"$dir/segments/${st.getPath.getName}", recursive = true)
+        st.getPath.getName
+      }
+  }
+
+  /** Mark generations that just lost their last live reference (called
+    * by merges after the manifest swap). Purge happens later, after the
+    * reader lease — see [[purgeGenerations]].
+    */
+  private[build] def markDereferencedGens(dir: String): Unit = {
+    val live = referencedGens(dir)
+    IndexFs.listNames(s"$dir/segments")
+      .filter(g => g.startsWith("gen_") && !live.contains(g))
+      .foreach { g =>
+        val marker = s"$dir/segments/$g/_deref"
+        if (!IndexFs.exists(marker))
+          IndexFs.writeString(marker, System.currentTimeMillis().toString)
+      }
+  }
+
   /** One cheap columnar probe: does the parquet read's AMBIENT
     * partitioning already co-locate every segment? Build tasks emit whole
     * segments into their output files, so it almost always does — the
@@ -763,9 +888,15 @@ object IndexBuilder {
     * `serving = true` additionally persists the postings (long-lived
     * reader), repartitioning first only if the probe failed.
     */
-  def open(spark: SparkSession, dir: String, serving: Boolean = false): Index = {
+  def open(spark: SparkSession, dir: String, serving: Boolean = false,
+      snapshot: Option[Int] = None): Index = {
     import spark.implicits._
-    val seg = openRaw(spark, dir)
+    val seg = snapshot match {
+      case None => openRaw(spark, dir)
+      case Some(id) =>
+        require(IndexFs.exists(s"${commitRoot(dir, id)}/meta.json"), s"no snapshot $id in $dir")
+        openRaw(spark, dir, manifestRoot = commitRoot(dir, id))
+    }
     val postings0 = seg.filter($"kind" === "p")
       .select($"seg", $"term", $"df", $"ttf", $"counts", $"baseDocIds",
         $"maxDocIds", $"maxFreqs", $"minNorms", $"offsets", $"payload")
@@ -784,24 +915,53 @@ object IndexBuilder {
     val docmeta0 = seg.filter($"kind" === "m")
       .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha256", $"tokenCount", $"norm")
       .as[DocMeta]
-    val (docmeta, live) = readTombstones(spark, dir) match {
+    // delete view: live opens see the current tombstone set; snapshot
+    // opens see EXACTLY the tombstone files recorded at commit time
+    // (point-in-time contract), resolved under the snapshot's pinned
+    // scope (excluded from livedocs GC while the snapshot is retained)
+    val (scopeKey, tombsOpt) = snapshot match {
+      case None =>
+        (sha256Hex("open:" + tombstoneSetKey(dir) + ":" + manifestSetHash(dir)).take(16),
+          readTombstones(spark, dir))
+      case Some(id) =>
+        val (scope, tombNames) = readSnapshotMeta(dir, id)
+        (scope,
+          if (tombNames.isEmpty) None
+          else Some(spark.read.parquet(
+            tombNames.map(n => s"${tombstoneDir(dir)}/$n"): _*).distinct()))
+    }
+    val (docmeta, live) = tombsOpt match {
       case None => (docmeta0, NoDeletes: LiveDocs)
       case Some(tombs) =>
         // executor-side delete application: tombstones resolve to
         // per-segment sidecar files read lazily by kernels/merges —
         // the deleted ids NEVER pass through the driver (liveDocs model)
-        val scope = sha256Hex(
-          "open:" + tombstoneSetKey(dir) + ":" + manifestSetHash(dir)).take(16)
-        val ld = LiveDocs.resolve(spark, dir, scope, docmeta0.toDF(), tombs)
+        val ld = LiveDocs.resolve(spark, dir, scopeKey, docmeta0.toDF(), tombs)
         if (ld.isEmpty) (docmeta0, ld)
         else (docmeta0.join(tombs, Seq("repo", "path", "commit"), "left_anti").as[DocMeta], ld)
     }
-    val termStats = spark.read.parquet(s"$dir/stats/terms").as[TermStats]
-    val fsJson = IndexFs.readString(s"$dir/stats/field.json")
-    def num(k: String): Long =
-      ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson).map(_.group(1).toLong).getOrElse(0L)
-    new Index(postings, docmeta, termStats,
-      FieldStats(num("docCount"), num("sumTotalTermFreq")), live,
+    // stats: live opens read the maintained stats tables; snapshot opens
+    // recompute from the pinned segment rows (same partial->final agg
+    // the stats writer runs, so df/ttf sums — and therefore BM25
+    // scores — are exactly what the live index produced at commit time)
+    val (termStats, fieldStats) = snapshot match {
+      case None =>
+        val fsJson = IndexFs.readString(s"$dir/stats/field.json")
+        def num(k: String): Long =
+          ("\"" + k + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(fsJson)
+            .map(_.group(1).toLong).getOrElse(0L)
+        (spark.read.parquet(s"$dir/stats/terms").as[TermStats],
+          FieldStats(num("docCount"), num("sumTotalTermFreq")))
+      case Some(_) =>
+        val ts = seg.filter($"kind" === "p")
+          .groupBy($"term").agg(sum($"df").as("df"), sum($"ttf").as("ttf"))
+          .as[TermStats]
+        val (n, sttf) = seg.filter($"kind" === "m")
+          .agg(count(lit(1)), coalesce(sum($"tokenCount".cast("long")), lit(0L)))
+          .as[(Long, Long)].head()
+        (ts, FieldStats(n, sttf))
+    }
+    new Index(postings, docmeta, termStats, fieldStats, live,
       segAlignedInit = () => served || aligned0)
   }
 }

@@ -326,8 +326,13 @@ object IndexMerger {
     // batch. Deletion is GRACE-WINDOWED (see LiveDocs.gc): a reader opened
     // before the merge keeps its point-in-time sidecars for the lease
     // period, the same role the reference's IndexDeletionPolicy plays for
-    // liveDocs files still referenced by an open commit point.
-    LiveDocs.gc(dir)
+    // liveDocs files still referenced by an open commit point. Scopes
+    // pinned by retained snapshots are never deleted.
+    LiveDocs.gc(dir, retain = IndexBuilder.snapshotScopes(dir))
+    // generations this merge just dereferenced get their _deref marker;
+    // IndexBuilder.purgeGenerations deletes them after the reader lease
+    // (never while a retained snapshot references them)
+    IndexBuilder.markDereferencedGens(dir)
     man
   }
 

@@ -153,13 +153,17 @@ object LiveDocs {
     * LIVE delete set plus at most one lease window of history, instead of
     * growing with every historical tombstone batch.
     */
-  def gc(dir: String, graceMs: Long = gcGraceMs): Unit = {
+  def gc(dir: String, graceMs: Long = gcGraceMs,
+      retain: Set[String] = Set.empty): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/livedocs")
     val fs = fsOf(root)
     if (!fs.exists(root)) return
     val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(root).foreach { st =>
-      if (st.getModificationTime < cutoff) fs.delete(st.getPath, true)
+      // `retain` = scope keys pinned by retained snapshots
+      // (IndexBuilder.snapshotScopes) — never deleted, regardless of age
+      if (st.getModificationTime < cutoff && !retain.contains(st.getPath.getName))
+        fs.delete(st.getPath, true)
     }
   }
 

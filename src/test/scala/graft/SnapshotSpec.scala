@@ -1,0 +1,106 @@
+package graft
+
+import graft.build.{CheckIndex, Datagen, IndexBuilder, IndexFs, IndexMerger}
+import graft.exec.Searcher
+import org.apache.spark.sql.functions._
+
+/** Commit-point snapshots — the SnapshotDeletionPolicy / point-in-time
+  * reader model (`core/index/SnapshotDeletionPolicy.java:43`): a pinned
+  * snapshot must open with EXACTLY the docs, deletes, stats, and
+  * therefore BM25 scores it had at commit time, across later deletes
+  * and merges; retained snapshots protect their livedocs scopes and
+  * generation dirs from GC/purge; released snapshots become purgeable.
+  */
+class SnapshotSpec extends SparkTest {
+  import spark.implicits._
+
+  private val queries = Seq("def", "needle_0", "def AND class", "val OR needle_1", "ident_23*")
+
+  test("snapshot opens survive deletes and merges with identical results; purge respects pins") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsnap").toString
+    val src = Datagen.corpus(spark, 800, seed = 61L)
+    IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 12), dir)
+
+    // pin commit 0 (full corpus, no deletes) and record its results
+    val snap0 = IndexBuilder.commitSnapshot(dir)
+    assert(snap0 == 0 && IndexBuilder.listSnapshots(dir) == Seq(0))
+    val idx0 = IndexBuilder.open(spark, dir)
+    def shaped(idx: graft.build.Index): Map[String, Seq[(Long, Float)]] =
+      queries.map(q => q -> Searcher.topK(idx, q, 10).as[(Long, Float)].collect().toSeq).toMap
+    val r0 = shaped(idx0)
+    val n0 = idx0.docmeta.count()
+
+    // delete every needle_0 doc, pin commit 1 (deletes visible)
+    val victims = Searcher.matchingDocs(idx0, graft.query.TermQ("needle_0")).toDF("docId")
+      .join(idx0.docmeta, "docId").select($"repo", $"path", $"commit")
+    IndexBuilder.deleteDocs(spark, dir, victims)
+    val nVictims = victims.count()
+    assert(nVictims > 0)
+    val idx1 = IndexBuilder.open(spark, dir) // resolves livedocs scope for commit-1 state
+    val r1 = shaped(idx1)
+    val snap1 = IndexBuilder.commitSnapshot(dir)
+    assert(snap1 == 1)
+
+    // merge ALL segments: the original generation loses its last live
+    // reference (only the snapshots still pin it), deletes purge
+    // physically, livedocs gc'd (grace 0 EXCEPT pinned scopes)
+    def liveSegs() = IndexFs.listNames(s"$dir/manifest")
+      .filter(n => n.startsWith("seg_") && n.endsWith(".json"))
+      .map(_.stripPrefix("seg_").stripSuffix(".json").toInt)
+    IndexMerger.mergeSegments(spark, dir, liveSegs())
+    graft.build.LiveDocs.gc(dir, graceMs = 0, retain = IndexBuilder.snapshotScopes(dir))
+    val idxLive = IndexBuilder.open(spark, dir)
+    assert(idxLive.docmeta.count() == n0 - nVictims)
+
+    // snapshot 0: the pre-delete world, bit-identical scores
+    val s0 = IndexBuilder.open(spark, dir, snapshot = Some(0))
+    assert(s0.docmeta.count() == n0)
+    assert(Searcher.count(s0, "needle_0") > 0, "snapshot 0 must still see later-deleted docs")
+    assert(shaped(s0) == r0, "snapshot 0 results must equal commit-0 results")
+    assert(CheckIndex.run(s0).isEmpty)
+
+    // snapshot 1: deletes of commit 1 applied, scores identical to then —
+    // even though the live manifest set and livedocs scopes moved on
+    val s1 = IndexBuilder.open(spark, dir, snapshot = Some(1))
+    assert(s1.docmeta.count() == n0 - nVictims)
+    assert(Searcher.count(s1, "needle_0") == 0)
+    assert(shaped(s1) == r1, "snapshot 1 results must equal commit-1 results")
+
+    // purge: pinned generations never deleted, even with grace 0
+    val gensBefore = IndexFs.listNames(s"$dir/segments").filter(_.startsWith("gen_")).toSet
+    assert(IndexBuilder.purgeGenerations(dir, graceMs = 0).isEmpty,
+      "all dereferenced generations are pinned by snapshots — purge must delete nothing")
+    assert(IndexFs.listNames(s"$dir/segments").filter(_.startsWith("gen_")).toSet == gensBefore)
+
+    // release both snapshots: dereferenced generations become purgeable
+    assert(IndexBuilder.releaseSnapshot(dir, 0))
+    assert(IndexBuilder.releaseSnapshot(dir, 1))
+    assert(IndexBuilder.listSnapshots(dir).isEmpty)
+    val purged = IndexBuilder.purgeGenerations(dir, graceMs = 0)
+    assert(purged.nonEmpty, "released generations must purge")
+    // the live index is untouched by the purge
+    val idxAfter = IndexBuilder.open(spark, dir)
+    assert(idxAfter.docmeta.count() == n0 - nVictims)
+    assert(CheckIndex.run(idxAfter).isEmpty)
+    // snapshot opens of released ids fail fast
+    intercept[IllegalArgumentException] {
+      IndexBuilder.open(spark, dir, snapshot = Some(0))
+    }
+  }
+
+  test("snapshot works on a non-file: scheme index dir") {
+    val dir = "mockfs:" + java.nio.file.Files.createTempDirectory("graftsnapmock").toString + "/idx"
+    val src = Datagen.corpus(spark, 300, seed = 62L)
+    IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 4), dir)
+    val id = IndexBuilder.commitSnapshot(dir)
+    val before = Searcher.topK(IndexBuilder.open(spark, dir), "def", 10)
+      .as[(Long, Float)].collect().toSeq
+    val victims = IndexBuilder.open(spark, dir).docmeta.limit(50)
+      .select($"repo", $"path", $"commit")
+    IndexBuilder.deleteDocs(spark, dir, victims)
+    IndexMerger.tieredMerge(spark, dir, segsPerTier = 2)
+    val snap = IndexBuilder.open(spark, dir, snapshot = Some(id))
+    assert(snap.docmeta.count() == 300)
+    assert(Searcher.topK(snap, "def", 10).as[(Long, Float)].collect().toSeq == before)
+  }
+}
