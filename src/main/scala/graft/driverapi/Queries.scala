@@ -1808,23 +1808,37 @@ object Queries {
       val (emb, assign, _) = ivfTrained(spark, dir)
       val sizes = assign.groupBy($"cid").agg(count(lit(1)).as("sz"))
       // sizes is <= k <= 4096 rows -> broadcast; persist the sized
-      // member table: the small-cell and big-cell legs each read it twice
+      // member table WITH its precomputed norm: |x| is a per-VECTOR
+      // quantity — computing it per candidate PAIR tripled the per-pair
+      // array-aggregate work (bit-identical either way: same sqrt(sum)
+      // expression over the same vector)
       val sized = assign.join(emb, "vec_id")
-        .join(broadcast(sizes), "cid").persist()
+        .join(broadcast(sizes), "cid")
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))
+        .persist()
       def cosXY = (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
-        (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
-          sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))).as("c")
+        ($"x.nrm" * $"y.nrm")).as("c")
       val small = sized.filter($"sz" <= B)
       val smallPairs = small.as("x").join(small.as("y"), "cid")
         .filter($"x.vec_id" < $"y.vec_id")
         .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), cosXY)
+      // big cells: candidate (a, b) pairs are DEDUPED on ids BEFORE the
+      // cosine — the oracle's own shape — so a pair colliding in both
+      // bands costs one cosine, and the distinct shuffle carries two
+      // longs instead of two 128-dim vectors
       val big = sized.filter($"sz" > B).withColumn("sig", srpSigExpr)
-      val bigBands = big.select($"cid", $"vec_id", $"v",
+      val bigBands = big.select($"cid", $"vec_id",
         expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
-      val bigPairs = bigBands.as("x").join(bigBands.as("y"), Seq("cid", "b", "key"))
+      val bigCand = bigBands.as("x").join(bigBands.as("y"), Seq("cid", "b", "key"))
         .filter($"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"), cosXY)
-        .distinct()
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b")).distinct()
+      val bigPairs = bigCand
+        .join(sized.select($"vec_id".as("a"), $"v".as("xv"), $"nrm".as("xn")), "a")
+        .join(sized.select($"vec_id".as("b"), $"v".as("yv"), $"nrm".as("yn")), "b")
+        .select($"a", $"b",
+          (expr("aggregate(zip_with(xv, yv, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            ($"xn" * $"yn")).as("c"))
       smallPairs.union(bigPairs)
         .filter($"c" >= 0.45)
         .select($"a", $"b", r4($"c").as("cos"))
@@ -1868,18 +1882,27 @@ object Queries {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // persist: the band self-join's two legs must not recompute the
-      // 32-projection signature pass
-      val sig = emb.withColumn("sig", srpSigExpr).persist()
-      val bands = sig.select($"vec_id", $"v",
+      // persist: the band self-join's two legs and the vector join-back
+      // must not recompute the 32-projection signature pass; the norm is
+      // per-VECTOR, precomputed once (bit-identical to per-pair)
+      val sig = emb.withColumn("sig", srpSigExpr)
+        .withColumn("nrm",
+          sqrt(expr("aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))
+        .persist()
+      val bands = sig.select($"vec_id",
         expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
-      bands.as("x").join(bands.as("y"), Seq("b", "key"))
+      // candidates deduped on (a, b) BEFORE the cosine (the oracle's own
+      // shape): a both-bands collision costs one cosine, and the distinct
+      // shuffles ids, not vectors
+      val cand = bands.as("x").join(bands.as("y"), Seq("b", "key"))
         .filter($"x.vec_id" < $"y.vec_id")
-        .select($"x.vec_id".as("a"), $"y.vec_id".as("b"),
-          (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
-            (sqrt(expr("aggregate(transform(x.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")) *
-              sqrt(expr("aggregate(transform(y.v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))).as("c"))
-        .distinct()
+        .select($"x.vec_id".as("a"), $"y.vec_id".as("b")).distinct()
+      cand
+        .join(sig.select($"vec_id".as("a"), $"v".as("xv"), $"nrm".as("xn")), "a")
+        .join(sig.select($"vec_id".as("b"), $"v".as("yv"), $"nrm".as("yn")), "b")
+        .select($"a", $"b",
+          (expr("aggregate(zip_with(xv, yv, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
+            ($"xn" * $"yn")).as("c"))
         .filter($"c" >= 0.45)
         .select($"a", $"b", r4($"c").as("cos"))
         .orderBy($"a", $"b")
