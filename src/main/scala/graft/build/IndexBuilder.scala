@@ -836,6 +836,41 @@ object IndexBuilder {
       }
   }
 
+  /** Compact the tombstone set after a merge physically purged deleted
+    * docs — the reference analogue of merges clearing applied deletes
+    * (`core/index/ReadersAndUpdates.java` dropping liveDocs on merge):
+    * a tombstone row whose doc no longer EXISTS in any live segment
+    * matches nothing and only adds open-time scan cost forever. Keeps
+    * (a) rows still matching a live doc (deletes not yet merged away),
+    * written to a fresh file via tmp + rename, and (b) FILES pinned by
+    * retained snapshots (their point-in-time delete view reads those
+    * exact files). Crash-safe: survivors land before originals are
+    * removed — duplicates are harmless (tombstones are a set).
+    */
+  def compactTombstones(spark: SparkSession, dir: String): Unit = {
+    val tdir = tombstoneDir(dir)
+    val pinned: Set[String] = listSnapshots(dir)
+      .flatMap(id => readSnapshotMeta(dir, id)._2).toSet
+    val old = IndexFs.listNames(tdir).filter(_.endsWith(".parquet")).filterNot(pinned)
+    if (old.isEmpty) return
+    val tombs = spark.read.parquet(old.map(n => s"$tdir/$n"): _*).distinct()
+    val liveKeys = openRaw(spark, dir).filter(org.apache.spark.sql.functions.col("kind") === "m")
+      .select("repo", "path", "commit")
+    val survivors = tombs.join(liveKeys, Seq("repo", "path", "commit"), "left_semi")
+    if (!survivors.isEmpty) {
+      val tmp = s"$dir/_tombstone_compact_${java.util.UUID.randomUUID().toString.take(8)}"
+      survivors.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = IndexFs.fsOf(new org.apache.hadoop.fs.Path(tdir))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(tdir))
+      IndexFs.listNames(tmp).filter(_.endsWith(".parquet")).foreach { n =>
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$n"),
+          new org.apache.hadoop.fs.Path(s"$tdir/compact-$n"))
+      }
+      IndexFs.delete(tmp, recursive = true)
+    }
+    old.foreach(n => IndexFs.delete(s"$tdir/$n"))
+  }
+
   /** Mark generations that just lost their last live reference (called
     * by merges after the manifest swap). Purge happens later, after the
     * reader lease — see [[purgeGenerations]].

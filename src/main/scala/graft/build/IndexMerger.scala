@@ -333,6 +333,9 @@ object IndexMerger {
     // IndexBuilder.purgeGenerations deletes them after the reader lease
     // (never while a retained snapshot references them)
     IndexBuilder.markDereferencedGens(dir)
+    // drop tombstones the merge just made pointless (their docs no longer
+    // exist in any live segment); snapshot-pinned tombstone files survive
+    IndexBuilder.compactTombstones(spark, dir)
     man
   }
 

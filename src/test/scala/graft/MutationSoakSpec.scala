@@ -78,20 +78,45 @@ class MutationSoakSpec extends SparkTest {
       assert(graft.build.CheckIndex.run(index).isEmpty, s"$step: CheckIndex")
     }
 
+    // snapshots pinned mid-soak: each must stay FROZEN — same doc count
+    // and same count-path answers — at every later step, across appends,
+    // deletes, and merges (point-in-time contract under mutation)
+    val frozen = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Map[String, Long])]
+    val probes = Seq("def", "class", "needle_0", "ident_7", "zzz_absent")
+    def pin(): Unit = {
+      val id = IndexBuilder.commitSnapshot(dir)
+      val s = IndexBuilder.open(spark, dir, snapshot = Some(id))
+      frozen += ((id, s.docmeta.count(),
+        probes.map(t => t -> Searcher.countQ(s, TermQ(t))).toMap))
+    }
+    def verifySnapshots(step: String): Unit = frozen.foreach { case (id, n, counts) =>
+      val s = IndexBuilder.open(spark, dir, snapshot = Some(id))
+      assert(s.docmeta.count() == n, s"$step: snapshot $id doc count drifted")
+      counts.foreach { case (t, c) =>
+        assert(Searcher.countQ(s, TermQ(t)) == c, s"$step: snapshot $id count[$t] drifted")
+      }
+    }
+
     appendBatch(220)
     verify("initial build")
     deleteSome(0.15)
     verify("after delete 1")
+    pin() // snapshot 0: post-delete-1 world
     appendBatch(180)
     verify("after append 2")
+    verifySnapshots("after append 2")
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 3)
     verify("after merge 1")
+    verifySnapshots("after merge 1")
     deleteSome(0.10)
     appendBatch(150)
     verify("after delete+append 3")
+    pin() // snapshot 1: mid-soak world
     IndexMerger.tieredMerge(spark, dir, segsPerTier = 2)
     verify("after merge 2")
+    verifySnapshots("after merge 2")
     deleteSome(0.20)
     verify("final deletes")
+    verifySnapshots("final deletes")
   }
 }

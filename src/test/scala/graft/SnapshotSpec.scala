@@ -88,6 +88,51 @@ class SnapshotSpec extends SparkTest {
     }
   }
 
+  test("merge compacts dead tombstones; snapshot-pinned tombstone files survive") {
+    val dir = java.nio.file.Files.createTempDirectory("grafttcomp").toString
+    def tombFiles() = IndexFs.listNames(s"$dir/tombstones").filter(_.endsWith(".parquet"))
+    def segsOf() = IndexFs.listNames(s"$dir/manifest")
+      .filter(n => n.startsWith("seg_") && n.endsWith(".json"))
+      .map(_.stripPrefix("seg_").stripSuffix(".json").toInt)
+    val src = Datagen.corpus(spark, 400, seed = 63L)
+    IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 6), dir)
+
+    // delete + full merge with NO snapshots: every tombstone's doc is
+    // purged from the live set, so the whole tombstone set compacts away
+    val idx0 = IndexBuilder.open(spark, dir)
+    val v1 = Searcher.matchingDocs(idx0, graft.query.TermQ("needle_0")).toDF("docId")
+      .join(idx0.docmeta, "docId").select($"repo", $"path", $"commit")
+    assert(v1.count() > 0)
+    IndexBuilder.deleteDocs(spark, dir, v1)
+    assert(tombFiles().nonEmpty)
+    IndexMerger.mergeSegments(spark, dir, segsOf())
+    assert(tombFiles().isEmpty, "fully-applied tombstones must compact away at merge")
+    val live1 = IndexBuilder.open(spark, dir)
+    assert(live1.live.isEmpty && Searcher.count(live1, "needle_0") == 0)
+
+    // delete more, PIN a snapshot (its delete view = these files), merge:
+    // the pinned files survive compaction and the snapshot still applies
+    // its point-in-time deletes; the live set purged them physically
+    val nLive1 = live1.docmeta.count()
+    val v2 = live1.docmeta.orderBy($"docId").limit(40).select($"repo", $"path", $"commit")
+    IndexBuilder.deleteDocs(spark, dir, v2)
+    IndexBuilder.open(spark, dir) // resolve pre-merge livedocs state
+    val id = IndexBuilder.commitSnapshot(dir)
+    val pinnedFiles = tombFiles().toSet
+    IndexMerger.mergeSegments(spark, dir, segsOf())
+    assert(tombFiles().toSet == pinnedFiles,
+      "snapshot-pinned tombstone files must survive compaction")
+    val snap = IndexBuilder.open(spark, dir, snapshot = Some(id))
+    assert(snap.docmeta.count() == nLive1 - 40, "snapshot deletes must still apply")
+    assert(snap.live.deletedCount == 40)
+    val live2 = IndexBuilder.open(spark, dir)
+    assert(live2.live.isEmpty && live2.docmeta.count() == nLive1 - 40)
+    // release the pin: the next merge cycle can drop the dead files too
+    IndexBuilder.releaseSnapshot(dir, id)
+    IndexBuilder.compactTombstones(spark, dir)
+    assert(tombFiles().isEmpty, "released tombstone files compact away")
+  }
+
   test("snapshot works on a non-file: scheme index dir") {
     val dir = "mockfs:" + java.nio.file.Files.createTempDirectory("graftsnapmock").toString + "/idx"
     val src = Datagen.corpus(spark, 300, seed = 62L)
