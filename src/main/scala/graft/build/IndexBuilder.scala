@@ -852,7 +852,7 @@ object IndexBuilder {
     val pinned: Set[String] = listSnapshots(dir)
       .flatMap(id => readSnapshotMeta(dir, id)._2).toSet
     val old = IndexFs.listNames(tdir).filter(_.endsWith(".parquet")).filterNot(pinned)
-    if (old.isEmpty) return
+    if (old.isEmpty || listManifests(dir).isEmpty) return
     val tombs = spark.read.parquet(old.map(n => s"$tdir/$n"): _*).distinct()
     val liveKeys = openRaw(spark, dir).filter(org.apache.spark.sql.functions.col("kind") === "m")
       .select("repo", "path", "commit")
