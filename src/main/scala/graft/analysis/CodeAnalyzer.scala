@@ -9,14 +9,16 @@ final case class Token(term: String, pos: Int)
   *
   * Semantics: maximal runs of `[A-Za-z0-9_]` plus any Unicode
   * letter/digit are tokens; everything else separates. Tokens longer than
-  * [[CodeAnalyzer.MaxTokenLength]] are discarded (not split), matching the
-  * reference analyzer's default
-  * (`core/analysis/standard/StandardTokenizer.java:80-98` maxTokenLength
-  * 255; `StandardAnalyzer.java:34` = tokenizer + LowerCaseFilter, empty
-  * default stopset). On the ASCII alphabet used by the fixtures and the
-  * driver's `documents` table this emits exactly the reference's token
-  * stream (SURVEY.md §7.4.2); full UAX#29 is out of scope for a code
-  * corpus.
+  * [[CodeAnalyzer.MaxTokenLength]] are discarded — a documented divergence
+  * from the reference tokenizer, which CHOPS over-long tokens at
+  * maxTokenLength instead (`StandardTokenizer.java:86-89`); no fixture or
+  * driver token exceeds 255 chars, and [[Uax29]] implements the faithful
+  * chop. The analyzer chain matches `StandardAnalyzer.java:34` (tokenizer
+  * + LowerCaseFilter, empty default stopset). On the ASCII alphabet used
+  * by the fixtures and the driver's `documents` table this emits exactly
+  * the reference's token stream (SURVEY.md §7.4.2); for full UAX#29
+  * segmentation over general Unicode use [[Uax29.tokenize]] (analyzer
+  * mode "uax29").
   *
   * Pure function `String => Array[Token]` so it can back either a typed
   * `flatMap` or a codegen'd Catalyst expression.

@@ -1,6 +1,6 @@
 package graft.build
 
-import graft.analysis.CodeAnalyzer
+import graft.analysis.{CodeAnalyzer, Uax29}
 import graft.codec.PostingCodec
 import graft.model._
 import graft.util.SmallFloat
@@ -257,12 +257,15 @@ object IndexBuilder {
     def setFreq(f: Int): Unit = freqs(n - 1) = f
   }
 
-  /** Analyzer modes: "std" (word+lower), "sub" (word-delimiter
+  /** Analyzer modes: "std" (word+lower), "uax29" (full UAX#29 word
+    * segmentation — identical to "std" on the fixture/driver ASCII
+    * alphabet, faithful on general Unicode), "sub" (word-delimiter
     * sub-tokens), "stop" (std + position-preserving StopFilter with
     * [[CodeAnalyzer.DefaultStops]]), "all" (combined content+path field —
     * the BM25F / CombinedFieldQuery materialisation, see below).
     */
   def analyze(mode: String, text: String): Array[graft.analysis.Token] = mode match {
+    case "uax29" => Uax29.tokenize(text)
     case "sub" => CodeAnalyzer.subTokenize(text)
     case "stop" => CodeAnalyzer.tokenizeStops(text, CodeAnalyzer.DefaultStops)
     case "ws" => CodeAnalyzer.whitespaceTokenize(text)
