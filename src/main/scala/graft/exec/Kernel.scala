@@ -153,7 +153,8 @@ object Kernel {
   /** Posting-list cursor with lazy block decode and block-skip on
     * advance (skip data analogue, `Lucene103PostingsFormat.java:343-353`).
     */
-  final class TermCursor(pl: PostingList, val scorer: AnyScorer, needPositions: Boolean = false)
+  final class TermCursor(private[exec] val pl: PostingList, val scorer: AnyScorer,
+      needPositions: Boolean = false)
       extends DocCursor {
     private val numBlocks = pl.numBlocks
     private var blockIdx = -1
@@ -524,19 +525,29 @@ object Kernel {
 
   /** Sloppy phrase: conjunction approximation + the reference's greedy
     * match-length minimisation over a position priority queue
-    * (`core/search/SloppyPhraseMatcher.java:54,185-220`). A match's weight
+    * (`core/search/SloppyPhraseMatcher.java:54,189-221`). A match's weight
     * is 1/(1+matchLength); the doc's sloppy freq is the float sum of match
     * weights (`PhraseScorer`), scored like a phrase pseudo-term.
     *
-    * Repeated terms (e.g. `"foo bar foo"~2`): each repeated slot walks its
-    * OWN offset-adjusted copy of the shared position stream through the
-    * same greedy minimisation — deterministic and never throwing.
-    * Documented divergence: the reference resolves repeat collisions with
-    * its rptGroups heuristic (`SloppyPhraseMatcher.java:46-52`, itself
-    * documented as approximate), so two slots of the same term here may
-    * both be satisfied by ONE occurrence when the slop allows it; the
-    * differential oracle (NaiveOracle.sloppyFreq) implements the identical
-    * greedy walk, so engine and oracle agree on every repeated-term shape.
+    * Repeated terms (e.g. `"foo bar foo"~2`) follow the reference's
+    * rptGroups algorithm (`SloppyPhraseMatcher.java:296-338,449-481`):
+    * slots of the same term form a repetition group sorted by query
+    * offset; at each doc the j-th slot of a group starts j occurrences in
+    * (the no-collision start condition, `advanceRepeatGroups`), and
+    * whenever an advance lands two slots of one group on the SAME actual
+    * token position, the lesser of the two (by position, then offset) is
+    * advanced until the collision clears (`advanceRpts`/`collide`/
+    * `lesser`). So N slots of a term always consume N distinct
+    * occurrences — a doc with fewer occurrences than slots never matches.
+    * Group DETECTION is static (postings-list identity): on a
+    * one-token-per-position index this is exactly the reference's
+    * first-candidate-doc tpPos heuristic (`gatherRptGroups`, `:540-569`);
+    * the reference's accidental grouping of distinct terms that happen to
+    * share a token position in the first doc of a graph-token index is
+    * deliberately not reproduced. The differential oracle
+    * (NaiveOracle.sloppyFreq) implements the identical algorithm
+    * independently, so engine and oracle agree on every repeated-term
+    * shape.
     */
   final class SloppyPhraseCursor(terms: Array[TermCursor], slop: Int, scorer: AnyScorer)
       extends DocCursor {
@@ -545,22 +556,103 @@ object Kernel {
     var sloppyFreq: Double = 0d
     val maxScoreBound: Double = scorer.globalMax
 
+    // Repetition groups: slot indices sharing one postings list (= one
+    // term), ascending query offset; rptGroup(i) = group id or -1.
+    private val rptGroup: Array[Int] = {
+      val g = Array.fill(terms.length)(-1)
+      var nextG = 0
+      var i = 0
+      while (i < terms.length) {
+        if (g(i) < 0) {
+          var j = i + 1
+          while (j < terms.length) {
+            if (g(j) < 0 && (terms(j).pl eq terms(i).pl)) {
+              if (g(i) < 0) { g(i) = nextG; nextG += 1 }
+              g(j) = g(i)
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      g
+    }
+    private val rptGroups: Array[Array[Int]] = {
+      val n = if (rptGroup.isEmpty) 0 else rptGroup.max + 1
+      Array.tabulate(n)(gi => terms.indices.filter(rptGroup(_) == gi).toArray)
+    }
+    private val hasRpts: Boolean = rptGroups.nonEmpty
+
+    // per-doc greedy-walk state (fields, not locals: nested helpers mutate
+    // them without closure boxing; arrays are fixed-size, allocated once)
+    private val nSlots = terms.length
+    private val streams = new Array[Array[Int]](nSlots)
+    private val idx = new Array[Int](nSlots)
+    private val cur = new Array[Int](nSlots)
+    private var end = 0
+
+    // advance slot k to its next position, maintaining end; false = exhausted
+    private def advancePP(k: Int): Boolean = {
+      if (idx(k) + 1 >= streams(k).length) false
+      else {
+        idx(k) += 1
+        cur(k) = streams(k)(idx(k))
+        if (cur(k) > end) end = cur(k)
+        true
+      }
+    }
+    // actual token position of slot k (position + query offset)
+    @inline private def tpPos(k: Int): Int = cur(k) + k
+    // slot in k's group occupying the same token position, or -1
+    private def collide(k: Int): Int = {
+      val rg = rptGroups(rptGroup(k))
+      val t = tpPos(k)
+      var x = 0
+      while (x < rg.length) {
+        val k2 = rg(x)
+        if (k2 != k && tpPos(k2) == t) return k2
+        x += 1
+      }
+      -1
+    }
+    @inline private def lesser(a: Int, b: Int): Int =
+      if (cur(a) < cur(b) || (cur(a) == cur(b) && a < b)) a else b
+    // k was just advanced; clear any repeat collision by advancing the
+    // lesser of the colliding pair until none remain; false = exhausted
+    private def advanceRpts(k0: Int): Boolean = {
+      if (rptGroup(k0) < 0) return true
+      var k = k0
+      var c = collide(k)
+      while (c >= 0) {
+        k = lesser(k, c)
+        if (!advancePP(k)) return false
+        c = collide(k)
+      }
+      true
+    }
+    // argmin by (position, queryOffset); optionally excluding one index
+    private def argMin(exclude: Int): Int = {
+      var best = -1
+      var j = 0
+      while (j < nSlots) {
+        if (j != exclude && (best < 0 || cur(j) < cur(best))) best = j
+        j += 1
+      }
+      best
+    }
+
     /** Greedy PQ walk over offset-adjusted positions; returns the summed
       * match weights (0 = no match with span <= slop). Only one cursor is
       * ever "popped" at a time, so the priority queue is modelled
       * implicitly: the popped index `pp` advances until its position
       * exceeds the min of the others (`next`), exactly the loop of
-      * `SloppyPhraseMatcher.nextMatch` (`:190-220`).
+      * `SloppyPhraseMatcher.nextMatch` (`:189-221`), with repeat-collision
+      * resolution after every advance when the phrase has repeated terms.
       */
     private def computeFreq(): Double = {
-      val n = terms.length
       // adjusted position streams: pos - queryOffset
-      val streams = new Array[Array[Int]](n)
-      val idx = new Array[Int](n)
-      val cur = new Array[Int](n)
-      var end = Int.MinValue
       var i = 0
-      while (i < n) {
+      while (i < nSlots) {
         val ps = terms(i).positions
         val adj = new Array[Int](ps.length)
         var j = 0
@@ -568,33 +660,41 @@ object Kernel {
         streams(i) = adj
         idx(i) = 0
         cur(i) = adj(0)
-        if (cur(i) > end) end = cur(i)
         i += 1
       }
-      // argmin by (position, queryOffset); optionally excluding one index
-      def argMin(exclude: Int): Int = {
-        var best = -1
-        var j = 0
-        while (j < n) {
-          if (j != exclude && (best < 0 || cur(j) < cur(best))) best = j
-          j += 1
+      // start condition for repeats: the j-th slot of each group is
+      // advanced j times so the group occupies j distinct occurrences
+      // (`advanceRepeatGroups`, simple case `:469-477`)
+      if (hasRpts) {
+        var gi = 0
+        while (gi < rptGroups.length) {
+          val rg = rptGroups(gi)
+          var j = 1
+          while (j < rg.length) {
+            val s = rg(j)
+            if (idx(s) + j >= streams(s).length) return 0d // PPs exhausted
+            idx(s) += j
+            cur(s) = streams(s)(idx(s))
+            j += 1
+          }
+          gi += 1
         }
-        best
       }
+      end = Int.MinValue
+      i = 0
+      while (i < nSlots) { if (cur(i) > end) end = cur(i); i += 1 }
+
       var freq = 0d
       var pp = argMin(-1)
       var matchLength = end - cur(pp)
       var next = cur(argMin(pp))
       var live = true
       while (live) {
-        if (idx(pp) + 1 >= streams(pp).length) {
-          // pp exhausted: the final candidate match
+        if (!advancePP(pp) || (hasRpts && !advanceRpts(pp))) {
+          // pps exhausted: the final candidate match
           if (matchLength <= slop) freq += 1d / (1d + matchLength)
           live = false
         } else {
-          idx(pp) += 1
-          cur(pp) = streams(pp)(idx(pp))
-          if (cur(pp) > end) end = cur(pp)
           if (cur(pp) > next) { // done minimising the current match-length
             if (matchLength <= slop) freq += 1d / (1d + matchLength)
             pp = argMin(-1)

@@ -22,6 +22,9 @@ final case class TermQ(term: String) extends Query
   * `core/search/SloppyPhraseMatcher.java:54`: a match's length is the
   * span of offset-adjusted positions, weight 1/(1+matchLength), and the
   * doc's sloppy freq is the sum of greedy-minimised match weights.
+  * Repeated terms follow the reference's rptGroups algorithm (slots of
+  * one term consume distinct occurrences; collisions advance the lesser
+  * slot — `SloppyPhraseMatcher.java:296-338,449-481`).
   */
 final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 

@@ -42,40 +42,84 @@ object NaiveOracle {
 
   /** Greedy sloppy-phrase freq over adjusted position lists — an
     * independent implementation of `SloppyPhraseMatcher.nextMatch`
-    * (`core/search/SloppyPhraseMatcher.java:190-220`) using an explicit
-    * sorted re-insertion queue.
+    * (`core/search/SloppyPhraseMatcher.java:189-221`) using an explicit
+    * sorted re-insertion queue, including the reference's repeated-term
+    * handling: slots with identical (unadjusted) position arrays form a
+    * repetition group (same term -> same postings); the j-th slot of a
+    * group starts j occurrences in (`advanceRepeatGroups`), and any
+    * advance landing two group members on the same actual token position
+    * advances the lesser (by position, then offset) until the collision
+    * clears (`advanceRpts`).
     */
   def sloppyFreq(posArrays: Seq[Array[Int]], slop: Int): Double = {
-    // entries (adjustedPos, queryOffset, idxInStream); queue ordered by (pos, offset)
+    val n = posArrays.length
     val streams = posArrays.zipWithIndex.map { case (ps, off) => ps.map(_ - off) }
-    var queue = streams.zipWithIndex.map { case (s, off) => (s(0), off, 0) }
-      .sortBy { case (p, off, _) => (p, off) }.toVector
-    var end = queue.map(_._1).max
+    // repetition groups by unadjusted-array content equality
+    val groupOf = Array.fill(n)(-1)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    for (i <- 0 until n if groupOf(i) < 0) {
+      val same = (i until n).filter(j => posArrays(j).toSeq == posArrays(i).toSeq)
+      if (same.length > 1) {
+        same.foreach(groupOf(_) = groups.length)
+        groups += same.toVector
+      }
+    }
+    val ix = Array.fill(n)(0)
+    def pos(k: Int): Int = streams(k)(ix(k))
+    def tp(k: Int): Int = pos(k) + k
+    // start condition: j-th member of each group advanced j times
+    for (g <- groups; (s, j) <- g.zipWithIndex if j > 0) {
+      if (ix(s) + j >= streams(s).length) return 0d
+      ix(s) += j
+    }
+    var end = (0 until n).map(pos).max
+    def advancePP(k: Int): Boolean = {
+      if (ix(k) + 1 >= streams(k).length) false
+      else { ix(k) += 1; if (pos(k) > end) end = pos(k); true }
+    }
+    def collide(k: Int): Int =
+      if (groupOf(k) < 0) -1
+      else groups(groupOf(k)).find(k2 => k2 != k && tp(k2) == tp(k)).getOrElse(-1)
+    def advanceRpts(k0: Int): Boolean = {
+      var k = k0
+      var c = collide(k)
+      while (c >= 0) {
+        k = if (pos(k) < pos(c) || (pos(k) == pos(c) && k < c)) k else c
+        if (!advancePP(k)) return false
+        c = collide(k)
+      }
+      true
+    }
+    // queue of slot indices ordered by (adjusted position, offset)
+    def sorted(q: Seq[Int]): Vector[Int] = q.sortBy(k => (pos(k), k)).toVector
+    var queue = sorted(0 until n)
     var freq = 0d
-    var (pos, off, ix) = queue.head
+    var pp = queue.head
     queue = queue.tail
-    var matchLength = end - pos
+    var matchLength = end - pos(pp)
+    var next = pos(queue.head)
     var done = false
     while (!done) {
-      if (ix + 1 >= streams(off).length) {
+      val alive = advancePP(pp) && {
+        val ok = advanceRpts(pp)
+        // collision resolution may advance QUEUED slots: restore queue
+        // order (the reference re-heapifies via its rptStack, `:319-336`)
+        if (ok && groups.nonEmpty) queue = sorted(queue)
+        ok
+      }
+      if (!alive) {
         if (matchLength <= slop) freq += 1d / (1d + matchLength)
         done = true
+      } else if (pos(pp) > next) {
+        if (matchLength <= slop) freq += 1d / (1d + matchLength)
+        queue = sorted(queue :+ pp)
+        pp = queue.head
+        queue = queue.tail
+        next = pos(queue.head)
+        matchLength = end - pos(pp)
       } else {
-        ix += 1
-        pos = streams(off)(ix)
-        if (pos > end) end = pos
-        if (queue.nonEmpty && pos > queue.head._1) {
-          if (matchLength <= slop) freq += 1d / (1d + matchLength)
-          // re-insert advanced entry, pop new min
-          queue = (queue :+ ((pos, off, ix))).sortBy { case (p, o, _) => (p, o) }
-          val h = queue.head
-          queue = queue.tail
-          pos = h._1; off = h._2; ix = h._3
-          matchLength = end - pos
-        } else {
-          val m2 = end - pos
-          if (m2 < matchLength) matchLength = m2
-        }
+        val m2 = end - pos(pp)
+        if (m2 < matchLength) matchLength = m2
       }
     }
     freq

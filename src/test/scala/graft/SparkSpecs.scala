@@ -109,6 +109,45 @@ class SearchDifferentialSpec extends SparkTest {
     }
   }
 
+  test("repeated-term sloppy phrases: rptGroups collision semantics == oracle") {
+    import graft.query._
+    // crafted corpus where repeat handling is decisive: a doc with fewer
+    // occurrences of `alpha` than the phrase has alpha-slots must NOT match
+    val contents = Seq(
+      "alpha beta gamma",        // 1x alpha -> no match for "alpha beta alpha"
+      "alpha beta alpha",        // exact -> weight 1
+      "alpha beta alpha alpha",  // exact + length-2 window -> 1 + 1/3
+      "alpha alpha beta",        // only the spread assignment -> 1/3
+      "beta gamma beta delta"    // control for a different repeated term
+    )
+    val docs = contents.zipWithIndex.map { case (c, i) =>
+      InputDoc(0, s"r/p$i@c", "r", s"p$i", "c", "x", c)
+    }
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val withIds = docs.sortBy(_.sortKey).zipWithIndex.map { case (d, ord) =>
+      (ord.toLong, d.content)
+    }
+    val oracle = NaiveOracle.fromContents(withIds)
+    val oneAlpha = withIds.collectFirst { case (id, c) if c == contents(0) => id }.get
+    val exactAba = withIds.collectFirst { case (id, c) if c == contents(1) => id }.get
+    val shapes: Seq[Query] = Seq(
+      PhraseQ(Seq("alpha", "beta", "alpha"), slop = 2),
+      PhraseQ(Seq("alpha", "beta", "alpha"), slop = 1),
+      PhraseQ(Seq("beta", "gamma", "beta"), slop = 2),
+      PhraseQ(Seq("alpha", "alpha"), slop = 3)
+    )
+    shapes.foreach { q =>
+      val expected = NaiveOracle.search(oracle, q, 10)
+      val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+      assert(got == expected, s"query [$q]:\n got=$got\n exp=$expected")
+    }
+    val aba = Searcher.topKQ(index, PhraseQ(Seq("alpha", "beta", "alpha"), slop = 2), 10)
+      .as[(Long, Float)].collect().toSeq
+    assert(!aba.exists(_._1 == oneAlpha),
+      "doc with a single `alpha` must not match the two-alpha-slot phrase")
+    assert(aba.exists(_._1 == exactAba))
+  }
+
   test("sub-token analyzer index: camelCase parts searchable, == oracle") {
     val docs = inputDocs(3)
     val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs), "sub")

@@ -304,6 +304,25 @@ class SloppyAndNewNodeSpec extends AnyFunSuite {
     assert(NaiveOracle.sloppyFreq(Seq(Array(5), Array(4)), slop = 1) == 0d)
     assert(NaiveOracle.sloppyFreq(Seq(Array(5), Array(4)), slop = 2) == 1d / 3d)
   }
+  test("repeated-term sloppy phrases follow the reference rptGroups algorithm") {
+    // query "a b a"~2 — slots 0 and 2 form a repetition group and must
+    // consume DISTINCT occurrences of `a`
+    // (`core/search/SloppyPhraseMatcher.java:296-338,449-481`)
+    val abaSlots = (a: Array[Int], b: Array[Int]) => Seq(a, b, a)
+    // doc "a b": only one `a` for two slots -> no match (the pre-round-5
+    // greedy walk wrongly scored this 1/3)
+    assert(NaiveOracle.sloppyFreq(abaSlots(Array(0), Array(1)), slop = 2) == 0d)
+    // doc "a b a": one exact match, weight 1
+    assert(NaiveOracle.sloppyFreq(abaSlots(Array(0, 2), Array(1)), slop = 2) == 1d)
+    // doc "a b a a": exact match + the (a@3,b@1,a@2)-window match at
+    // length 2 — the collision on a@2 advances the lesser slot, exactly
+    // the reference's advanceRpts walk -> 1 + 1/3
+    val f = NaiveOracle.sloppyFreq(abaSlots(Array(0, 2, 3), Array(1)), slop = 2)
+    assert(math.abs(f - 4d / 3d) < 1e-12, s"freq=$f")
+    // doc "a a b": only the spread assignment (a@0, b@2, a@1), length 2
+    assert(NaiveOracle.sloppyFreq(abaSlots(Array(0, 1), Array(2)), slop = 2) == 1d / 3d)
+    assert(NaiveOracle.sloppyFreq(abaSlots(Array(0, 1), Array(2)), slop = 1) == 0d)
+  }
   test("parser: sloppy phrase, wildcard, filter rewrites") {
     assert(QueryParser.parse("\"fast table\"~2") == PhraseQ(Seq("fast", "table"), 2))
     assert(QueryParser.parse("m?rge") == WildcardQ("m?rge"))
