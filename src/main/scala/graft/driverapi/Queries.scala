@@ -71,6 +71,41 @@ object Queries {
        |FROM sc ORDER BY rank LIMIT $k""".stripMargin
   }
 
+  /** More-like-this oracle: mirrors `exec/MoreLikeThis.selectTerms` —
+    * candidate terms of the source doc with tf >= minTermFreq and
+    * df >= minDocFreq, scored tf * (ln((n+1)/(df+1)) + 1) (ClassicSim
+    * idf), top maxQueryTerms by (1e-4-quantised score desc, term asc) —
+    * then the standard BM25 disjunction top-k over the selected terms.
+    */
+  private def mltSql(srcDocId: Long, minTermFreq: Int, minDocFreq: Int,
+      maxQueryTerms: Int, k: Int): String =
+    s"""WITH $tokCte,
+       |mtf AS (SELECT term, count(*) AS tf FROM tok WHERE doc_id = $srcDocId
+       |        GROUP BY term HAVING count(*) >= $minTermFreq),
+       |mdf AS (SELECT t.term, count(DISTINCT t.doc_id) AS df FROM tok t
+       |        JOIN mtf m ON t.term = m.term GROUP BY t.term),
+       |mn AS (SELECT count(*) AS n FROM documents),
+       |mcand AS (SELECT m.term, m.tf * (ln((mn.n + 1.0)/(d.df + 1.0)) + 1.0) AS msc
+       |          FROM mtf m JOIN mdf d ON m.term = d.term, mn WHERE d.df >= $minDocFreq),
+       |msel AS (SELECT term FROM (SELECT term,
+       |           row_number() OVER (ORDER BY floor(msc*10000+0.5) DESC, term) AS rn
+       |         FROM mcand) WHERE rn <= $maxQueryTerms),
+       |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+       |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+       |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN (SELECT term FROM msel) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+       |sc AS (SELECT tf.doc_id,
+       |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+       |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+       |       GROUP BY tf.doc_id)
+       |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+       |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+       |FROM sc ORDER BY rank LIMIT $k""".stripMargin
+
   /** Engine-side BM25 top-k with the same rounded re-rank. */
   private def ftScored(q: String, k: Int): QFn = (spark, dir) =>
     ftScoredQ(graft.query.QueryParser.parse(q), k)(spark, dir)
@@ -293,6 +328,21 @@ object Queries {
          |       CAST(count(*) AS BIGINT) AS ttf
          |FROM tok WHERE term IN ('spark','merge','window','zzz_absent')
          |GROUP BY term ORDER BY term""".stripMargin))),
+
+    // MoreLikeThis (queries/mlt/MoreLikeThis.java): source doc 42's
+    // terms with tf>=2 and df>=5 scored tf*ClassicSim-idf, top 10 by
+    // quantised score, searched as a SHOULD disjunction — the source
+    // doc itself ranks (the reference does not exclude it)
+    "mlt_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      val src = spark.read.parquet(s"$dir/documents.parquet")
+        .filter($"doc_id" === 42L).select($"text").as[String].head()
+      val q = graft.exec.MoreLikeThis.likeQuery(index, src,
+        graft.exec.MoreLikeThis.Params(minTermFreq = 2, minDocFreq = 5,
+          maxQueryTerms = 10))
+      ftScoredQ(q, 10)(spark, dir)
+    }, Some(mltSql(42L, 2, 5, 10, 10)))),
 
     // OPEN Collector SPI (Collector/LeafCollector pair): a user-defined
     // per-segment stats collector — match count, integer-quantised score

@@ -1,0 +1,66 @@
+package graft.exec
+
+import graft.analysis.CodeAnalyzer
+import graft.build.Index
+import graft.query.{BoolQ, Query, TermQ}
+
+/** More-like-this query former — a re-expression of the reference's
+  * `lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java`
+  * (term selection loop `:629-678`): analyze the source content, keep
+  * terms with tf >= minTermFreq and minDocFreq <= df <= maxDocFreq,
+  * score each candidate tf * idf with the ClassicSimilarity idf
+  * (`ln((numDocs+1)/(df+1)) + 1`,
+  * `core/search/similarities/ClassicSimilarity.java`), and build a pure
+  * SHOULD disjunction of the top maxQueryTerms terms (the reference's
+  * default non-boosting mode).
+  *
+  * Spark shape: the source doc's term frequencies are a driver-side map
+  * of ONE analyzed document (bounded); df lookups are a single filtered
+  * read of the term-stats table whose `In(term, ...)` predicate pushes
+  * to the parquet scan — no full-vocabulary pass, no shuffle.
+  *
+  * Selection ranks on the 1e-4-quantised score (desc, then term asc) so
+  * a cross-engine oracle computing the same `ln` agrees on the cutoff
+  * regardless of last-ulp differences.
+  */
+object MoreLikeThis {
+  /** Reference defaults: DEFAULT_MIN_TERM_FREQ = 2,
+    * DEFAULT_MIN_DOC_FREQ = 5, DEFAULT_MAX_DOC_FREQ = MAX_VALUE,
+    * DEFAULT_MAX_QUERY_TERMS = 25 (`MoreLikeThis.java:209-265`).
+    */
+  final case class Params(
+      minTermFreq: Int = 2,
+      minDocFreq: Int = 5,
+      maxDocFreq: Long = Long.MaxValue,
+      maxQueryTerms: Int = 25)
+
+  /** Selected (term, tf*idf) pairs, ranked by (quantised score desc,
+    * term asc), capped at maxQueryTerms.
+    */
+  def selectTerms(index: Index, content: String, p: Params): Seq[(String, Double)] = {
+    val tf = CodeAnalyzer.tokenize(content)
+      .groupBy(_.term).map { case (t, xs) => (t, xs.length) }
+    val cands = tf.filter { case (_, f) => f >= p.minTermFreq }
+    if (cands.isEmpty) return Nil
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val dfs = index.termStats
+      .filter($"term".isin(cands.keys.toSeq: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val n = index.fieldStats.docCount
+    cands.toSeq
+      .flatMap { case (t, f) =>
+        dfs.get(t) match {
+          case Some(df) if df > 0 && df >= p.minDocFreq && df <= p.maxDocFreq =>
+            Some((t, f * (math.log((n + 1).toDouble / (df + 1).toDouble) + 1.0)))
+          case _ => None
+        }
+      }
+      .sortBy { case (t, s) => (-math.floor(s * 10000d + 0.5d), t) }
+      .take(p.maxQueryTerms)
+  }
+
+  /** The MLT query: a plain SHOULD disjunction of the selected terms. */
+  def likeQuery(index: Index, content: String, p: Params = Params()): Query =
+    BoolQ(should = selectTerms(index, content, p).map { case (t, _) => TermQ(t) })
+}

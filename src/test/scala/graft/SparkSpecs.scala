@@ -109,6 +109,46 @@ class SearchDifferentialSpec extends SparkTest {
     }
   }
 
+  test("MoreLikeThis: thresholds, tf*idf ranking, and search == oracle") {
+    import graft.exec.MoreLikeThis
+    import graft.query.TermQ
+    val docs = inputDocs(2)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val withIds = docIdsOf(docs)
+    // deterministic source doc with enough repeated terms to select from
+    val (srcId, content) = withIds.find { case (_, c) =>
+      graft.analysis.CodeAnalyzer.tokenize(c)
+        .groupBy(_.term).count(_._2.length >= 2) >= 3
+    }.get
+    val p = MoreLikeThis.Params(minTermFreq = 2, minDocFreq = 5, maxQueryTerms = 8)
+    val sel = MoreLikeThis.selectTerms(index, content, p)
+    assert(sel.nonEmpty && sel.size <= 8)
+    val tf = graft.analysis.CodeAnalyzer.tokenize(content)
+      .groupBy(_.term).map { case (t, xs) => (t, xs.length) }
+    val docTerms = withIds.map { case (_, c) =>
+      graft.analysis.CodeAnalyzer.tokenize(c).map(_.term).toSet
+    }
+    sel.foreach { case (t, s) =>
+      assert(tf(t) >= p.minTermFreq, s"tf threshold violated for $t")
+      val df = docTerms.count(_.contains(t))
+      assert(df >= p.minDocFreq, s"df threshold violated for $t (df=$df)")
+      val expScore = tf(t) * (math.log((withIds.size + 1).toDouble / (df + 1).toDouble) + 1.0)
+      assert(math.abs(s - expScore) < 1e-9, s"score mismatch for $t")
+    }
+    // ranking: quantised scores non-increasing; ties broken term asc
+    val quant = sel.map { case (_, s) => math.floor(s * 10000d + 0.5d) }
+    assert(quant == quant.sortBy(-_))
+    // the formed query searches like any SHOULD disjunction
+    val q = MoreLikeThis.likeQuery(index, content, p)
+    val oracle = NaiveOracle.fromContents(withIds)
+    val expected = NaiveOracle.search(oracle,
+      BoolQ(should = sel.map { case (t, _) => TermQ(t) }), 10)
+    val got = Searcher.topKQ(index, q, 10).as[(Long, Float)].collect().toSeq
+    assert(got == expected)
+    // the reference MLT does not exclude the source doc: it must rank
+    assert(got.exists(_._1 == srcId))
+  }
+
   test("repeated-term sloppy phrases: rptGroups collision semantics == oracle") {
     import graft.query._
     // crafted corpus where repeat handling is decisive: a doc with fewer
