@@ -344,6 +344,43 @@ object Queries {
       ftScoredQ(q, 10)(spark, dir)
     }, Some(mltSql(42L, 2, 5, 10, 10)))),
 
+    // Monitor / percolator (monitor/Monitor.java:42): five standing
+    // queries (term / AND / phrase / prefix / absent-term) matched
+    // against the corpus in ONE batch kernel pass (Searcher.docsBatch);
+    // the absent-term query is Presearcher-pruned driver-side and
+    // contributes no rows
+    "monitor_percolate" -> (((spark, dir) => {
+      import spark.implicits._
+      import graft.streaming.Percolator
+      val (index, mapping) = Corpus.get(spark, dir)
+      val standing = Seq(
+        Percolator.Standing("sq_term", "merge"),
+        Percolator.Standing("sq_and", "fast AND table"),
+        Percolator.Standing("sq_phrase", "\"fast table\""),
+        Percolator.Standing("sq_prefix", "ident_17*"),
+        Percolator.Standing("sq_absent", "zzz_absent_term"))
+      Percolator.percolate(index, standing)
+        .join(mapping, "docId")
+        .select($"query_id", $"doc_id")
+        .orderBy($"query_id", $"doc_id")
+    }, Some(
+      s"""WITH $tokCte,
+         |$posCte,
+         |m AS (
+         |  SELECT 'sq_term' AS query_id, doc_id FROM tok WHERE term = 'merge' GROUP BY doc_id
+         |  UNION ALL
+         |  SELECT 'sq_and', doc_id FROM tok WHERE term IN ('fast','table')
+         |    GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |  UNION ALL
+         |  SELECT DISTINCT 'sq_phrase', a.doc_id FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |    WHERE a.term = 'fast' AND b.term = 'table'
+         |  UNION ALL
+         |  SELECT 'sq_prefix', doc_id FROM tok WHERE term LIKE 'ident!_17%' ESCAPE '!'
+         |    GROUP BY doc_id
+         |)
+         |SELECT query_id, doc_id FROM m ORDER BY query_id, doc_id""".stripMargin))),
+
     // OPEN Collector SPI (Collector/LeafCollector pair): a user-defined
     // per-segment stats collector — match count, integer-quantised score
     // sum (order-independent, so the cross-engine compare is exact), and

@@ -809,6 +809,39 @@ object Searcher {
     }
   }
 
+  /** BATCH all-matching-docs: many queries' full match sets in ONE
+    * postings scan + ONE kernel pass per segment — the percolation shape
+    * (Monitor: a doc batch matched against N standing queries,
+    * `monitor/src/java/org/apache/lucene/monitor/Monitor.java:42`). The
+    * scan predicate is the union of every query's terms and wide
+    * patterns; queries that cannot match on this index (absent terms —
+    * the Presearcher-style prune) are planned away driver-side and
+    * contribute no rows. Returns (qid, docId).
+    */
+  def docsBatch(index: Index, queries: Seq[(String, Query)]): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val planned: Seq[(String, Plan)] = queries.distinctBy(_._1).flatMap { case (qid, q0) =>
+      plan(index, q0, doubleMode = true, scoring = false).map(qid -> _)
+    }
+    if (planned.isEmpty)
+      return Seq.empty[(String, Long)].toDF("qid", "docId")
+    val allTerms = planned.flatMap(_._2.terms).toSet
+    val allWide = planned.flatMap(_._2.wide).distinct
+    val live = index.live
+    val ftok = index.filterCacheToken
+    val shipped: Seq[(String, Query, Scorers)] =
+      planned.map { case (qid, p) => (qid, p.query, p.scorers) }
+    perSegment(index, allTerms, wide = allWide) { (seg, rows) =>
+      val byTerm = concatByTerm(rows)
+      val del = live.deleted(seg)
+      shipped.iterator.flatMap { case (qid, q, scorers) =>
+        SegmentKernel.docs(q, byTerm, scorers, del, seg, cacheToken = ftok)
+          .iterator.map(d => (qid, d))
+      }
+    }.toDF("qid", "docId")
+  }
+
   private def emptyResult(spark: SparkSession, doubleMode: Boolean): DataFrame = {
     import spark.implicits._
     val df = Seq.empty[ScoredDocD].toDF()
