@@ -984,6 +984,47 @@ object Queries {
          |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
          |WHERE a.term IN ('fast', 'slow') AND b.term = 'table' ORDER BY 1""".stripMargin))),
 
+    // Interval query (`queries/intervals/IntervalQuery.java:59`):
+    // ordered(merge, stream) under minimal-interval semantics, scored by
+    // the saturation function 1 - pivot/(pivot + freq) with freq = sum
+    // over canonical minimal intervals of 1/max(width - minExtent + 1, 1).
+    // For an ordered pair of distinct terms the canonical list is exactly
+    // the (max a-pos before each b-pos) pairs minus contained ones.
+    "ft_interval_topk" -> ((ftScoredQ(graft.query.IntervalQ(graft.query.IOrderedS(Seq(
+      graft.query.ITermS("merge"), graft.query.ITermS("stream")))), 10), Some(
+      s"""WITH $posCte,
+         |a AS (SELECT doc_id, p FROM pos WHERE term = 'merge'),
+         |b AS (SELECT doc_id, p FROM pos WHERE term = 'stream'),
+         |pairs AS (SELECT b.doc_id, max(a.p) AS s, b.p AS e
+         |          FROM b JOIN a ON a.doc_id = b.doc_id AND a.p < b.p
+         |          GROUP BY b.doc_id, b.p),
+         |mini AS (SELECT p1.doc_id, p1.s, p1.e FROM pairs p1
+         |         WHERE NOT EXISTS (SELECT 1 FROM pairs p2
+         |           WHERE p2.doc_id = p1.doc_id AND p2.s >= p1.s AND p2.e <= p1.e
+         |             AND (p2.s > p1.s OR p2.e < p1.e))),
+         |sc AS (SELECT doc_id, 1.0 - 1.0/(1.0 + sum(1.0/(e - s))) AS s
+         |       FROM mini GROUP BY doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
+    // Interval width/gap constraint (`Intervals.maxgaps` over unordered):
+    // a doc matches iff some minimal interval survives the gaps filter —
+    // for an unordered pair of distinct terms, iff any two occurrences
+    // sit within gaps+1 positions of each other
+    "ft_interval_maxgaps_count" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, _) = Corpus.get(spark, dir)
+      Seq(Searcher.countQ(index, graft.query.IntervalQ(graft.query.IMaxGapsS(4,
+        graft.query.IUnorderedS(Seq(
+          graft.query.ITermS("fast"), graft.query.ITermS("table"))))))).toDF("n")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT CAST(count(*) AS BIGINT) AS n FROM (
+         |  SELECT DISTINCT a.doc_id FROM pos a JOIN pos b
+         |    ON a.doc_id = b.doc_id AND b.term = 'table' AND abs(a.p - b.p) <= 5
+         |  WHERE a.term = 'fast')""".stripMargin))),
+
     // FeatureQuery / static score (FeatureField.java:105): matching docs
     // ranked purely by an indexed per-doc feature, score = ln(1 + n_chars/100)
     "ft_feature_topk" -> (((spark, dir) => {

@@ -51,6 +51,27 @@ object Kernel {
     def globalMax: Double = s.globalMaxScore
   }
 
+  /** Saturation score over an interval pseudo-freq — similarity-free
+    * (`intervals/IntervalScoreFunction.java:72`: weight * (1 - pivot /
+    * (pivot + freq)); weight applied externally via BoostQ). Float mode
+    * mirrors the reference's float arithmetic; double mode feeds the
+    * oracle-comparable pipeline. Bounded by 1 (freq -> inf limit).
+    */
+  final case class SaturationScorerF(pivot: Float) extends AnyScorer {
+    def score(freq: Int, norm: Byte): Double = scoreF(freq.toDouble, norm)
+    def scoreF(freq: Double, norm: Byte): Double =
+      (1.0f - pivot / (pivot + freq.toFloat)).toDouble
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = 1d
+    def globalMax: Double = 1d
+  }
+  final case class SaturationScorerD(pivot: Float) extends AnyScorer {
+    def score(freq: Int, norm: Byte): Double = scoreF(freq.toDouble, norm)
+    def scoreF(freq: Double, norm: Byte): Double =
+      1.0d - pivot.toDouble / (pivot.toDouble + freq)
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = 1d
+    def globalMax: Double = 1d
+  }
+
   // ---- top-k heap ---------------------------------------------------------
 
   /** Bounded min-heap with the reference tie-break (HitQueue.java:76-82):
@@ -722,6 +743,44 @@ object Kernel {
     def nextDoc(): Long = seek(conj.nextDoc())
     def advance(target: Long): Long = seek(conj.advance(target))
     def score(): Double = scorer.scoreF(sloppyFreq, terms(0).norm)
+  }
+
+  /** Interval query cursor (`intervals/IntervalQuery.java:59`):
+    * conjunction approximation over the source's leaf terms, two-phase
+    * verified per doc by the canonical minimal-interval evaluation
+    * ([[IntervalEval]]); scored by the saturation scorer over the
+    * interval pseudo-frequency (`IntervalScorer.java:60-67`).
+    */
+  final class IntervalCursor(termNames: Array[String], terms: Array[TermCursor],
+      src: graft.query.ISrc, scorer: AnyScorer)
+      extends DocCursor {
+    private val conj = new ConjunctionCursor(terms.map(x => x: DocCursor))
+    var doc: Long = -1
+    private var freqD: Double = 0d
+    val maxScoreBound: Double = scorer.globalMax
+
+    private def computeFreq(): Double = {
+      val posOf: String => Array[Int] = { t =>
+        var i = 0
+        while (i < termNames.length && termNames(i) != t) i += 1
+        if (i < termNames.length) terms(i).positions else Array.emptyIntArray
+      }
+      IntervalEval.freq(src, posOf)
+    }
+
+    private def seek(start: Long): Long = {
+      var d = start
+      while (d != NoMoreDocs) {
+        freqD = computeFreq()
+        if (freqD > 0d) { doc = d; return d }
+        d = conj.nextDoc()
+      }
+      doc = NoMoreDocs
+      doc
+    }
+    def nextDoc(): Long = seek(conj.nextDoc())
+    def advance(target: Long): Long = seek(conj.advance(target))
+    def score(): Double = scorer.scoreF(freqD, 0)
   }
 
   /** Phrase with per-slot alternatives —

@@ -34,7 +34,8 @@ object Searcher {
       phrase: Map[Seq[String], Kernel.AnyScorer],
       synonym: Map[Seq[String], Kernel.AnyScorer],
       boosted: Map[BoostTermQ, Kernel.AnyScorer],
-      combined: Map[CombinedFieldQ, Kernel.AnyScorer] = Map.empty
+      combined: Map[CombinedFieldQ, Kernel.AnyScorer] = Map.empty,
+      interval: Map[IntervalQ, Kernel.AnyScorer] = Map.empty
   ) extends Serializable
 
   /** Dictionary view for expansions, scoped to ONE field's namespace:
@@ -511,7 +512,10 @@ object Searcher {
         if (b.df >= 0L) b.df else statsMap.get(b.term).map(_.df).getOrElse(0L),
         b.boost, b.boostD,
         field = graft.build.IndexBuilder.fieldOf(b.term))).toMap,
-      cfs.map(cf => cf -> combinedScorer(cf)).toMap
+      cfs.map(cf => cf -> combinedScorer(cf)).toMap,
+      Query.intervalQs(query).map(iq => iq -> (
+        if (doubleMode) Kernel.SaturationScorerD(iq.pivot)
+        else Kernel.SaturationScorerF(iq.pivot): Kernel.AnyScorer)).toMap
     )
     Some(Plan(query, scorers, terms ++ normsScanTerms, wide))
   }
@@ -1150,6 +1154,13 @@ object SegmentKernel {
       if (cs.exists(_.isEmpty)) None
       else if (slop <= 0) Some(new PhraseCursor(cs.flatten.toArray, scorers.phrase(ts)))
       else Some(new SloppyPhraseCursor(cs.flatten.toArray, slop, scorers.phrase(ts)))
+    case iq @ IntervalQ(src, _) =>
+      val ts = src.leafTerms.toSeq.sorted
+      val cs = ts.map(t => byTerm.get(t).map(pl =>
+        new TermCursor(pl, scorers.term(t), needPositions = true)))
+      if (cs.exists(_.isEmpty)) None
+      else Some(new IntervalCursor(ts.toArray, cs.flatten.toArray, src,
+        scorers.interval(iq)))
     case SynonymQ(ts) =>
       val cs = ts.flatMap(t => byTerm.get(t).map(pl => new TermCursor(pl, scorers.term(t))))
       if (cs.isEmpty) None

@@ -164,6 +164,72 @@ final case class BoostQ(inner: Query, boost: Float) extends Query
   */
 final case class DocSetQ(docIds: Seq[Long]) extends Query
 
+/** Interval source algebra — minimal-interval semantics over positions
+  * (`lucene/queries/src/java/org/apache/lucene/queries/intervals/`,
+  * `Intervals.java`): each source yields, per doc, its CANONICAL set of
+  * minimal intervals (no interval of the set properly contains another),
+  * composed from children's canonical sets exactly as the reference
+  * composes its lazy iterators. `gaps` follows the iterator contract:
+  * interval width minus the sum of the constituent child widths
+  * (`OrderedIntervalsSource.java:168-171`,
+  * `UnorderedIntervalsSource.java:157-160`).
+  */
+sealed trait ISrc {
+  /** `IntervalsSource.minExtent` — the minimum possible interval width. */
+  def minExtent: Int
+  def leafTerms: Set[String]
+}
+final case class ITermS(term: String) extends ISrc {
+  def minExtent = 1
+  def leafTerms: Set[String] = Set(term)
+}
+/** `Intervals.ordered`: children appear in order, strictly disjoint
+  * (prev.end < next.start). Adjacent duplicate children (the reference's
+  * RepeatingIntervalsSource rewrite) are not supported.
+  */
+final case class IOrderedS(subs: Seq[ISrc]) extends ISrc {
+  def minExtent: Int = subs.map(_.minExtent).sum
+  def leafTerms: Set[String] = subs.flatMap(_.leafTerms).toSet
+}
+/** `Intervals.unordered` (overlaps allowed): children appear in any
+  * order; the interval spans min start .. max end.
+  */
+final case class IUnorderedS(subs: Seq[ISrc]) extends ISrc {
+  def minExtent: Int = subs.map(_.minExtent).sum
+  def leafTerms: Set[String] = subs.flatMap(_.leafTerms).toSet
+}
+/** `Intervals.maxgaps`: keep intervals whose gaps() <= gaps. */
+final case class IMaxGapsS(gaps: Int, sub: ISrc) extends ISrc {
+  def minExtent: Int = sub.minExtent
+  def leafTerms: Set[String] = sub.leafTerms
+}
+/** `Intervals.maxwidth`: keep intervals with end-start+1 <= width. */
+final case class IMaxWidthS(width: Int, sub: ISrc) extends ISrc {
+  def minExtent: Int = sub.minExtent
+  def leafTerms: Set[String] = sub.leafTerms
+}
+/** `Intervals.containing`: big's intervals that contain a small interval. */
+final case class IContainingS(big: ISrc, small: ISrc) extends ISrc {
+  def minExtent: Int = big.minExtent // ContainingIntervalsSource.java:69
+  def leafTerms: Set[String] = big.leafTerms ++ small.leafTerms
+}
+/** `Intervals.containedBy`: small's intervals inside a big interval. */
+final case class IContainedByS(small: ISrc, big: ISrc) extends ISrc {
+  def minExtent: Int = small.minExtent // ContainedByIntervalsSource.java:78
+  def leafTerms: Set[String] = small.leafTerms ++ big.leafTerms
+}
+
+/** Interval query (`intervals/IntervalQuery.java:59`): matches docs
+  * where the source yields at least one interval; scored by the
+  * saturation function over the interval pseudo-frequency
+  * (`IntervalScorer.java:60-67`: freq = sum over minimal intervals of
+  * 1/max(length - minExtent + 1, 1);
+  * `IntervalScoreFunction.java`: score = boost * (1 - pivot/(pivot+freq))).
+  * All leaf terms are required (conjunction approximation), like the
+  * reference's ConjunctionIntervalsSource.
+  */
+final case class IntervalQ(src: ISrc, pivot: Float = 1f) extends Query
+
 /** Boolean query. `filter` clauses are required but contribute NO score —
   * `Occur.FILTER` (`core/search/BooleanQuery.java:40`; non-scoring
   * execution via the ConstantScore wrap of the rewrite, `:300-317`).
@@ -362,6 +428,7 @@ object Query {
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(slots) => slots.flatten.toSet
     case SynonymQ(ts) => ts.toSet
+    case IntervalQ(src, _) => src.leafTerms
     case BoolQ(m, s, n, _, f) => (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case ConstScoreQ(inner, _) => literalTerms(inner)
@@ -392,6 +459,9 @@ object Query {
 
   /** Fuzzy queries (blended rewrite — separate expansion product). */
   def fuzzies(q: Query): Set[FuzzyQ] = collect[FuzzyQ](q) { case f: FuzzyQ => Set(f) }
+
+  def intervalQs(q: Query): Set[IntervalQ] =
+    collect[IntervalQ](q) { case iq: IntervalQ => Set(iq) }
 
   /** Weighted-BM25F nodes (need per-field stats + norms sidecars). */
   def combinedFields(q: Query): Set[CombinedFieldQ] =

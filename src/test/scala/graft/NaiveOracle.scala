@@ -125,6 +125,64 @@ object NaiveOracle {
     freq
   }
 
+  /** Brute-force minimal-interval evaluation — EXHAUSTIVE cartesian
+    * composition over children's canonical lists followed by a
+    * containment filter, vs the engine's greedy sweeps
+    * ([[graft.exec.IntervalEval]]). Returns (start, end, gaps) in start
+    * order. For equal (start, end) candidates from distinct witnesses the
+    * minimum gaps is kept — identical to the greedy witness whenever the
+    * combinator's children are term-leaf sources (width 1 each), which is
+    * the only shape the random generator puts directly under maxgaps.
+    */
+  def intervalIvs(src: ISrc, pos: String => Array[Int]): Vector[(Int, Int, Int)] = {
+    def canon(cands: Seq[(Int, Int, Int)]): Vector[(Int, Int, Int)] = {
+      val ds = cands.groupBy(c => (c._1, c._2)).map { case (_, xs) => xs.minBy(_._3) }.toVector
+      ds.filter(c => !ds.exists(o =>
+          o._1 >= c._1 && o._2 <= c._2 && (o._1 > c._1 || o._2 < c._2)))
+        .sortBy(_._1)
+    }
+    def width(iv: (Int, Int, Int)): Int = iv._2 - iv._1 + 1
+    src match {
+      case ITermS(t) => pos(t).toVector.map(p => (p, p, 0))
+      case IOrderedS(subs) =>
+        val ls = subs.map(intervalIvs(_, pos))
+        if (ls.exists(_.isEmpty)) Vector.empty
+        else canon(ls.foldLeft(Seq(Seq.empty[(Int, Int, Int)])) { (acc, l) =>
+          acc.flatMap(pre => l.filter(iv => pre.isEmpty || pre.last._2 < iv._1).map(pre :+ _))
+        }.map { tup =>
+          val s = tup.head._1; val e = tup.last._2
+          (s, e, (e - s + 1) - tup.map(width).sum)
+        })
+      case IUnorderedS(subs) =>
+        val ls = subs.map(intervalIvs(_, pos))
+        if (ls.exists(_.isEmpty)) Vector.empty
+        else canon(ls.foldLeft(Seq(Seq.empty[(Int, Int, Int)])) { (acc, l) =>
+          acc.flatMap(pre => l.map(pre :+ _))
+        }.map { tup =>
+          val s = tup.map(_._1).min; val e = tup.map(_._2).max
+          (s, e, (e - s + 1) - tup.map(width).sum)
+        })
+      case IMaxGapsS(g, sub) => intervalIvs(sub, pos).filter(_._3 <= g)
+      case IMaxWidthS(w, sub) => intervalIvs(sub, pos).filter(iv => width(iv) <= w)
+      case IContainingS(big, small) =>
+        val ss = intervalIvs(small, pos)
+        intervalIvs(big, pos).filter(b => ss.exists(s => b._1 <= s._1 && b._2 >= s._2))
+      case IContainedByS(small, big) =>
+        val bs = intervalIvs(big, pos)
+        intervalIvs(small, pos).filter(s => bs.exists(b => b._1 <= s._1 && b._2 >= s._2))
+    }
+  }
+
+  /** Interval pseudo-frequency over the brute-force canonical list
+    * (`IntervalScorer.java:60-67`).
+    */
+  def intervalFreq(src: ISrc, pos: String => Array[Int]): Double = {
+    val me = src.minExtent
+    intervalIvs(src, pos).foldLeft(0d) { (f, iv) =>
+      f + 1d / math.max((iv._2 - iv._1 + 1) - me + 1, 1)
+    }
+  }
+
   def search(docs: Seq[Doc], q0: Query, k: Int): Seq[(Long, Float)] =
     search(docs, q0, k, scoring = true)
 
@@ -306,6 +364,12 @@ object NaiveOracle {
           Some(BM25.termScorer(TermStats("", dfMax, 0L), fsOf(ts.head))
             .score(f, d.normOf(ts.head)).toDouble)
         }
+      case IntervalQ(src, pivot) =>
+        // saturation over the interval pseudo-freq, float arithmetic
+        // mirroring SaturationScorerF (`IntervalScoreFunction.java:72`)
+        val f = intervalFreq(src, t => d.positions.getOrElse(t, Array.empty[Int]))
+        if (f <= 0d) None
+        else Some((1.0f - pivot / (pivot + f.toFloat)).toDouble)
       case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
         None // expanded above
       case ConstScoreQ(inner, boost) =>

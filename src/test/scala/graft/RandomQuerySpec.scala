@@ -29,7 +29,7 @@ class RandomQuerySpec extends SparkTest {
     val pathVocab = Seq("@path:d3", "@path:d5", "@path:x", "@path:f7_7",
       "@path:f11_astq", "@path:zzz_nothere")
     if (depth == 0) term()
-    else rnd.nextInt(15) match {
+    else rnd.nextInt(16) match {
       case 0 => term()
       case 1 => PhraseQ(Seq.fill(1 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length))))
       case 2 => PrefixQ(Seq("ident_1", "camel", "nee", "zzz")(rnd.nextInt(4)))
@@ -75,6 +75,20 @@ class RandomQuerySpec extends SparkTest {
         case _ => BlendedTermQ(distinctTerms(2 + rnd.nextInt(2)),
           if (rnd.nextBoolean()) Seq(1f, 2f, 1.5f) else Nil)
       }
+      // interval query: ordered/unordered over 2-3 distinct terms with an
+      // optional maxgaps/maxwidth/containedBy wrapper (saturation-scored)
+      case 14 =>
+        val leaves = distinctTerms(2 + rnd.nextInt(2)).map(t => ITermS(t): ISrc)
+        val base: ISrc =
+          if (rnd.nextBoolean()) IOrderedS(leaves) else IUnorderedS(leaves)
+        val src = rnd.nextInt(4) match {
+          case 0 => base
+          case 1 => IMaxGapsS(rnd.nextInt(5), base)
+          case 2 => IMaxWidthS(2 + rnd.nextInt(8), base)
+          case _ => IContainedByS(ITermS(vocab(rnd.nextInt(vocab.length))),
+            IMaxWidthS(6 + rnd.nextInt(10), base))
+        }
+        IntervalQ(src, pivot = Seq(1f, 0.5f)(rnd.nextInt(2)))
       case _ =>
         val must = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
         val should = Seq.fill(rnd.nextInt(3))(randomQuery(rnd, depth - 1))
@@ -105,9 +119,9 @@ class RandomQuerySpec extends SparkTest {
           }
         })
       // fixed default seed for reproducibility; GRAFT_SEED/GRAFT_DEPTH
-      // override for fuzzing sweeps (r4: seeds 777/31337/555001 at depth 2
-      // and 90210/13/424243 at depth 3 verified green; earlier rounds
-      // 777/1001/31337/999983)
+      // override for fuzzing sweeps (r5 generator adds interval shapes —
+      // seeds 777/31337 at depth 2 and 90210/13 at depth 3 verified green
+      // against the widened generator; earlier-round seed notes predate it)
       val rnd = new scala.util.Random(sys.env.getOrElse("GRAFT_SEED", "4242").toInt + numSegments)
       val depth = sys.env.getOrElse("GRAFT_DEPTH", "2").toInt
       (1 to 60).foreach { i =>
