@@ -274,6 +274,11 @@ object IndexBuilder {
     case "shingle" => CodeAnalyzer.shingleTokenize(text)
     case "ngram" => CodeAnalyzer.ngramTokenize(text)
     case "fold" => CodeAnalyzer.tokenize(CodeAnalyzer.foldAscii(text))
+    // stemming filters (1:1 on tokens: positions and field length keep)
+    case "porter" => CodeAnalyzer.tokenize(text).map(t =>
+      t.copy(term = graft.analysis.Stemmer.porter(t.term)))
+    case "enmin" => CodeAnalyzer.tokenize(text).map(t =>
+      t.copy(term = graft.analysis.Stemmer.englishMinimal(t.term)))
     case _ => CodeAnalyzer.tokenize(text)
   }
 

@@ -82,6 +82,30 @@ object Corpus {
       build(spark, spark.read.parquet(s"$dir/documents.parquet"), "ngram")
     }
 
+  /** Porter-stemmed variant (`ft_porter_topk`): std tokens through the
+    * classic Porter algorithm ([[graft.analysis.Stemmer.porter]]).
+    */
+  def getPorter(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"porter:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "porter")
+    }
+
+  /** Minimal-English-stemmed variant (`ft_stem_topk`) over a pluralized
+    * derivation of the documents table: every standalone `stream` becomes
+    * `streams` (a deterministic transformation, like [[getSubtoken]]'s),
+    * and the s-stemmer restores the ORIGINAL token stream exactly — so
+    * the DuckDB oracle is the plain BM25 SQL over the underived table,
+    * and a hash match proves the stemmer actually applied (unstemmed,
+    * `stream` would match nothing).
+    */
+  def getStemmed(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"enmin:$dir") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", regexp_replace($"text", "\\bstream\\b", "streams"))
+      build(spark, docs, "enmin")
+    }
+
   private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
 

@@ -147,6 +147,8 @@ object Queries {
       case "shingle" => Corpus.getShingled(spark, dir)
       case "ngram" => Corpus.getNgram(spark, dir)
       case "vbyte" => Corpus.getVByte(spark, dir)
+      case "porter" => Corpus.getPorter(spark, dir)
+      case "enmin" => Corpus.getStemmed(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
     spark.createDataset(topRoundedHits(index, q0, k, sim).toSeq).toDF("docId", "score")
@@ -621,6 +623,28 @@ object Queries {
       ftScoredQ(graft.query.BoolQ(must = Seq(
         graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, variant = "sub")(spark, dir)
     }, Some(bm25Sql(Seq("agg", "window"), requireAll = true, 10)))),
+
+    // Porter-stemmed index (PorterStemFilter.java:51): querying the STEMS
+    // (query -> queri, merge -> merg) must reproduce the unstemmed BM25
+    // result for the source terms — stemming is 1:1 here (no conflation
+    // on this vocabulary), so df/tf/norms carry over exactly; a match at
+    // all proves the stemmer ran (the stems exist only post-Porter)
+    "ft_porter_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("queri"), graft.query.TermQ("merg"))), 10,
+        variant = "porter")(spark, dir)
+    }, Some(bm25Sql(Seq("query", "merge"), requireAll = true, 10)))),
+
+    // Minimal English s-stemmer (EnglishMinimalStemFilter.java) over the
+    // pluralized derivation (see Corpus.getStemmed): stemming restores
+    // the original token stream, so the plain BM25 oracle applies — and
+    // `stream` can only match through the stemmer (the derived text
+    // contains only `streams`)
+    "ft_stem_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("stream"), graft.query.TermQ("merge"))), 10,
+        variant = "enmin")(spark, dir)
+    }, Some(bm25Sql(Seq("stream", "merge"), requireAll = true, 10)))),
 
     // sloppy phrase (slop=1): docs where `fast` is followed by `table`
     // within one displacement (SloppyPhraseMatcher.java:54); docs-only —
