@@ -624,6 +624,36 @@ object Queries {
         graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, variant = "sub")(spark, dir)
     }, Some(bm25Sql(Seq("agg", "window"), requireAll = true, 10)))),
 
+    // CommonTermsQuery (queries/CommonTermsQuery.java): df-split at 0.4 —
+    // `dup` (~5% of docs) is the required low-frequency gate, the ~78%-df
+    // terms score optionally; total score = BM25 sum over present query
+    // terms, match condition = at least one low-frequency term present.
+    // The oracle recomputes the SAME df split from data, so a silent
+    // split divergence (not just a score bug) fails the hash.
+    "common_terms_topk" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      ftScoredQ(graft.exec.CommonTerms.form(index,
+        Seq("the", "a", "merge", "dup"), maxTermFrequency = 0.4), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('the', 'a', 'merge', 'dup') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |lowt AS (SELECT df.term FROM df, st WHERE df.df <= 0.4 * st.n),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id
+         |       HAVING max(CASE WHEN tf.term IN (SELECT term FROM lowt) THEN 1 ELSE 0 END) = 1)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // Porter-stemmed index (PorterStemFilter.java:51): querying the STEMS
     // (query -> queri, merge -> merg) must reproduce the unstemmed BM25
     // result for the source terms — stemming is 1:1 here (no conflation
@@ -2414,6 +2444,8 @@ object Queries {
       step("idx_shingle") { force(Corpus.getShingled(spark, dir)) },
       step("idx_ngram") { force(Corpus.getNgram(spark, dir)) },
       step("idx_vbyte") { force(Corpus.getVByte(spark, dir)) },
+      step("idx_porter") { force(Corpus.getPorter(spark, dir)) },
+      step("idx_enmin") { force(Corpus.getStemmed(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() }
