@@ -624,6 +624,30 @@ object Queries {
         graft.query.TermQ("agg"), graft.query.TermQ("window"))), 10, variant = "sub")(spark, dir)
     }, Some(bm25Sql(Seq("agg", "window"), requireAll = true, 10)))),
 
+    // LiveFieldValues (core/search/LiveFieldValues.java): read-your-writes
+    // field cache in front of the index — pending writes win over the
+    // table, a pending delete masks it, a write after refresh-start wins
+    // over the rolled OLD buffer, untouched ids fall through to a
+    // point-read with a pushed doc_id predicate
+    "live_field_values" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val lookup: String => Option[Long] = id =>
+        docs.filter($"doc_id" === id.toLong).select($"n_chars")
+          .as[Long].collect().headOption
+      val lfv = new graft.streaming.LiveFieldValues[Long](lookup)
+      (1L to 5L).foreach(i => lfv.add(i.toString, i * 1000L))
+      lfv.delete("6")
+      lfv.beforeRefresh()
+      lfv.add("2", 2222L)
+      (1L to 8L).map(i => (i, lfv.get(i.toString).getOrElse(-1L)))
+        .toDF("doc_id", "value").orderBy($"doc_id")
+    }, Some(
+      """SELECT doc_id, CAST(CASE WHEN doc_id = 2 THEN 2222
+        |  WHEN doc_id <= 5 THEN doc_id * 1000
+        |  WHEN doc_id = 6 THEN -1 ELSE n_chars END AS BIGINT) AS value
+        |FROM documents WHERE doc_id BETWEEN 1 AND 8 ORDER BY doc_id""".stripMargin))),
+
     // CommonTermsQuery (queries/CommonTermsQuery.java): df-split at 0.4 —
     // `dup` (~5% of docs) is the required low-frequency gate, the ~78%-df
     // terms score optionally; total score = BM25 sum over present query

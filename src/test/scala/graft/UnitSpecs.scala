@@ -522,3 +522,45 @@ class MaxScoreSpec extends AnyFunSuite {
     (1 to 20).foreach(s => run(s * 7919))
   }
 }
+
+/** LiveFieldValues double-buffer protocol (`core/search/LiveFieldValues
+  * .java`): pending writes and deletes mask the fallthrough, refresh
+  * start rolls current to old without losing visibility, refresh end
+  * hands ids back to the (now-refreshed) lookup.
+  */
+class LiveFieldValuesSpec extends AnyFunSuite {
+  test("read-your-writes across the refresh cycle") {
+    var store = Map("a" -> 1, "b" -> 2, "c" -> 3)
+    val lfv = new graft.streaming.LiveFieldValues[Int](id => store.get(id))
+    // pending write/delete win over the store
+    lfv.add("a", 10)
+    lfv.delete("b")
+    assert(lfv.get("a").contains(10))
+    assert(lfv.get("b").isEmpty)
+    assert(lfv.get("c").contains(3)) // untouched -> fallthrough
+    assert(lfv.pending == 2)
+
+    // refresh starts: snapshot will contain a=10 and the b delete
+    lfv.beforeRefresh()
+    assert(lfv.get("a").contains(10), "old buffer still serves during refresh")
+    assert(lfv.get("b").isEmpty)
+    // a write DURING the refresh lands in the new current and wins
+    lfv.add("a", 100)
+    assert(lfv.get("a").contains(100))
+
+    // refresh done: the store now reflects the snapshot; old drops
+    store = Map("a" -> 10, "c" -> 3)
+    lfv.afterRefresh()
+    assert(lfv.get("a").contains(100), "during-refresh write still pending")
+    assert(lfv.get("b").isEmpty, "store lost b via the applied delete")
+    assert(lfv.get("c").contains(3))
+    assert(lfv.pending == 1)
+
+    // second cycle flushes the last write
+    lfv.beforeRefresh()
+    store = Map("a" -> 100, "c" -> 3)
+    lfv.afterRefresh()
+    assert(lfv.get("a").contains(10 + 90))
+    assert(lfv.pending == 0)
+  }
+}
