@@ -119,6 +119,58 @@ object Cli {
           val hits = Searcher.topK(index, q, k.toInt).collect()
           println(s"query [$q] @snapshot $snapId -> ${hits.length} hits")
           hits.foreach(r => println(f"  doc=${r.getLong(0)} score=${r.getFloat(1)}%.4f"))
+        case "spell" :: dir :: k :: term :: Nil =>
+          // DirectSpellChecker analogue: "did you mean" from the dictionary
+          val index = IndexBuilder.open(spark, dir)
+          val sugs = graft.exec.Suggest.didYouMean(index, term, k.toInt).collect()
+          if (sugs.isEmpty) println(s"spell [$term]: no suggestions")
+          else sugs.foreach(r => println(
+            f"  ${r.getString(0)}%-24s score=${r.getDouble(1)}%.4f df=${r.getLong(2)}"))
+        case "suggest" :: dir :: mode :: k :: input :: Nil =>
+          // completion surfaces: prefix | infix | fuzzy
+          val index = IndexBuilder.open(spark, dir)
+          val rows = (mode match {
+            case "infix" => graft.exec.Suggest.completeInfix(index, input, k.toInt)
+            case "fuzzy" => graft.exec.Suggest.completeFuzzy(index, input, k.toInt)
+            case _ => graft.exec.Suggest.completePrefix(index, input, k.toInt)
+          }).collect()
+          rows.foreach(r => println(f"  ${r.getString(0)}%-24s weight=${r.getLong(1)}"))
+        case "highlight" :: dir :: docsParquet :: k :: qparts if qparts.nonEmpty =>
+          // top-k + best passage per hit (UnifiedHighlighter surface).
+          // Snippets need the stored text, which lives in the SOURCE
+          // table (the index stores postings, not raw content) — pass
+          // the parquet the index was built from (text or content col)
+          val index = IndexBuilder.open(spark, dir)
+          val q = qparts.mkString(" ")
+          val parsed = graft.query.QueryParser.parse(q)
+          val terms = graft.query.Query.positiveTerms(parsed)
+          val hits = Searcher.topKQ(index, parsed, k.toInt).collect()
+          val src = spark.read.parquet(docsParquet)
+          val textCol = if (src.columns.contains("text")) "text" else "content"
+          val idCol = if (src.columns.contains("doc_id")) "doc_id" else src.columns.head
+          // index docIds are (seg<<shift)|ord — resolve to source ids via
+          // docmeta.commit, which the build contract fills with the
+          // source row id (see Corpus/SourceReader)
+          val wanted = hits.map(_.getLong(0)).toSet
+          import spark.implicits._
+          val idOf = index.docmeta.filter($"docId".isin(wanted.toSeq.map(Long.box): _*))
+            .select($"docId", $"commit").as[(Long, String)].collect().toMap
+          val srcIds = idOf.values.toSet
+          val byId = src.filter(org.apache.spark.sql.functions.col(idCol).cast("string")
+              .isin(srcIds.toSeq: _*))
+            .select(org.apache.spark.sql.functions.col(idCol).cast("string"),
+              org.apache.spark.sql.functions.col(textCol))
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val texts: Map[Long, String] =
+            idOf.flatMap { case (d, c) => byId.get(c).map(d -> _) }
+          println(s"query [$q] -> ${hits.length} hits")
+          hits.foreach { r =>
+            val id = r.getLong(0)
+            val snip = texts.get(id)
+              .flatMap(t => graft.exec.Highlighter.bestPassage(t, terms))
+              .map(p => s"...${p.snippet}...").getOrElse("(no stored text)")
+            println(f"  doc=$id score=${r.getFloat(1)}%.4f  $snip")
+          }
         case "check" :: dir :: Nil =>
           // CheckIndex analogue: structural invariants over the whole index
           val violations = graft.build.CheckIndex.run(IndexBuilder.open(spark, dir))

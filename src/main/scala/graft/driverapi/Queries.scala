@@ -2430,7 +2430,258 @@ object Queries {
         |FROM documents ORDER BY doc_id""".stripMargin)))
   )
 
-  val all: Map[String, (QFn, Option[String])] = fulltext ++ relational ++ pipeline
+  // ============================================================
+  // §D suggest / spell / highlight / expressions / classification
+  // (the reference's suggest, highlighter, expressions and
+  // classification modules re-expressed over the term dictionary and
+  // doc-values columns — see exec/Suggest.scala, exec/Highlighter.scala)
+  // ============================================================
+
+  val suggestHl: Map[String, (QFn, Option[String])] = Map(
+    // DirectSpellChecker "did you mean": 'spak' is absent from the corpus
+    // vocabulary; candidates drawn from the dictionary with first char
+    // held exact, suffix Damerau <= 2, similarity >= 0.5, ranked
+    // score desc / df desc / term asc (SuggestWordScoreComparator)
+    "spell_did_you_mean" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.didYouMean(index, "spak", 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |cand AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |                damerau_levenshtein(substr(term, 2), 'pak') AS ed
+         |         FROM tok WHERE substr(term, 1, 1) = 's'
+         |           AND abs(length(term) - 4) <= 2 AND term != 'spak'
+         |         GROUP BY term
+         |         HAVING ed > 0 AND ed <= 2
+         |            AND 1.0 - ed/CAST(least(length(term), 4) AS DOUBLE) >= 0.5)
+         |SELECT term,
+         |       floor((1.0 - ed/CAST(least(length(term), 4) AS DOUBLE)) * 10000 + 0.5)/10000 AS score,
+         |       df
+         |FROM cand ORDER BY score DESC, df DESC, term LIMIT 5""".stripMargin))),
+
+    // AnalyzingSuggester surface: weight-ordered prefix completion,
+    // weight = corpus ttf (the DocumentDictionary analogue)
+    "suggest_prefix_topk" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.completePrefix(index, "s", 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |w AS (SELECT term, CAST(count(*) AS BIGINT) AS weight FROM tok
+         |      WHERE term LIKE 's%' GROUP BY term)
+         |SELECT term, weight FROM w ORDER BY weight DESC, term LIMIT 5""".stripMargin))),
+
+    // AnalyzingInfixSuggester surface: containment completion
+    "suggest_infix_topk" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.completeInfix(index, "ar", 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |w AS (SELECT term, CAST(count(*) AS BIGINT) AS weight FROM tok
+         |      WHERE term LIKE '%ar%' GROUP BY term)
+         |SELECT term, weight FROM w ORDER BY weight DESC, term LIMIT 5""".stripMargin))),
+
+    // FuzzySuggester surface: a term completes 'sta' if some prefix of it
+    // is within 1 edit (first char exact) — 'stream', 'scan', 'small',
+    // 'spark' all qualify on the fixture vocabulary
+    "suggest_fuzzy_topk" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.completeFuzzy(index, "sta", 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS weight, substr(term, 2) AS suf
+         |      FROM tok WHERE substr(term, 1, 1) = 's' AND length(term) >= 3
+         |      GROUP BY term)
+         |SELECT term, weight FROM c
+         |WHERE least(
+         |    CASE WHEN length(suf) >= 1 THEN damerau_levenshtein(substr(suf, 1, 1), 'ta') ELSE 99 END,
+         |    CASE WHEN length(suf) >= 2 THEN damerau_levenshtein(substr(suf, 1, 2), 'ta') ELSE 99 END,
+         |    CASE WHEN length(suf) >= 3 THEN damerau_levenshtein(substr(suf, 1, 3), 'ta') ELSE 99 END) <= 1
+         |ORDER BY weight DESC, term LIMIT 5""".stripMargin))),
+
+    // FreeTextSuggester surface: next token after 'merge' by stupid
+    // backoff — bigram ratio from the SHINGLE index's dictionary, unigram
+    // backoff (alpha 0.4) for unseen continuations
+    "suggest_freetext" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      val (shingled, _) = Corpus.getShingled(spark, dir)
+      graft.exec.Suggest.nextToken(index, shingled, "merge", 10)
+    }, Some(
+      s"""WITH $posCte,
+         |big AS (SELECT b.term AS suggestion, count(*) AS c FROM pos a JOIN pos b
+         |          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |        WHERE a.term = 'merge' GROUP BY b.term),
+         |ctx AS (SELECT count(*) AS c FROM pos WHERE term = 'merge'),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pos),
+         |uni AS (SELECT term AS suggestion, count(*) AS c FROM pos GROUP BY term),
+         |sc AS (SELECT suggestion, big.c / CAST(ctx.c AS DOUBLE) AS s FROM big, ctx
+         |       UNION ALL
+         |       SELECT u.suggestion, u.c * 0.4 / tot.t AS s FROM uni u, tot
+         |       WHERE u.suggestion NOT IN (SELECT suggestion FROM big))
+         |SELECT suggestion, floor(s * 10000 + 0.5)/10000 AS score
+         |FROM sc ORDER BY score DESC, suggestion LIMIT 10""".stripMargin))),
+
+    // UnifiedHighlighter surface: best passage (8-token windows,
+    // PassageScorer formula k1=1.2 b=0.75 pivot=87) for the top-5 hits of
+    // `merge OR stream` — highlighting runs per HIT, never per corpus row
+    "highlight_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val terms = Set("merge", "stream")
+      val hits = topRoundedHits(index, graft.query.BoolQ(
+        should = Seq(graft.query.TermQ("merge"), graft.query.TermQ("stream"))), 5)
+      val ranked = hits.zipWithIndex.map { case ((d, _), i) => (d, (i + 1).toLong) }
+      spark.createDataset(ranked.toSeq).toDF("docId", "rank")
+        .join(mapping, "docId")
+        .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text"), "doc_id")
+        .select($"doc_id", $"rank", $"text").as[(Long, Long, String)]
+        .map { case (id, rank, text) =>
+          val p = graft.exec.Highlighter.bestPassage(text, Set("merge", "stream")).get
+          (id, rank, p.idx.toLong, p.score, p.snippet)
+        }.toDF("doc_id", "rank", "passage", "pscore", "snippet")
+        .orderBy($"rank")
+    }, Some(
+      s"""WITH $tokCte, $posCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |bm AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id),
+         |top AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY floor((s)*10000+0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bm) WHERE rank <= 5),
+         |pt AS (SELECT doc_id, term, p,
+         |         coalesce(sum(length(term)+1) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st2,
+         |         CAST(floor((p-1)/8) AS INT) AS w
+         |       FROM pos WHERE doc_id IN (SELECT doc_id FROM top)),
+         |cl AS (SELECT doc_id, sum(length(term)+1) - 1 AS clen FROM pos
+         |       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY doc_id),
+         |pw AS (SELECT doc_id, w, min(st2) AS pstart,
+         |              max(st2 + length(term)) - min(st2) AS plen
+         |       FROM pt GROUP BY doc_id, w),
+         |ttfd AS (SELECT doc_id, term, count(*) AS ttf FROM pt
+         |         WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |mf AS (SELECT doc_id, w, term, count(*) AS f FROM pt
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, w, term),
+         |ps AS (SELECT mf.doc_id, mf.w,
+         |         (1 + 1/ln(87 + pw.pstart)) *
+         |         sum( (mf.f / (mf.f + 1.2*((1 - 0.75) + 0.75*pw.plen/87.0))) *
+         |              ((1.2 + 1) * ln(1 + ((1 + cl.clen/87.0) + 0.5)/(ttfd.ttf + 0.5))) ) AS s
+         |       FROM mf JOIN pw ON mf.doc_id = pw.doc_id AND mf.w = pw.w
+         |            JOIN cl ON mf.doc_id = cl.doc_id
+         |            JOIN ttfd ON mf.doc_id = ttfd.doc_id AND mf.term = ttfd.term
+         |       GROUP BY mf.doc_id, mf.w, pw.pstart),
+         |bp AS (SELECT doc_id, w, pscore FROM (
+         |  SELECT doc_id, w, floor(s*10000+0.5)/10000 AS pscore,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY floor(s*10000+0.5)/10000 DESC, w) AS rn FROM ps) WHERE rn = 1),
+         |snip AS (SELECT doc_id, w, string_agg(term, ' ' ORDER BY p) AS snippet
+         |         FROM pt GROUP BY doc_id, w)
+         |SELECT top.doc_id, top.rank, CAST(bp.w AS BIGINT) AS passage, bp.pscore, snip.snippet
+         |FROM top JOIN bp ON top.doc_id = bp.doc_id
+         |     JOIN snip ON bp.doc_id = snip.doc_id AND bp.w = snip.w
+         |ORDER BY top.rank""".stripMargin))),
+
+    // expressions-module analogue: second-pass rescoring by a USER
+    // EXPRESSION STRING compiled by Catalyst (`expressions/.../js/
+    // JavascriptCompiler.java` compiles to bytecode; Spark's expr()
+    // compiles to codegen'd Java) over a doc-values column (n_chars)
+    "expr_rescore_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val first = topRoundedHits(index, graft.query.TermQ("merge"), 100)
+      spark.createDataset(first.toSeq).toDF("docId", "s")
+        .join(mapping, "docId")
+        .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"n_chars"), "doc_id")
+        .withColumn("score", r4(expr("s + 0.1*ln(1 + n_chars)")))
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"doc_id", $"score", $"rank")
+        .orderBy($"rank")
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf1 AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'merge' GROUP BY doc_id),
+         |df1 AS (SELECT count(*) AS df FROM tf1),
+         |s1 AS (SELECT tf1.doc_id,
+         |         floor((ln(1 + (st.n - df1.df + 0.5)/(df1.df + 0.5))
+         |          - ln(1 + (st.n - df1.df + 0.5)/(df1.df + 0.5))
+         |            /(1 + tf1.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) * 10000 + 0.5)/10000 AS s
+         |       FROM tf1 JOIN qd ON tf1.doc_id = qd.doc_id, st, df1),
+         |first AS (SELECT doc_id, s FROM (
+         |   SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM s1) WHERE rn <= 100)
+         |SELECT doc_id, score, rank FROM (
+         |  SELECT f.doc_id, floor((f.s + 0.1*ln(1 + d.n_chars)) * 10000 + 0.5)/10000 AS score,
+         |         CAST(row_number() OVER (ORDER BY floor((f.s + 0.1*ln(1 + d.n_chars)) * 10000 + 0.5)/10000 DESC, f.doc_id) AS BIGINT) AS rank
+         |  FROM first f JOIN documents d ON f.doc_id = d.doc_id)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin))),
+
+    // classification-module analogue (SimpleNaiveBayesClassifier.java:
+    // 146-152, 209-252): P(c|d) ranked by ln-prior + add-1-smoothed
+    // ln-likelihood with den = avgUniqueTermsPerDoc * df(class) + N;
+    // word-class hits are DOC counts (text:w AND class:c), tf-weighted
+    // per input token, argmax per doc (rounded-score tie -> class asc)
+    "classify_naive_bayes" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val toks = Corpus.docTokens(spark, dir)
+        .select($"doc_id", $"lang", explode($"ts").as("term"))
+      val avgUnique = toks.select($"doc_id", $"term").distinct().count().toDouble / n
+      val classes = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
+        .select($"lang".as("clang"), $"nc")
+      val hits = toks.select($"lang".as("clang"), $"term", $"doc_id").distinct()
+        .groupBy($"clang", $"term").agg(count(lit(1)).as("h"))
+      val test = toks.filter($"doc_id" < 10)
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      test.crossJoin(broadcast(classes))
+        .join(hits, Seq("clang", "term"), "left")
+        .na.fill(0L, Seq("h"))
+        .withColumn("contrib",
+          $"tf" * log(($"h" + 1.0d) / (lit(avgUnique) * $"nc" + lit(n.toDouble))))
+        .groupBy($"doc_id", $"clang", $"nc")
+        .agg(sum($"contrib").as("ll"))
+        .withColumn("score", r4(log($"nc".cast("double")) - log(lit(n.toDouble)) + $"ll"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy(desc("score"), asc("clang"))))
+        .filter($"rn" === 1)
+        .select($"doc_id", $"clang".as("lang"), $"score")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $tokCte,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents GROUP BY lang),
+         |au AS (SELECT count(*) / CAST((SELECT n FROM nn) AS DOUBLE) AS au
+         |       FROM (SELECT DISTINCT doc_id, term FROM tok)),
+         |hits AS (SELECT d.lang, t.term, CAST(count(DISTINCT t.doc_id) AS BIGINT) AS h
+         |         FROM tok t JOIN documents d ON t.doc_id = d.doc_id GROUP BY d.lang, t.term),
+         |test AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE doc_id < 10
+         |         GROUP BY doc_id, term),
+         |sc AS (SELECT test.doc_id, cls.lang,
+         |         ln(cls.nc) - ln(nn.n) +
+         |         sum(test.tf * ln((coalesce(hits.h, 0) + 1.0) / (au.au * cls.nc + nn.n))) AS s
+         |       FROM test CROSS JOIN cls
+         |       LEFT JOIN hits ON hits.lang = cls.lang AND hits.term = test.term, au, nn
+         |       GROUP BY test.doc_id, cls.lang, cls.nc, au.au, nn.n)
+         |SELECT doc_id, lang, score FROM (
+         |  SELECT doc_id, lang, floor(s * 10000 + 0.5)/10000 AS score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY floor(s * 10000 + 0.5)/10000 DESC, lang) AS rn
+         |  FROM sc) WHERE rn = 1 ORDER BY doc_id""".stripMargin)))
+  )
+
+  val all: Map[String, (QFn, Option[String])] = fulltext ++ relational ++ pipeline ++ suggestHl
 
   /** Warm every one-time artifact the catalog queries share — the six
     * analyzer-variant indexes, the tokenized column, the minhash band

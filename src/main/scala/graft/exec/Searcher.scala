@@ -43,7 +43,7 @@ object Searcher {
     * field/norms pseudo-terms excluded); a `@F:`-anchored pattern is
     * already restricted by its own literal prefix.
     */
-  private def dict(index: Index, nsAnchored: Boolean) = {
+  private[graft] def dict(index: Index, nsAnchored: Boolean) = {
     import index.postings.sparkSession.implicits._
     val d = index.termStats
       .filter(!$"term".startsWith(graft.build.IndexBuilder.KeywordPrefix))

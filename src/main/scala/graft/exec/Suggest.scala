@@ -1,0 +1,185 @@
+package graft.exec
+
+import graft.build.Index
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spell correction and auto-complete over the term dictionary — the
+  * reference's suggest module re-expressed as range-pruned scans of the
+  * sorted term-stats table with distributed top-N selection
+  * (TakeOrderedAndProject: per-partition partial top-N, tiny driver
+  * merge). The reference builds dedicated FSTs
+  * (`suggest/.../analyzing/AnalyzingSuggester.java`) because a native
+  * engine must avoid re-reading its term dictionary; here the dictionary
+  * IS a sorted columnar table, so a prefix lookup is a pushed range scan
+  * and no auxiliary structure is needed. On a 10^9-term dictionary every
+  * lookup below reads O(matching range) rows and ships at most k rows to
+  * the driver.
+  */
+object Suggest {
+
+  /** "Did you mean" — `suggest/.../spell/DirectSpellChecker.java:50`
+    * with its default knobs (`:61-94`): maxEdits=2, minPrefix=1,
+    * minQueryLength=4, maxQueryFrequency=0.01, accuracy=0.5, mode
+    * SUGGEST_WHEN_NOT_IN_INDEX, comparator score desc / freq desc /
+    * term asc (`SuggestWordScoreComparator.java:31-50`).
+    *
+    * Candidates come straight from the dictionary like the reference's
+    * FuzzyTermsEnum walk (`DirectSpellChecker.java:424-425`: prefix
+    * max(minPrefix, ed-1) = 1 held exact, edits on the suffix);
+    * similarity = 1 - ed/min(|cand|,|query|) over FULL lengths
+    * (`core/search/FuzzyTermsEnum.java:251-258`). We evaluate the whole
+    * accuracy-filtered candidate set (the reference's two-pass
+    * ed=1-then-2 priority queue only differs once candidates exceed
+    * numSug*maxInspections, a truncation we don't need — the scan is
+    * distributed). Scores are 1e-4-quantised so ranking is reproducible
+    * cross-engine.
+    */
+  def didYouMean(index: Index, queryTerm: String, numSug: Int,
+      maxEdits: Int = 2, minPrefix: Int = 1, minQueryLength: Int = 4,
+      maxQueryFrequency: Float = 0.01f, accuracy: Float = 0.5f): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    def empty = spark.createDataset(Seq.empty[(String, Double, Long)])
+      .toDF("term", "score", "df")
+    if (queryTerm.codePointCount(0, queryTerm.length) < minQueryLength) return empty
+    // query-term df gates (`DirectSpellChecker.java:339-349`): only
+    // correct terms ABSENT from the index (mode default), and never
+    // "correct" a term more frequent than maxQueryFrequency*maxDoc
+    val qdf = index.termStats.filter($"term" === queryTerm)
+      .select($"df").as[Long].collect().headOption.getOrElse(0L)
+    if (qdf > 0) return empty // SUGGEST_WHEN_NOT_IN_INDEX
+    if (qdf > math.ceil(maxQueryFrequency * index.fieldStats.docCount.toFloat).toInt) return empty
+    val qLen = queryTerm.length
+    val qSuf = queryTerm.substring(math.min(minPrefix, qLen))
+    val pre = queryTerm.substring(0, math.min(minPrefix, qLen))
+    val me = maxEdits
+    val mp = minPrefix
+    val edBoost = udf { (cand: String) =>
+      val ed = graft.util.EditDistance.osa(cand.substring(math.min(mp, cand.length)), qSuf, me)
+      val boost =
+        if (ed == 0) 1f else 1f - ed.toFloat / math.min(cand.length, qLen).toFloat
+      (ed, boost)
+    }
+    Searcher.dict(index, nsAnchored = false)
+      // pushed range: exact minPrefix chars + the automaton's length window
+      .filter($"term" >= pre && $"term".startsWith(pre))
+      .filter(length($"term") >= qLen - maxEdits && length($"term") <= qLen + maxEdits)
+      .filter($"term" =!= queryTerm) // `DirectSpellChecker.java:440-442`
+      .withColumn("eb", edBoost($"term"))
+      .filter($"eb._1" > 0 && $"eb._1" <= maxEdits && $"eb._2" >= accuracy)
+      .select($"term",
+        (floor($"eb._2".cast("double") * 10000d + 0.5d) / 10000d).as("score"),
+        $"df")
+      .orderBy(desc("score"), desc("df"), asc("term"))
+      .limit(numSug)
+  }
+
+  /** Weight-ordered prefix completion — the AnalyzingSuggester /
+    * WFSTCompletionLookup surface (`suggest/.../analyzing/
+    * AnalyzingSuggester.java:77`, weight-bucketed FST arcs): top-k
+    * dictionary entries extending `prefix`, heaviest first. The
+    * DocumentDictionary analogue for weights is the corpus itself:
+    * weight = ttf (total occurrences). Pushed prefix range on the
+    * sorted term column; ties break on term asc (the reference's
+    * surface-form byte order).
+    */
+  def completePrefix(index: Index, prefix: String, k: Int): DataFrame = {
+    import index.postings.sparkSession.implicits._
+    Searcher.dict(index, nsAnchored = false)
+      .filter($"term" >= prefix && $"term".startsWith(prefix))
+      .select($"term", $"ttf".as("weight"))
+      .orderBy(desc("weight"), asc("term"))
+      .limit(k)
+  }
+
+  /** Infix completion — the AnalyzingInfixSuggester surface
+    * (`suggest/.../analyzing/AnalyzingInfixSuggester.java:90`): entries
+    * CONTAINING the fragment, heaviest first. The reference searches an
+    * auxiliary suggestion index by token prefix; our dictionary entries
+    * are single terms, so substring containment is the analogue. A
+    * contains predicate cannot range-prune, but the scan is
+    * vocabulary-bounded (the term table), not corpus-bounded — same
+    * asymptotics as the reference's aux-index search.
+    */
+  def completeInfix(index: Index, fragment: String, k: Int): DataFrame = {
+    import index.postings.sparkSession.implicits._
+    Searcher.dict(index, nsAnchored = false)
+      .filter($"term".contains(fragment))
+      .select($"term", $"ttf".as("weight"))
+      .orderBy(desc("weight"), asc("term"))
+      .limit(k)
+  }
+
+  /** Typo-tolerant completion — the FuzzySuggester surface
+    * (`suggest/.../analyzing/FuzzySuggester.java:66` defaults `:78-96`:
+    * maxEdits=1, transpositions=true, nonFuzzyPrefix=1,
+    * minFuzzyLength=3): a term completes the input if SOME prefix of it
+    * is within maxEdits of the input (first nonFuzzyPrefix chars exact);
+    * inputs shorter than minFuzzyLength complete exactly. Ranked by
+    * weight like [[completePrefix]]. Range-pruned to the exact-prefix
+    * band; the OSA check runs executor-side on the banded scan.
+    */
+  def completeFuzzy(index: Index, input: String, k: Int,
+      maxEdits: Int = 1, nonFuzzyPrefix: Int = 1, minFuzzyLength: Int = 3): DataFrame = {
+    import index.postings.sparkSession.implicits._
+    if (input.length < minFuzzyLength) return completePrefix(index, input, k)
+    val pre = input.substring(0, math.min(nonFuzzyPrefix, input.length))
+    val pSuf = input.substring(pre.length)
+    val me = maxEdits
+    val preLen = pre.length
+    val matches = udf { (term: String) =>
+      val suf = term.substring(math.min(preLen, term.length))
+      val lo = math.max(0, pSuf.length - me)
+      val hi = math.min(suf.length, pSuf.length + me)
+      var l = lo
+      var ok = false
+      while (!ok && l <= hi) {
+        ok = graft.util.EditDistance.osa(suf.substring(0, l), pSuf, me) <= me
+        l += 1
+      }
+      ok
+    }
+    Searcher.dict(index, nsAnchored = false)
+      .filter($"term" >= pre && $"term".startsWith(pre))
+      .filter(length($"term") >= input.length - maxEdits)
+      .filter(matches($"term"))
+      .select($"term", $"ttf".as("weight"))
+      .orderBy(desc("weight"), asc("term"))
+      .limit(k)
+  }
+
+  /** Next-token suggestion from corpus n-gram statistics — the
+    * FreeTextSuggester surface (`suggest/.../analyzing/
+    * FreeTextSuggester.java:95`) with its "stupid backoff" score
+    * (`:103-107`, Brants et al 2007): for context token c,
+    * score(w) = count(c w)/count(c) when the bigram exists, else
+    * ALPHA * count(w)/totalTokens with ALPHA=0.4 (`:129`). The bigram
+    * table is the SHINGLE variant index's term dictionary (terms
+    * "c w"), so the lookup is a pushed prefix range on `"c "`; the
+    * backoff leg anti-joins the observed continuations (bounded by the
+    * context's distinct followers) against the unigram dictionary.
+    * Scores 1e-4-quantised; ties break term asc.
+    */
+  def nextToken(index: Index, shingled: Index, context: String, k: Int,
+      alpha: Double = 0.4): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val cCount = index.termStats.filter($"term" === context)
+      .select($"ttf").as[Long].collect().headOption.getOrElse(0L)
+    val total = index.fieldStats.sumTotalTermFreq.toDouble
+    val pre = context + " "
+    val bigram = Searcher.dict(shingled, nsAnchored = false)
+      .filter($"term" >= pre && $"term".startsWith(pre))
+      .filter(!$"term".substr(lit(pre.length + 1), length($"term")).contains(" "))
+      .select($"term".substr(lit(pre.length + 1), length($"term")).as("suggestion"),
+        ($"ttf".cast("double") / math.max(cCount, 1L).toDouble).as("s"))
+    val backoff = Searcher.dict(index, nsAnchored = false)
+      .join(bigram.select($"suggestion".as("term")), Seq("term"), "left_anti")
+      .select($"term".as("suggestion"), ($"ttf".cast("double") * alpha / total).as("s"))
+    bigram.unionByName(backoff)
+      .select($"suggestion", (floor($"s" * 10000d + 0.5d) / 10000d).as("score"))
+      .orderBy(desc("score"), asc("suggestion"))
+      .limit(k)
+  }
+}

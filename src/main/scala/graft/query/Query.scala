@@ -244,6 +244,31 @@ final case class BoolQ(
 
 object Query {
 
+  /** Positive (scoring/matching) literal terms of a query tree — the
+    * `Query.visit(QueryVisitor)` term-extraction surface the reference's
+    * highlighter uses to know what to mark
+    * (`core/search/QueryVisitor.java:28`, UnifiedHighlighter's
+    * extractTerms). MUST_NOT branches are skipped (excluded terms are
+    * never highlighted); multi-term patterns contribute nothing here —
+    * the caller highlights their expansions if it wants them.
+    */
+  def positiveTerms(q: Query): Set[String] = q match {
+    case TermQ(t) => Set(t)
+    case PhraseQ(ts, _) => ts.toSet
+    case MultiPhraseQ(slots) => slots.flatten.toSet
+    case SynonymQ(ts) => ts.toSet
+    case BlendedTermQ(ts, _) => ts.toSet
+    case BoostTermQ(t, _, _, _) => Set(t)
+    case CombinedFieldQ(t, _) => Set(t)
+    case DisMaxQ(cs, _) => cs.flatMap(positiveTerms).toSet
+    case ConstScoreQ(inner, _) => positiveTerms(inner)
+    case BoostQ(inner, _) => positiveTerms(inner)
+    case IntervalQ(src, _) => src.leafTerms
+    case b: BoolQ =>
+      (b.must ++ b.should ++ b.filter).flatMap(positiveTerms).toSet
+    case _ => Set.empty
+  }
+
   /** Max clause count after multi-term expansion —
     * `core/search/IndexSearcher.java:873,891`. Settable like the
     * reference's `IndexSearcher.setMaxClauseCount` (`:881-889`); the

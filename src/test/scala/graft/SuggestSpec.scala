@@ -1,0 +1,113 @@
+package graft
+
+import graft.build.{IndexBuilder, InputDoc}
+import graft.exec.Suggest
+
+/** Suggest module: DirectSpellChecker gates and ordering, prefix/infix/
+  * fuzzy completion ranking, and FreeText stupid-backoff arithmetic —
+  * all against hand-computed expectations on a synthetic corpus.
+  */
+class SuggestSpec extends SparkTest {
+  import spark.implicits._
+
+  // vocabulary engineered for the orderings under test:
+  //  - "spill" (df 12) vs "still" (df 3): both ed=1 from "still"-adjacent
+  //    typos; score ties break on df, df ties on term
+  //  - "merge" appears often; "stream" follows "merge" in every doc of
+  //    seg 0 for bigram stats
+  private lazy val docs: Seq[InputDoc] = (0 until 24).map { i =>
+    val words = Seq.newBuilder[String]
+    words += "merge"
+    words += (if (i % 2 == 0) "stream" else "table")
+    if (i < 12) words += "spill"
+    if (i < 3) words += "still"
+    if (i < 6) words += "stile"
+    words += "spark"
+    InputDoc(seg = i % 2, sortKey = f"$i%06d", repo = "r", path = s"p$i",
+      commit = i.toString, lang = "scala", content = words.result().mkString(" "))
+  }
+  private lazy val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+  private lazy val shingled =
+    IndexBuilder.buildInMemory(spark, spark.createDataset(docs), analyzerMode = "shingle")
+
+  test("didYouMean: gates (length, in-index, frequency)") {
+    // shorter than minQueryLength=4 -> empty
+    assert(Suggest.didYouMean(index, "stl", 5).count() === 0L)
+    // present in the index -> empty (SUGGEST_WHEN_NOT_IN_INDEX)
+    assert(Suggest.didYouMean(index, "spill", 5).count() === 0L)
+    assert(Suggest.didYouMean(index, "merge", 5).count() === 0L)
+  }
+
+  test("didYouMean: candidate set, scores, and comparator order") {
+    // "still" misspelled as "stilk": first char 's' exact; candidates by
+    // suffix ed vs "tilk": stile ("tile" ed 1 -> boost 1-1/5=0.8, df 6),
+    // still ("till" ed 1 -> 0.8, df 3), spill ("pill" ed 2 -> 0.6, df 12)
+    // — comparator is score desc FIRST (spill's higher df cannot beat a
+    // better score), then df desc within the 0.8 tie, then term
+    val got = Suggest.didYouMean(index, "stilk", 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === Seq(("stile", 0.8, 6L), ("still", 0.8, 3L), ("spill", 0.6, 12L)),
+      got.toString)
+    // no candidate below accuracy 0.5 leaked, query term itself excluded
+    assert(got.forall(c => c._2 >= 0.5 && c._1 != "stilk"))
+  }
+
+  test("didYouMean: first-character prefix is held exact") {
+    // "tpill" is ed-1 from "spill" but the first char differs -> the
+    // minPrefix=1 band excludes every candidate
+    assert(Suggest.didYouMean(index, "tpill", 5).count() === 0L)
+  }
+
+  test("completePrefix: weight order, term tie-break, k cap") {
+    val got = Suggest.completePrefix(index, "st", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // stream ttf 12, stile 6, still 3
+    assert(got === Seq(("stream", 12L), ("stile", 6L), ("still", 3L)), got.toString)
+    assert(Suggest.completePrefix(index, "st", 2).count() === 2L)
+    assert(Suggest.completePrefix(index, "zz", 5).count() === 0L)
+  }
+
+  test("completeInfix: containment, not prefix") {
+    val got = Suggest.completeInfix(index, "il", 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(got.toSet === Set("spill", "stile", "still"), got.toString)
+  }
+
+  test("completeFuzzy: sub/del/transposition prefixes match, weight-ranked") {
+    // input "setam": first char exact, some prefix of the term within 1
+    // edit of "etam"? stream: prefix "trea"... no; "steam"-like typo for
+    // "stream": prefixes of "tream": "tream" vs "etam" ed 3 — use a
+    // closer input: "strem" -> prefixes "tre"/"trem"/"tream" vs "trem"
+    // gives stream (del); "spil" -> spill exact-prefix; transposition:
+    // "psill" fails the exact first char, "sipll" -> "ipll" vs prefixes
+    // of "pill": "ipll"? osa("pil","ipl")... keep to the clear cases:
+    val strem = Suggest.completeFuzzy(index, "strem", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(strem.contains("stream"), strem.toString)
+    // shorter than minFuzzyLength=3 -> exact prefix completion only
+    val sp = Suggest.completeFuzzy(index, "sp", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(sp.toSet === Set("spill", "spark"), sp.toString)
+    // transposed interior: "sitll" (til<->itl) should still reach "still"
+    val sitll = Suggest.completeFuzzy(index, "sitll", 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(sitll.contains("still"), sitll.toString)
+  }
+
+  test("nextToken: bigram ratio beats backoff; backoff = 0.4*ttf/total") {
+    val got = Suggest.nextToken(index, shingled, "merge", 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    // "merge stream" in 12 of 24 docs, "merge table" in the other 12;
+    // count("merge") = 24 -> ratio 0.5 each
+    assert(got("stream") === 0.5)
+    assert(got("table") === 0.5)
+    // words never following "merge" fall back: 0.4 * ttf/totalTokens
+    val total = docs.map(_.content.split(" ").length).sum.toDouble
+    def r4(x: Double) = math.floor(x * 10000d + 0.5d) / 10000d
+    assert(got("spark") === r4(0.4 * 24 / total), got.toString)
+    assert(got("spill") === r4(0.4 * 12 / total), got.toString)
+    // bigram continuations are NOT duplicated into the backoff leg
+    assert(Suggest.nextToken(index, shingled, "merge", 20)
+      .groupBy("suggestion").count().filter($"count" > 1).count() === 0L)
+  }
+}
