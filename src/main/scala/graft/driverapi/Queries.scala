@@ -253,6 +253,13 @@ object Queries {
       ftScoredQ(graft.query.TermRangeQ("va", "var"), 10)(spark, dir)
     }, Some(bm25SqlPred("term >= 'va' AND term <= 'var'", 0, "sum", 10)))),
 
+    // exclusive-bound range through the classic parser syntax
+    // (`{a TO b}`, TermRangeQuery includeLower/Upper=false): both bound
+    // TERMS are excluded — a real differential vs the inclusive entry
+    "ft_range_excl_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.QueryParser.parse("{merge TO stream}"), 10)(spark, dir)
+    }, Some(bm25SqlPred("term > 'merge' AND term < 'stream'", 0, "sum", 10)))),
+
     "ft_dismax_topk" -> (((spark, dir) => {
       ftScoredQ(graft.query.DisMaxQ(Seq(
         graft.query.TermQ("merge"), graft.query.TermQ("stream")), 0d), 10)(spark, dir)

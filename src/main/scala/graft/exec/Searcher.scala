@@ -254,11 +254,13 @@ object Searcher {
   /** Lexicographic range expansion (`core/search/TermRangeQuery.java:37`);
     * sorted term column gives parquet min/max pruning for free.
     */
-  def expandRange(index: Index, lo: String, hi: String): Seq[String] =
-    cachedExpansion(index, "rng:" + lo + "\u0000" + hi) {
+  def expandRange(index: Index, lo: String, hi: String,
+      incLo: Boolean = true, incHi: Boolean = true): Seq[String] =
+    cachedExpansion(index, "rng:" + incLo + incHi + ":" + lo + "\u0000" + hi) {
       import index.postings.sparkSession.implicits._
       dict(index, lo.startsWith("@"))
-        .filter($"term" >= lo && $"term" <= hi)
+        .filter((if (incLo) $"term" >= lo else $"term" > lo) &&
+          (if (incHi) $"term" <= hi else $"term" < hi))
         .select($"term").orderBy($"term")
         .limit(Query.MaxClauseCount + 1)
         .as[String].collect().toSeq
@@ -301,7 +303,8 @@ object Searcher {
     case PrefixQ(p) => WideTermSetQ("prefix", p)
     case WildcardQ(p) => WideTermSetQ("wildcard", p)
     case RegexpQ(p) => WideTermSetQ("regexp", p)
-    case TermRangeQ(lo, hi) => WideTermSetQ("range", lo, hi)
+    case TermRangeQ(lo, hi, il, ih) =>
+      WideTermSetQ("range", lo, hi, (if (il) "[" else "{") + (if (ih) "]" else "}"))
     case other => throw new IllegalArgumentException(other.toString)
   }
 
@@ -309,7 +312,8 @@ object Searcher {
     case PrefixQ(p) => p + "*"
     case WildcardQ(p) => p
     case RegexpQ(p) => p
-    case TermRangeQ(lo, hi) => s"[$lo TO $hi]"
+    case TermRangeQ(lo, hi, il, ih) =>
+      s"${if (il) "[" else "{"}$lo TO $hi${if (ih) "]" else "}"}"
     case other => other.toString
   }
 
@@ -331,7 +335,7 @@ object Searcher {
       fuzzyExp: Map[Query, Query],
       nonScoring: Boolean
   ): Query = q match {
-    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | TermRangeQ(_, _) =>
+    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | TermRangeQ(_, _, _, _) =>
       exp.getOrElse(q, Nil) match {
         case Nil => MatchNone
         case ts if ts.size > Query.MaxClauseCount =>
@@ -419,7 +423,7 @@ object Searcher {
         Query.expansions(pre).map {
           case w @ WildcardQ(p) => (w: Query) -> expandWildcard(index, p)
           case r @ RegexpQ(p) => (r: Query) -> expandRegexp(index, p)
-          case r @ TermRangeQ(lo, hi) => (r: Query) -> expandRange(index, lo, hi)
+          case r @ TermRangeQ(lo, hi, il, ih) => (r: Query) -> expandRange(index, lo, hi, il, ih)
           case other => (other, Nil)
         }.toMap
     val fuzzyExp: Map[Query, Query] =
@@ -1189,7 +1193,7 @@ object SegmentKernel {
       if (slotCursors.exists(_.isEmpty)) None
       else Some(new MultiPhraseCursor(slotCursors.map(_.toArray).toArray,
         scorers.phrase(slots.flatten)))
-    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
+    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _, _, _) =>
       None // expanded before kernel
     case w: WideTermSetQ =>
       // CONSTANT_SCORE_REWRITE kernel half (`core/search/MultiTermQuery

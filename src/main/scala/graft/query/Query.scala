@@ -63,8 +63,13 @@ final case class FuzzyQ(term: String, maxEdits: Int = 1, maxExpansions: Int = 50
 final case class BoostTermQ(term: String, boost: Float, df: Long, boostD: Double = -1d)
     extends Query
 
-/** Lexicographic term range — `core/search/TermRangeQuery.java:37`. */
-final case class TermRangeQ(lo: String, hi: String) extends Query
+/** Lexicographic term range — `core/search/TermRangeQuery.java:37`
+  * (`includeLower`/`includeUpper` ctor flags `:44-66`; open bounds =
+  * `newStringRange(null, ...)`, here "" / "￿" sentinels since no
+  * term contains either boundary value).
+  */
+final case class TermRangeQ(lo: String, hi: String,
+    incLo: Boolean = true, incHi: Boolean = true) extends Query
 
 /** A multi-term expansion too wide for a scoring boolean (>
   * [[Query.MaxClauseCount]] matching terms), kept EXECUTOR-SIDE as a
@@ -79,9 +84,12 @@ final case class TermRangeQ(lo: String, hi: String) extends Query
   * driver collect, no truncation, bounded by the segment's postings.
   *
   * `kind` in {"prefix", "wildcard", "regexp", "range"}; `a`/`b` are the
-  * pattern (and upper bound for "range").
+  * pattern (and upper bound for "range"); `inc` carries range bound
+  * inclusivity as "[]"-style brackets (the pushed scan predicate stays
+  * inclusive — a superset — and [[matches]] decides exactly).
   */
-final case class WideTermSetQ(kind: String, a: String, b: String = "") extends Query {
+final case class WideTermSetQ(kind: String, a: String, b: String = "",
+    inc: String = "[]") extends Query {
   /** Same namespace rules as the planner's dictionary view: '#' keyword
     * pseudo-terms never match; '@' field/norms pseudo-terms only match a
     * '@'-anchored pattern (which restricts itself by its literal prefix).
@@ -92,7 +100,9 @@ final case class WideTermSetQ(kind: String, a: String, b: String = "") extends Q
       term.startsWith(graft.build.IndexBuilder.FieldPrefix)) return false
     kind match {
       case "prefix" => term.startsWith(a)
-      case "range" => term >= a && term <= b
+      case "range" =>
+        (if (inc.charAt(0) == '[') term >= a else term > a) &&
+          (if (inc.charAt(1) == ']') term <= b else term < b)
       case _ => pattern.matcher(term).matches()
     }
   }
@@ -517,12 +527,31 @@ object QueryParser {
 
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var pendingField = "" // set by a `field:` word immediately before a range bracket
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += Tok("(", "("); i += 1 }
       else if (c == ')') { out += Tok(")", ")"); i += 1 }
+      else if (c == '[' || c == '{') {
+        // classic range syntax `[a TO b]` / `{a TO b}` (mixed brackets
+        // allowed, `*` = open bound) — `TermRangeQuery.java:44-66` via
+        // `QueryParserBase.getRangeQuery`. A preceding `field:` word (see
+        // the word branch) is carried in `pendingField`.
+        var j = i + 1
+        while (j < s.length && s.charAt(j) != ']' && s.charAt(j) != '}') j += 1
+        val body = s.substring(i + 1, j)
+        val incLo = if (c == '[') "1" else "0"
+        val incHi = if (j < s.length && s.charAt(j) == ']') "1" else "0"
+        i = if (j < s.length) j + 1 else j
+        body.split("\\s+TO\\s+") match {
+          case Array(lo, hi) =>
+            out += Tok("range", s"$incLo$incHi:$pendingField:$lo:$hi")
+          case _ => // malformed: ignore, like an empty atom
+        }
+        pendingField = ""
+      }
       else if (c == '"') {
         val end = s.indexOf('"', i + 1)
         val body = if (end < 0) s.substring(i + 1) else s.substring(i + 1, end)
@@ -537,9 +566,14 @@ object QueryParser {
         out += Tok("phrase", s"$slop:$body")
       } else {
         var j = i
-        while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
+        while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"' && s.charAt(j) != '[' && s.charAt(j) != '{') j += 1
         val w0 = s.substring(i, j)
         i = j
+        // `field:[...` — hand the field to the upcoming range token
+        if (w0.length > 1 && w0.endsWith(":") && j < s.length &&
+            (s.charAt(j) == '[' || s.charAt(j) == '{')) {
+          pendingField = w0.dropRight(1)
+        } else {
         // trailing ^boost (classic parser `term^2`; a bare `^2` boosts the
         // preceding group/phrase atom)
         val boostRe = "^(.*)\\^([0-9]+(?:\\.[0-9]+)?)$".r
@@ -570,6 +604,7 @@ object QueryParser {
           case _ => out += Tok("term", w)
         }
         boostSuffix.foreach(bs => out += Tok("boost", bs))
+        }
       }
     }
     out.toList
@@ -597,6 +632,14 @@ object QueryParser {
         PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq, slop.toInt)
       case Some(Tok("kw", t)) =>
         pop(); ConstScoreQ(TermQ(t), 0f) // matches, contributes no score
+      case Some(Tok("range", v)) =>
+        pop()
+        val Array(inc, f, lo0, hi0) = v.split(":", 4)
+        val lc = java.util.Locale.ROOT
+        def pre(x: String) = if (f.isEmpty || f == "content") x else s"@$f:$x"
+        val lo = if (lo0 == "*") pre("") else pre(lo0.toLowerCase(lc))
+        val hi = if (hi0 == "*") pre("￿") else pre(hi0.toLowerCase(lc))
+        TermRangeQ(lo, hi, inc.charAt(0) == '1', inc.charAt(1) == '1')
       case Some(Tok("field", fv)) =>
         pop()
         val Array(f, v) = fv.split(" ", 2)

@@ -248,8 +248,10 @@ object NaiveOracle {
           BoolQ(should = top.sortBy(_._1).map { case (v, boost) => BoostTermQ(v, boost, dfBlended) },
             minShouldMatch = 1)
         }
-      case TermRangeQ(lo, hi) =>
-        expanded(dictFor(lo).filter(v => v >= lo && v <= hi), s"[$lo TO $hi]", ns)
+      case TermRangeQ(lo, hi, il, ih) =>
+        expanded(dictFor(lo).filter(v =>
+          (if (il) v >= lo else v > lo) && (if (ih) v <= hi else v < hi)),
+          s"[$lo TO $hi]", ns)
       case BlendedTermQ(ts, boosts) =>
         // BlendedTermQuery.java:270-300 + DisjunctionMaxRewrite(0.01f)
         val dfMax = (0L +: ts.map(t => vocabDf.getOrElse(t, 0L))).max
@@ -370,7 +372,7 @@ object NaiveOracle {
         val f = intervalFreq(src, t => d.positions.getOrElse(t, Array.empty[Int]))
         if (f <= 0d) None
         else Some((1.0f - pivot / (pivot + f.toFloat)).toDouble)
-      case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _) =>
+      case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _, _, _) =>
         None // expanded above
       case ConstScoreQ(inner, boost) =>
         eval(inner, d).map(_ => boost.toDouble)

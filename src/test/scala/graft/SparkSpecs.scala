@@ -95,6 +95,9 @@ class SearchDifferentialSpec extends SparkTest {
       FuzzyQ("clasz", 1), // ~ class
       FuzzyQ("ident_17", 2),
       TermRangeQ("va", "var"), // val, var
+      TermRangeQ("val", "var", incLo = false, incHi = true), // excl lower: var only
+      TermRangeQ("val", "var", incLo = true, incHi = false), // excl upper: val only
+      TermRangeQ("val", "var", incLo = false, incHi = false), // both excl: nothing between
       DisMaxQ(Seq(TermQ("def"), TermQ("class")), 0d),
       DisMaxQ(Seq(TermQ("def"), TermQ("class"), TermQ("return")), 0.3d),
       BoolQ(must = Seq(DisMaxQ(Seq(TermQ("val"), TermQ("var")), 0d)), mustNot = Seq(TermQ("needle_0"))),

@@ -277,6 +277,19 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("def class") ==
       BoolQ(should = Seq(TermQ("def"), TermQ("class")), minShouldMatch = 1))
   }
+  test("range syntax: inclusivity, open bounds, fields, composition") {
+    assert(QueryParser.parse("[aa TO bb]") == TermRangeQ("aa", "bb"))
+    assert(QueryParser.parse("{aa TO bb}") == TermRangeQ("aa", "bb", incLo = false, incHi = false))
+    assert(QueryParser.parse("[aa TO bb}") == TermRangeQ("aa", "bb", incHi = false))
+    assert(QueryParser.parse("{aa TO bb]") == TermRangeQ("aa", "bb", incLo = false))
+    assert(QueryParser.parse("[AA TO BB]") == TermRangeQ("aa", "bb")) // bounds lowercased
+    assert(QueryParser.parse("[aa TO *]") == TermRangeQ("aa", "￿"))
+    assert(QueryParser.parse("[* TO bb]") == TermRangeQ("", "bb"))
+    assert(QueryParser.parse("path:[f1 TO f2]") == TermRangeQ("@path:f1", "@path:f2"))
+    assert(QueryParser.parse("path:[f1 TO *]") == TermRangeQ("@path:f1", "@path:￿"))
+    assert(QueryParser.parse("merge AND [aa TO bb}") ==
+      BoolQ(must = Seq(TermQ("merge"), TermRangeQ("aa", "bb", incHi = false))))
+  }
   test("rewrites: empty, single-clause unwrap, must-not-all") {
     assert(Query.rewrite(BoolQ()) == MatchNone)
     assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")))) == TermQ("a"))
