@@ -253,6 +253,33 @@ object Queries {
       ftScoredQ(graft.query.TermRangeQ("va", "var"), 10)(spark, dir)
     }, Some(bm25SqlPred("term >= 'va' AND term <= 'var'", 0, "sum", 10)))),
 
+    // classic occur modifiers end-to-end: `+merge stream -vector` =
+    // merge required (gates), stream optional (boosts only, msm 0),
+    // vector prohibited — ReqOptSum + exclusion in one kernel pass
+    "ft_occur_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.QueryParser.parse("+merge stream -vector"), 10)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |ok AS (SELECT doc_id FROM tok GROUP BY doc_id
+         |       HAVING sum(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) > 0
+         |          AND sum(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) = 0),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       WHERE tf.doc_id IN (SELECT doc_id FROM ok)
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // exclusive-bound range through the classic parser syntax
     // (`{a TO b}`, TermRangeQuery includeLower/Upper=false): both bound
     // TERMS are excluded — a real differential vs the inclusive entry
@@ -314,6 +341,21 @@ object Queries {
          |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
          |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
          |WHERE a.term = 'fast' AND b.term = 'table' ORDER BY 1""".stripMargin))),
+
+    // phrase ending in a prefix (`"fast ta*"`): the MultiPhraseQuery
+    // javadoc use-case — last slot = first-50-in-term-order expansion
+    // (the 31-word fixture vocabulary never reaches the cap)
+    "ft_phrase_prefix_docs" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      Searcher.matchingDocs(index, graft.query.QueryParser.parse("\"fast ta*\""))
+        .toDF("docId")
+        .join(mapping, "docId").select($"doc_id").orderBy($"doc_id")
+    }, Some(
+      s"""WITH $posCte
+         |SELECT DISTINCT a.doc_id AS doc_id FROM pos a JOIN pos b
+         |  ON a.doc_id = b.doc_id AND b.p = a.p + 1
+         |WHERE a.term = 'fast' AND b.term LIKE 'ta%' ORDER BY 1""".stripMargin))),
 
     "ft_prefix_terms" -> (((spark, dir) => {
       import spark.implicits._

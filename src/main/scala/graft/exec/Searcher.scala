@@ -345,6 +345,13 @@ object Searcher {
           else ConstScoreQ(wideOf(q), 1f)
         case ts => BoolQ(should = ts.map(TermQ.apply), minShouldMatch = 1)
       }
+    case PhrasePrefixQ(ts, _, maxExp) =>
+      // MultiPhraseQuery javadoc expansion: FIRST maxExpansions matching
+      // terms in term order become the final slot's alternatives
+      exp.getOrElse(q, Nil).take(maxExp) match {
+        case Nil => MatchNone
+        case alts => MultiPhraseQ(ts.map(Seq(_)) :+ alts)
+      }
     case f: FuzzyQ => fuzzyExp.getOrElse(f, MatchNone)
     case b: BlendedTermQ => fuzzyExp.getOrElse(b, MatchNone)
     case BoolQ(m, s, n, msm, fl) =>
@@ -424,6 +431,7 @@ object Searcher {
           case w @ WildcardQ(p) => (w: Query) -> expandWildcard(index, p)
           case r @ RegexpQ(p) => (r: Query) -> expandRegexp(index, p)
           case r @ TermRangeQ(lo, hi, il, ih) => (r: Query) -> expandRange(index, lo, hi, il, ih)
+          case pp @ PhrasePrefixQ(_, p, _) => (pp: Query) -> expandPrefix(index, p)
           case other => (other, Nil)
         }.toMap
     val fuzzyExp: Map[Query, Query] =
@@ -1193,7 +1201,8 @@ object SegmentKernel {
       if (slotCursors.exists(_.isEmpty)) None
       else Some(new MultiPhraseCursor(slotCursors.map(_.toArray).toArray,
         scorers.phrase(slots.flatten)))
-    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) | TermRangeQ(_, _, _, _) =>
+    case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _, _) |
+        TermRangeQ(_, _, _, _) | PhrasePrefixQ(_, _, _) =>
       None // expanded before kernel
     case w: WideTermSetQ =>
       // CONSTANT_SCORE_REWRITE kernel half (`core/search/MultiTermQuery

@@ -36,6 +36,16 @@ final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
   */
 final case class MultiPhraseQ(slots: Seq[Seq[String]]) extends Query
 
+/** Phrase ending in a prefix — the MultiPhraseQuery javadoc's canonical
+  * use ("to support phrases ending in a prefix, e.g. microsoft app*",
+  * `core/search/MultiPhraseQuery.java:29-33`, terms gathered from the
+  * TermsEnum in term order). Expands plan-time to [[MultiPhraseQ]] with
+  * the FIRST `maxExpansions` matching dictionary terms (term order) as
+  * the final slot; no matching term -> MatchNone.
+  */
+final case class PhrasePrefixQ(terms: Seq[String], prefix: String,
+    maxExpansions: Int = 50) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 
 /** General wildcard (`*` = any run, `?` = one char) expanded against the
@@ -266,6 +276,7 @@ object Query {
     case TermQ(t) => Set(t)
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(slots) => slots.flatten.toSet
+    case PhrasePrefixQ(ts, _, _) => ts.toSet
     case SynonymQ(ts) => ts.toSet
     case BlendedTermQ(ts, _) => ts.toSet
     case BoostTermQ(t, _, _, _) => Set(t)
@@ -490,6 +501,7 @@ object Query {
     case w: WildcardQ => Set(w)
     case r: RegexpQ => Set(r)
     case r: TermRangeQ => Set(r)
+    case pp: PhrasePrefixQ => Set(pp)
   }
 
   /** Fuzzy queries (blended rewrite — separate expansion product). */
@@ -534,6 +546,13 @@ object QueryParser {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += Tok("(", "("); i += 1 }
       else if (c == ')') { out += Tok(")", ")"); i += 1 }
+      else if ((c == '+' || c == '-') && i + 1 < s.length &&
+          !s.charAt(i + 1).isWhitespace) {
+        // occur modifiers `+required` / `-prohibited` at an atom start
+        // (`QueryParserBase.java` MOD_REQ/MOD_NOT) — a leading sign binds
+        // to the atom that follows (term, phrase, group, range)
+        out += Tok(if (c == '+') "+" else "-", c.toString); i += 1
+      }
       else if (c == '[' || c == '{') {
         // classic range syntax `[a TO b]` / `{a TO b}` (mixed brackets
         // allowed, `*` = open bound) — `TermRangeQuery.java:44-66` via
@@ -629,7 +648,14 @@ object QueryParser {
       case Some(Tok("phrase", v)) =>
         pop()
         val Array(slop, body) = v.split(":", 2)
-        PhraseQ(graft.analysis.CodeAnalyzer.terms(body).toSeq, slop.toInt)
+        // `"merge str*"` = phrase ending in a prefix (exact phrases only —
+        // a slop would make the star's binding ambiguous)
+        val pprefix = slop.toInt == 0 && body.trim.endsWith("*")
+        val clean = if (pprefix) body.trim.dropRight(1) else body
+        val ts = graft.analysis.CodeAnalyzer.terms(clean).toSeq
+        if (pprefix && ts.nonEmpty) {
+          if (ts.size == 1) PrefixQ(ts.head) else PhrasePrefixQ(ts.init, ts.last)
+        } else PhraseQ(ts, slop.toInt)
       case Some(Tok("kw", t)) =>
         pop(); ConstScoreQ(TermQ(t), 0f) // matches, contributes no score
       case Some(Tok("range", v)) =>
@@ -683,6 +709,11 @@ object QueryParser {
     def unary(): Query = peek match {
       case Some(Tok("NOT", _)) =>
         pop(); BoolQ(must = Seq(MatchAll), mustNot = Seq(unary()))
+      // modifiers reaching a conjunction position (`a AND +b` / `a AND -b`):
+      // required is the conjunction's default; prohibited behaves like NOT
+      case Some(Tok("+", _)) => pop(); unary()
+      case Some(Tok("-", _)) =>
+        pop(); BoolQ(must = Seq(MatchAll), mustNot = Seq(unary()))
       case _ => atom()
     }
 
@@ -709,16 +740,38 @@ object QueryParser {
     }
 
     def or(): Query = {
-      var clauses = Seq(and())
+      // occur modifier of the upcoming clause: '+' required, '-'
+      // prohibited, ' ' unmarked (`QueryParserBase` MOD_REQ/MOD_NOT)
+      def nextMod(): Char =
+        if (peek.exists(_.kind == "+")) { pop(); '+' }
+        else if (peek.exists(_.kind == "-")) { pop(); '-' }
+        else ' '
+      var clauses = Seq((nextMod(), and()))
       // explicit OR, or implicit OR between adjacent atoms (the classic
       // QueryParser default operator)
       while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
           t.kind == "phrase" || t.kind == "prefix" || t.kind == "wildcard" ||
-          t.kind == "fuzzy" || t.kind == "kw" || t.kind == "field" || t.kind == "(")) {
+          t.kind == "fuzzy" || t.kind == "kw" || t.kind == "field" ||
+          t.kind == "(" || t.kind == "range" || t.kind == "+" || t.kind == "-")) {
         if (peek.exists(_.kind == "OR")) pop()
-        clauses = clauses :+ and()
+        clauses = clauses :+ ((nextMod(), and()))
       }
-      if (clauses.size == 1) clauses.head else BoolQ(should = clauses, minShouldMatch = 1)
+      if (clauses.size == 1 && clauses.head._1 == ' ') clauses.head._2
+      else if (clauses.forall(_._1 == ' '))
+        BoolQ(should = clauses.map(_._2), minShouldMatch = 1)
+      else {
+        // any marked clause switches to the classic occur model: required
+        // terms gate, unmarked terms only boost (minShouldMatch 0)
+        val must = clauses.collect { case ('+', q) => q }
+        val mustNot = clauses.collect { case ('-', q) => q }
+        val should = clauses.collect { case (' ', q) => q }
+        BoolQ(
+          must = if (must.isEmpty && should.isEmpty) Seq(MatchAll) else must,
+          should = should, mustNot = mustNot,
+          // with no required clause, >=1 optional must match (BooleanWeight
+          // semantics); with one, unmarked clauses only boost
+          minShouldMatch = if (must.isEmpty && should.nonEmpty) 1 else 0)
+      }
     }
 
     Query.rewrite(or())

@@ -218,6 +218,13 @@ object NaiveOracle {
     def expand(q: Query, ns: Boolean): Query = q match {
       case PrefixQ(p) =>
         expanded(dictFor(p).filter(_.startsWith(p)), p, ns)
+      case PhrasePrefixQ(ts, p, maxExp) =>
+        // MultiPhraseQuery javadoc expansion: first maxExpansions matching
+        // terms in term order as the last slot (never throws)
+        dictFor(p).filter(_.startsWith(p)).take(maxExp) match {
+          case Seq() => MatchNone
+          case alts => MultiPhraseQ(ts.map(Seq(_)) :+ alts)
+        }
       case WildcardQ(p) =>
         val re = graft.exec.Searcher.wildcardRegex(p).r
         expanded(dictFor(p).filter(t => re.findFirstIn(t).isDefined), p, ns)

@@ -98,6 +98,9 @@ class SearchDifferentialSpec extends SparkTest {
       TermRangeQ("val", "var", incLo = false, incHi = true), // excl lower: var only
       TermRangeQ("val", "var", incLo = true, incHi = false), // excl upper: val only
       TermRangeQ("val", "var", incLo = false, incHi = false), // both excl: nothing between
+      PhrasePrefixQ(Seq("def"), "cla"), // "def cla*"
+      PhrasePrefixQ(Seq("val"), "ident_1"), // expansion cap binds (111 terms -> first 50)
+      PhrasePrefixQ(Seq("class"), "zzz_nope"), // no expansion -> MatchNone
       DisMaxQ(Seq(TermQ("def"), TermQ("class")), 0d),
       DisMaxQ(Seq(TermQ("def"), TermQ("class"), TermQ("return")), 0.3d),
       BoolQ(must = Seq(DisMaxQ(Seq(TermQ("val"), TermQ("var")), 0d)), mustNot = Seq(TermQ("needle_0"))),

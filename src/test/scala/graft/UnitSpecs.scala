@@ -277,6 +277,38 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("def class") ==
       BoolQ(should = Seq(TermQ("def"), TermQ("class")), minShouldMatch = 1))
   }
+  test("phrase prefix: trailing star inside quotes") {
+    assert(QueryParser.parse("\"merge str*\"") == PhrasePrefixQ(Seq("merge"), "str"))
+    assert(QueryParser.parse("\"fast table x*\"") == PhrasePrefixQ(Seq("fast", "table"), "x"))
+    // single-token phrase prefix degenerates to a plain prefix
+    assert(QueryParser.parse("\"abc*\"") == PrefixQ("abc"))
+    // a slop makes the star's binding ambiguous -> analyzed literally
+    assert(QueryParser.parse("\"merge str*\"~2") == PhraseQ(Seq("merge", "str"), 2))
+  }
+  test("occur modifiers: +required, -prohibited, mixed with unmarked") {
+    assert(QueryParser.parse("+merge stream") ==
+      BoolQ(must = Seq(TermQ("merge")), should = Seq(TermQ("stream"))))
+    assert(QueryParser.parse("+merge +stream") ==
+      BoolQ(must = Seq(TermQ("merge"), TermQ("stream"))))
+    assert(QueryParser.parse("merge -vector") ==
+      BoolQ(should = Seq(TermQ("merge")), mustNot = Seq(TermQ("vector")),
+        minShouldMatch = 1))
+    assert(QueryParser.parse("+merge stream -vector") ==
+      BoolQ(must = Seq(TermQ("merge")), should = Seq(TermQ("stream")),
+        mustNot = Seq(TermQ("vector"))))
+    assert(QueryParser.parse("+merge") == TermQ("merge")) // rewrite unwraps
+    assert(QueryParser.parse("-merge") ==
+      BoolQ(must = Seq(MatchAll), mustNot = Seq(TermQ("merge"))))
+    // modifiers bind to groups and phrases too
+    assert(QueryParser.parse("+(a1 b2) -\"fast table\"") ==
+      BoolQ(must = Seq(BoolQ(should = Seq(TermQ("a1"), TermQ("b2")), minShouldMatch = 1)),
+        mustNot = Seq(PhraseQ(Seq("fast", "table")))))
+    // mid-conjunction modifiers: + is the default, - behaves like NOT
+    assert(QueryParser.parse("merge AND +stream") ==
+      BoolQ(must = Seq(TermQ("merge"), TermQ("stream"))))
+    assert(QueryParser.parse("merge AND -vector") ==
+      QueryParser.parse("merge AND NOT vector"))
+  }
   test("range syntax: inclusivity, open bounds, fields, composition") {
     assert(QueryParser.parse("[aa TO bb]") == TermRangeQ("aa", "bb"))
     assert(QueryParser.parse("{aa TO bb}") == TermRangeQ("aa", "bb", incLo = false, incHi = false))
