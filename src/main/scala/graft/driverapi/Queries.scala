@@ -998,6 +998,32 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM comb ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // field-scoped group (`path:(src3 OR src7)`, classic parser field
+    // state across parens): both terms scored with the PATH field's own
+    // collection stats; every doc carries exactly one source token
+    "ft_field_group_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.QueryParser.parse("path:(src3 OR src7)"), 10)(spark, dir)
+    }, Some(
+      s"""WITH ptok AS (SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9_]+')) AS term
+         |         FROM documents),
+         |pdl AS (SELECT doc_id, count(*) AS len FROM ptok GROUP BY doc_id),
+         |pst AS (SELECT (SELECT count(*) FROM pdl) AS n,
+         |               CAST((SELECT count(*) FROM ptok) AS DOUBLE) AS sttf),
+         |pqd AS (SELECT doc_id, $qlenExpr AS qlen FROM pdl),
+         |tfp AS (SELECT doc_id, term, count(*) AS tf FROM ptok
+         |        WHERE term IN ('src3', 'src7') GROUP BY doc_id, term),
+         |dfp AS (SELECT term, count(*) AS df FROM tfp GROUP BY term),
+         |sc AS (SELECT tfp.doc_id,
+         |         sum(ln(1 + (pst.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         |          - ln(1 + (pst.n - dfp.df + 0.5)/(dfp.df + 0.5))
+         |            /(1 + tfp.tf * (1.0/(1.2*(0.25 + 0.75*pqd.qlen/(pst.sttf/pst.n)))))) AS s
+         |       FROM tfp JOIN dfp ON tfp.term = dfp.term
+         |            JOIN pqd ON tfp.doc_id = pqd.doc_id, pst
+         |       GROUP BY tfp.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // query-time WEIGHTED BM25F (CombinedFieldQuery.java:79, weights
     // content=1, path=2): pseudo-stats df=max / weighted sums
     // (:274-317), freq = sum of weight*tf (:430-437), per-doc norm =

@@ -588,10 +588,14 @@ object QueryParser {
         while (j < s.length && !s.charAt(j).isWhitespace && s.charAt(j) != '(' && s.charAt(j) != ')' && s.charAt(j) != '"' && s.charAt(j) != '[' && s.charAt(j) != '{') j += 1
         val w0 = s.substring(i, j)
         i = j
-        // `field:[...` — hand the field to the upcoming range token
+        // `field:[...` — hand the field to the upcoming range token;
+        // `field:(...)` — field-scoped group (`QueryParserBase` field
+        // state pushed across a parenthesized clause)
         if (w0.length > 1 && w0.endsWith(":") && j < s.length &&
             (s.charAt(j) == '[' || s.charAt(j) == '{')) {
           pendingField = w0.dropRight(1)
+        } else if (w0.length > 1 && w0.endsWith(":") && j < s.length && s.charAt(j) == '(') {
+          out += Tok("fieldgroup", w0.dropRight(1))
         } else {
         // trailing ^boost (classic parser `term^2`; a bare `^2` boosts the
         // preceding group/phrase atom)
@@ -629,6 +633,35 @@ object QueryParser {
     out.toList
   }
 
+  /** Push a field scope onto every leaf of a `field:(...)` group — the
+    * classic parser keeps the field as parse state across the group
+    * (`QueryParserBase` field argument threading). The content field is
+    * the default namespace; `lang` stays the non-scoring keyword filter.
+    */
+  private def fieldify(f: String, q: Query): Query = {
+    def pre(s: String) = if (f == "content") s else s"@$f:$s"
+    def go(q: Query): Query = q match {
+      case TermQ(t) if f == "lang" => ConstScoreQ(TermQ(s"#lang:$t"), 0f)
+      case TermQ(t) => TermQ(pre(t))
+      case PhraseQ(ts, sl) => PhraseQ(ts.map(pre), sl)
+      case MultiPhraseQ(slots) => MultiPhraseQ(slots.map(_.map(pre)))
+      case PhrasePrefixQ(ts, p, m) => PhrasePrefixQ(ts.map(pre), pre(p), m)
+      case PrefixQ(p) => PrefixQ(pre(p))
+      case WildcardQ(p) => WildcardQ(pre(p))
+      case RegexpQ(p) => RegexpQ(pre(p))
+      case FuzzyQ(t, e, m) => FuzzyQ(pre(t), e, m)
+      case TermRangeQ(lo, hi, il, ih) => TermRangeQ(pre(lo), pre(hi), il, ih)
+      case SynonymQ(ts) => SynonymQ(ts.map(pre))
+      case BoolQ(m, sh, n, msm, fl) =>
+        BoolQ(m.map(go), sh.map(go), n.map(go), msm, fl.map(go))
+      case DisMaxQ(cs, tb) => DisMaxQ(cs.map(go), tb)
+      case ConstScoreQ(i, b) => ConstScoreQ(go(i), b)
+      case BoostQ(i, b) => BoostQ(go(i), b)
+      case other => other
+    }
+    go(q)
+  }
+
   def parse(s: String): Query = {
     var toks = lex(s)
     def peek: Option[Tok] = toks.headOption
@@ -658,6 +691,8 @@ object QueryParser {
         } else PhraseQ(ts, slop.toInt)
       case Some(Tok("kw", t)) =>
         pop(); ConstScoreQ(TermQ(t), 0f) // matches, contributes no score
+      case Some(Tok("fieldgroup", f)) =>
+        pop(); fieldify(f, atomCore())
       case Some(Tok("range", v)) =>
         pop()
         val Array(inc, f, lo0, hi0) = v.split(":", 4)

@@ -277,6 +277,18 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("def class") ==
       BoolQ(should = Seq(TermQ("def"), TermQ("class")), minShouldMatch = 1))
   }
+  test("field-scoped groups: field:(...) pushes the field to every leaf") {
+    assert(QueryParser.parse("path:(src3 OR src7)") ==
+      BoolQ(should = Seq(TermQ("@path:src3"), TermQ("@path:src7")), minShouldMatch = 1))
+    assert(QueryParser.parse("path:(a1 AND b2*)") ==
+      BoolQ(must = Seq(TermQ("@path:a1"), PrefixQ("@path:b2"))))
+    assert(QueryParser.parse("lang:(en fr)") ==
+      BoolQ(should = Seq(ConstScoreQ(TermQ("#lang:en"), 0f),
+        ConstScoreQ(TermQ("#lang:fr"), 0f)), minShouldMatch = 1))
+    assert(QueryParser.parse("merge AND path:(src3 OR src7)") ==
+      BoolQ(must = Seq(TermQ("merge"),
+        BoolQ(should = Seq(TermQ("@path:src3"), TermQ("@path:src7")), minShouldMatch = 1))))
+  }
   test("phrase prefix: trailing star inside quotes") {
     assert(QueryParser.parse("\"merge str*\"") == PhrasePrefixQ(Seq("merge"), "str"))
     assert(QueryParser.parse("\"fast table x*\"") == PhrasePrefixQ(Seq("fast", "table"), "x"))
