@@ -2702,6 +2702,83 @@ object Queries {
          |  FROM first f JOIN documents d ON f.doc_id = d.doc_id)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin))),
 
+    // k-NN classifier (classification/.../KNearestNeighborClassifier.java:
+    // 156-193, 199-246): boosted-MLT top-k per input doc, classes voted
+    // score(c) = sum_{hits of c}(score/maxScore) / min(k, hits) — the
+    // reference's count*normBoost/k with its sumdoc<k correction folded
+    // (count cancels; hits <= k always). Rounded scores end-to-end.
+    "classify_knn" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val tests = docs.filter($"doc_id" < 5).select($"doc_id", $"text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val hitRows = tests.map { case (sid, text) =>
+        (sid, topRoundedHits(index, graft.exec.MoreLikeThis.likeQueryBoosted(index, text), 10))
+      }
+      val allIds = hitRows.flatMap(_._2.map(_._1)).distinct.toSeq
+      val langOf = spark.createDataset(allIds).toDF("docId")
+        .join(mapping, "docId")
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .select($"docId", $"lang").as[(Long, String)].collect().toMap
+      val verdicts = hitRows.map { case (sid, hits) =>
+        val maxs = hits.head._2
+        val sumdoc = hits.length
+        val byLang = hits.groupBy(h => langOf(h._1)).map { case (l, hs) =>
+          (l, r4d(hs.map(_._2 / maxs).sum / sumdoc))
+        }
+        val (lang, s) = byLang.toSeq.sortBy { case (l, s) => (-s, l) }.head
+        (sid, lang, s)
+      }
+      spark.createDataset(verdicts.toSeq).toDF("doc_id", "lang", "score")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH $tokCte,
+         |mtf AS (SELECT doc_id AS sid, term, count(*) AS tf FROM tok WHERE doc_id < 5
+         |        GROUP BY doc_id, term HAVING count(*) >= 2),
+         |mdf AS (SELECT t.term, count(DISTINCT t.doc_id) AS df FROM tok t
+         |        WHERE t.term IN (SELECT DISTINCT term FROM mtf) GROUP BY t.term),
+         |mn AS (SELECT count(*) AS n FROM documents),
+         |mcand AS (SELECT m.sid, m.term, m.tf * (ln((mn.n + 1.0)/(d.df + 1.0)) + 1.0) AS msc
+         |          FROM mtf m JOIN mdf d ON m.term = d.term, mn WHERE d.df >= 5),
+         |msel AS (SELECT sid, term, msc FROM (SELECT sid, term, msc,
+         |           row_number() OVER (PARTITION BY sid ORDER BY floor(msc*10000+0.5) DESC, term) AS rn
+         |         FROM mcand) WHERE rn <= 25),
+         |mbest AS (SELECT sid, max(msc) AS best FROM msel GROUP BY sid),
+         |boosts AS (SELECT msel.sid, msel.term,
+         |             CAST(floor(msel.msc/mbest.best*10000+0.5)/10000 AS FLOAT) AS boost
+         |           FROM msel JOIN mbest ON msel.sid = mbest.sid),
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN (SELECT DISTINCT term FROM boosts) GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT b.sid, tf.doc_id,
+         |         sum(b.boost * idf.idf
+         |             - (b.boost * idf.idf)/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term
+         |            JOIN boosts b ON tf.term = b.term
+         |            JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY b.sid, tf.doc_id),
+         |topk AS (SELECT sid, doc_id, s4 FROM (
+         |   SELECT sid, doc_id, floor(s*10000+0.5)/10000 AS s4,
+         |          row_number() OVER (PARTITION BY sid
+         |            ORDER BY floor(s*10000+0.5)/10000 DESC, doc_id) AS rn
+         |   FROM sc) WHERE rn <= 10),
+         |mx AS (SELECT sid, max(s4) AS maxs, count(*) AS sumdoc FROM topk GROUP BY sid),
+         |vote AS (SELECT t.sid, d.lang, sum(t.s4/mx.maxs)/mx.sumdoc AS vs
+         |         FROM topk t JOIN documents d ON t.doc_id = d.doc_id
+         |              JOIN mx ON t.sid = mx.sid
+         |         GROUP BY t.sid, d.lang, mx.sumdoc)
+         |SELECT doc_id, lang, score FROM (
+         |  SELECT sid AS doc_id, lang, floor(vs*10000+0.5)/10000 AS score,
+         |         row_number() OVER (PARTITION BY sid
+         |           ORDER BY floor(vs*10000+0.5)/10000 DESC, lang) AS rn
+         |  FROM vote) WHERE rn = 1 ORDER BY doc_id""".stripMargin))),
+
     // classification-module analogue (SimpleNaiveBayesClassifier.java:
     // 146-152, 209-252): P(c|d) ranked by ln-prior + add-1-smoothed
     // ln-likelihood with den = avgUniqueTermsPerDoc * df(class) + N;

@@ -63,4 +63,23 @@ object MoreLikeThis {
   /** The MLT query: a plain SHOULD disjunction of the selected terms. */
   def likeQuery(index: Index, content: String, p: Params = Params()): Query =
     BoolQ(should = selectTerms(index, content, p).map { case (t, _) => TermQ(t) })
+
+  /** Boosted MLT (`mlt.setBoost(true)`, `MoreLikeThis.java` createQuery
+    * boost path — the mode KNearestNeighborClassifier forces with the
+    * comment "terms boost actually helps in MLT queries"): each selected
+    * term boosted by score/bestScore. The ratio is 1e-4-quantised then
+    * FLOAT-cast so a cross-engine oracle reproduces the widened value
+    * exactly.
+    */
+  def likeQueryBoosted(index: Index, content: String, p: Params = Params()): Query = {
+    val sel = selectTerms(index, content, p)
+    if (sel.isEmpty) graft.query.MatchNone
+    else {
+      val best = sel.map(_._2).max
+      BoolQ(should = sel.map { case (t, s) =>
+        graft.query.BoostQ(TermQ(t),
+          (math.floor(s / best * 10000d + 0.5d) / 10000d).toFloat)
+      })
+    }
+  }
 }
