@@ -2702,6 +2702,34 @@ object Queries {
          |  FROM first f JOIN documents d ON f.doc_id = d.doc_id)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin))),
 
+    // LMDirichletSimilarity (core/search/similarities/LMDirichletSimilarity
+    // .java:68-76, mu=2000): per-term ln(1 + tf/(mu*P)) + ln(mu/(dl+mu))
+    // clamped at 0, P = (ttf+1)/(sumTTF+1), dl = the byte-quantised
+    // decoded length — third member of the similarity SPI family
+    "ft_lmdirichlet_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("stream"))), 10,
+        sim = graft.exec.LMDirichletSim)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |tt AS (SELECT term, CAST(count(*) AS BIGINT) AS ttf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(greatest(0.0,
+         |           ln(1 + tf.tf / (2000.0 * ((tt.ttf + 1.0)/(st.sttf + 1.0))))
+         |           + ln(2000.0 / (qd.qlen + 2000.0)))) AS s
+         |       FROM tf JOIN tt ON tf.term = tt.term
+         |            JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // k-NN classifier (classification/.../KNearestNeighborClassifier.java:
     // 156-193, 199-246): boosted-MLT top-k per input doc, classes voted
     // score(c) = sum_{hits of c}(score/maxScore) / min(k, hits) — the

@@ -481,13 +481,16 @@ object Searcher {
     // member terms share one field (the parser never mixes fields in a phrase)
     def phraseScorer(ts: Seq[String]): Kernel.AnyScorer = {
       val pfs = fsOf(graft.build.IndexBuilder.fieldOf(ts.head))
-      sim.phrase(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)), pfs, doubleMode)
+      sim.phrase(ts.map(t => statsMap.getOrElse(t, TermStats(t, 0L, 0L))), pfs, doubleMode)
     }
 
-    // synonym pseudo-term: df = max of member dfs (SynonymQuery.java:223)
-    def synonymScorer(ts: Seq[String]): Kernel.AnyScorer =
-      anyScorer(ts.map(t => statsMap.get(t).map(_.df).getOrElse(0L)).max,
-        field = graft.build.IndexBuilder.fieldOf(ts.head))
+    // synonym pseudo-term: df = max of member dfs, ttf = sum
+    // (SynonymQuery.java:223 blended pseudo-stats)
+    def synonymScorer(ts: Seq[String]): Kernel.AnyScorer = {
+      val sts = ts.map(t => statsMap.getOrElse(t, TermStats(t, 0L, 0L)))
+      anyScorerF(fsOf(graft.build.IndexBuilder.fieldOf(ts.head)),
+        TermStats("", sts.map(_.df).max, sts.map(_.ttf).sum), 1f, -1d)
+    }
 
     // weighted BM25F pseudo-stats (`CombinedFieldQuery.java:274-291,299-317`):
     // df = max over fields; ttf / sumTotalTermFreq accumulate via the
@@ -514,8 +517,11 @@ object Searcher {
     }
 
     val scorers = Scorers(
-      terms.map(t => t -> anyScorer(statsMap.get(t).map(_.df).getOrElse(0L),
-        field = graft.build.IndexBuilder.fieldOf(t))).toMap,
+      // FULL stats per term (ttf feeds language-model similarities;
+      // TF-IDF sims only read df)
+      terms.map(t => t -> anyScorerF(
+        fsOf(graft.build.IndexBuilder.fieldOf(t)),
+        statsMap.getOrElse(t, TermStats(t, 0L, 0L)), 1f, -1d)).toMap,
       phrases(query).map(ts => ts -> phraseScorer(ts)).toMap,
       synonyms(query).map(ts => ts -> synonymScorer(ts)).toMap,
       // df < 0 = parser-boosted term (use the term's REAL df; the blended

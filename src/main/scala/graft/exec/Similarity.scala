@@ -13,10 +13,14 @@ trait SimilarityFactory extends Serializable {
   def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
       doubleMode: Boolean): Kernel.AnyScorer
 
-  /** Phrase pseudo-term: weight from the SUMMED member idfs
-    * (`PhraseWeight` uses `idfExplain(collectionStats, termStats[])`).
+  /** Phrase pseudo-term from the members' FULL stats: TF-IDF sims sum
+    * member idfs (`PhraseWeight` uses
+    * `idfExplain(collectionStats, termStats[])`); language-model sims
+    * need ttf per member (`SimilarityBase.scorer(...)` builds one
+    * subscorer per member and SUMS their scores,
+    * `MultiSimilarity.MultiSimScorer.score`).
     */
-  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer
 }
 
 /** Default BM25 (`core/search/similarities/BM25Similarity.java`). */
@@ -27,14 +31,14 @@ object BM25Sim extends SimilarityFactory {
       if (boostD >= 0d) boostD else boost.toDouble))
     else Kernel.FloatScorer(BM25.termScorer(stats, fs, boost))
 
-  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
     if (doubleMode) {
       var idf = 0d
-      dfs.foreach(df => idf += BM25.idfDouble(df, fs.docCount))
+      stats.foreach(ts => idf += BM25.idfDouble(ts.df, fs.docCount))
       Kernel.DoubleScorer(new BM25.TermScorerD(idf, BM25.cacheD(fs)))
     } else {
       var idf = 0d
-      dfs.foreach(df => idf += BM25.idf(df, fs.docCount).toDouble)
+      stats.foreach(ts => idf += BM25.idf(ts.df, fs.docCount).toDouble)
       Kernel.FloatScorer(new BM25.TermScorer(idf.toFloat, BM25.cacheF(fs)))
     }
 }
@@ -110,14 +114,73 @@ object ClassicSim extends SimilarityFactory {
       new ScorerD((if (boostD >= 0d) boostD else boost.toDouble) * idfDouble(stats.df, fs.docCount), tableD)
     else new ScorerF(boost * idf(stats.df, fs.docCount), tableF)
 
-  def phrase(dfs: Seq[Long], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
     if (doubleMode) {
       var w = 0d
-      dfs.foreach(df => w += idfDouble(df, fs.docCount))
+      stats.foreach(ts => w += idfDouble(ts.df, fs.docCount))
       new ScorerD(w, tableD)
     } else {
       var w = 0d
-      dfs.foreach(df => w += idf(df, fs.docCount).toDouble)
+      stats.foreach(ts => w += idf(ts.df, fs.docCount).toDouble)
       new ScorerF(w.toFloat, tableF)
     }
+}
+
+/** LMDirichletSimilarity — Bayesian smoothing with Dirichlet priors
+  * (`core/search/similarities/LMDirichletSimilarity.java:68-76`, Zhai &
+  * Lafferty 2001), default mu = 2000 (`:61-66`):
+  *
+  *   P(t|C) = (ttf + 1) / (sumTotalTermFreq + 1)
+  *            (`LMSimilarity.DefaultCollectionModel.computeProbability`)
+  *   score  = boost * (ln(1 + freq/(mu*P)) + ln(mu/(dl + mu))), clamped
+  *            at 0 (the paper's negative scores return 0, `:73-75`)
+  *
+  * dl is the byte-quantised decoded length (`SimilarityBase` LENGTH_TABLE
+  * lookup). Score is monotone up in freq and down in dl, so block-max
+  * bounds from (maxFreq, minNorm) impacts remain valid; freq is
+  * unbounded, so the global pre-block bound is +inf. Float-parity mode
+  * casts the double computation to float at the end, exactly
+  * `SimilarityBase.BasicSimScorer.score`'s `(float)` return.
+  */
+object LMDirichletSim extends SimilarityFactory {
+  val Mu: Double = 2000d
+
+  private def pOf(ttf: Long, fs: FieldStats): Double =
+    (ttf + 1d) / (fs.sumTotalTermFreq + 1d)
+
+  /** One subscorer per member stat, scores SUMMED at the same
+    * (freq, norm) — `MultiSimilarity.MultiSimScorer.score`.
+    */
+  final class Scorer(boost: Double, ps: Array[Double], asFloat: Boolean)
+      extends Kernel.AnyScorer {
+    private def raw(freq: Double, norm: Byte): Double = {
+      val dl = SmallFloat.LengthTable(norm & 0xff).toDouble
+      var s = 0d
+      var i = 0
+      while (i < ps.length) {
+        val one = boost * (math.log(1 + freq / (Mu * ps(i))) + math.log(Mu / (dl + Mu)))
+        s += (if (one > 0d) one else 0d)
+        i += 1
+      }
+      s
+    }
+    def score(freq: Int, norm: Byte): Double = {
+      val s = raw(freq.toDouble, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def scoreF(freq: Double, norm: Byte): Double = {
+      val s = raw(freq, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = score(maxFreq, minNorm)
+    def globalMax: Double = Double.PositiveInfinity
+  }
+
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(if (doubleMode && boostD >= 0d) boostD else boost.toDouble,
+      Array(pOf(stats.ttf, fs)), asFloat = !doubleMode)
+
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(1d, stats.map(ts => pOf(ts.ttf, fs)).toArray, asFloat = !doubleMode)
 }

@@ -787,7 +787,8 @@ object QueryParser {
       while (peek.exists(t => t.kind == "OR" || t.kind == "term" ||
           t.kind == "phrase" || t.kind == "prefix" || t.kind == "wildcard" ||
           t.kind == "fuzzy" || t.kind == "kw" || t.kind == "field" ||
-          t.kind == "(" || t.kind == "range" || t.kind == "+" || t.kind == "-")) {
+          t.kind == "(" || t.kind == "range" || t.kind == "fieldgroup" ||
+          t.kind == "+" || t.kind == "-")) {
         if (peek.exists(_.kind == "OR")) pop()
         clauses = clauses :+ ((nextMod(), and()))
       }

@@ -288,6 +288,11 @@ class QueryParserSpec extends AnyFunSuite {
     assert(QueryParser.parse("merge AND path:(src3 OR src7)") ==
       BoolQ(must = Seq(TermQ("merge"),
         BoolQ(should = Seq(TermQ("@path:src3"), TermQ("@path:src7")), minShouldMatch = 1))))
+    // implicit-OR juxtaposition continues across a field group
+    assert(QueryParser.parse("merge path:(src3 src7)") ==
+      BoolQ(should = Seq(TermQ("merge"),
+        BoolQ(should = Seq(TermQ("@path:src3"), TermQ("@path:src7")), minShouldMatch = 1)),
+        minShouldMatch = 1))
   }
   test("phrase prefix: trailing star inside quotes") {
     assert(QueryParser.parse("\"merge str*\"") == PhrasePrefixQ(Seq("merge"), "str"))
