@@ -2561,6 +2561,40 @@ object Queries {
          |       df
          |FROM cand ORDER BY score DESC, df DESC, term LIMIT 5""".stripMargin))),
 
+    // WordBreakSpellChecker.suggestWordBreaks: 'scanmerge' is absent;
+    // split positions where BOTH parts exist, ranked max-part-df desc
+    "spell_word_break" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.wordBreaks(index, "scanmerge", 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |ts AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+         |pos AS (SELECT CAST(i AS INT) AS i FROM range(1, length('scanmerge')) t(i)),
+         |cand AS (SELECT substr('scanmerge', 1, i) AS left_part,
+         |                substr('scanmerge', i + 1) AS right_part FROM pos)
+         |SELECT c.left_part, c.right_part, l.df AS freq_left, r.df AS freq_right
+         |FROM cand c JOIN ts l ON c.left_part = l.term JOIN ts r ON c.right_part = r.term
+         |ORDER BY greatest(l.df, r.df) DESC, c.left_part LIMIT 5""".stripMargin))),
+
+    // suggestWordCombinations: adjacent input words where one side is
+    // absent and the concatenation exists ('tab'+'le' -> 'table')
+    "spell_word_combine" -> (((spark, dir) => {
+      val (index, _) = Corpus.get(spark, dir)
+      graft.exec.Suggest.wordCombine(index, Seq("big", "tab", "le", "row"), 5)
+    }, Some(
+      s"""WITH $tokCte,
+         |ts AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+         |words(w, i) AS (VALUES ('big', 0), ('tab', 1), ('le', 2), ('row', 3)),
+         |pairs AS (SELECT a.w AS w1, b.w AS w2, a.i AS i FROM words a JOIN words b ON b.i = a.i + 1),
+         |ev AS (SELECT pairs.w1, pairs.w2, pairs.i,
+         |              coalesce(l.df, 0) AS d1, coalesce(r.df, 0) AS d2, coalesce(c.df, 0) AS cf
+         |       FROM pairs LEFT JOIN ts l ON pairs.w1 = l.term
+         |            LEFT JOIN ts r ON pairs.w2 = r.term
+         |            LEFT JOIN ts c ON (pairs.w1 || pairs.w2) = c.term)
+         |SELECT w1 || w2 AS combined, CAST(i AS BIGINT) AS pos, cf AS freq FROM ev
+         |WHERE least(d1, d2) = 0 AND cf >= 1 AND length(w1 || w2) <= 20
+         |ORDER BY cf DESC, pos LIMIT 5""".stripMargin))),
+
     // AnalyzingSuggester surface: weight-ordered prefix completion,
     // weight = corpus ttf (the DocumentDictionary analogue)
     "suggest_prefix_topk" -> (((spark, dir) => {

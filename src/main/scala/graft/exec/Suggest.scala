@@ -35,21 +35,32 @@ object Suggest {
     * distributed). Scores are 1e-4-quantised so ranking is reproducible
     * cross-engine.
     */
+  /** SuggestMode (`suggest/.../spell/SuggestMode.java`): when to offer
+    * corrections and what df floor candidates must clear.
+    */
+  val ModeNotInIndex = "not_in_index" // default: only absent terms corrected
+  val ModeMorePopular = "more_popular" // candidates must beat the query's df
+  val ModeAlways = "always"
+
   def didYouMean(index: Index, queryTerm: String, numSug: Int,
       maxEdits: Int = 2, minPrefix: Int = 1, minQueryLength: Int = 4,
-      maxQueryFrequency: Float = 0.01f, accuracy: Float = 0.5f): DataFrame = {
+      maxQueryFrequency: Float = 0.01f, accuracy: Float = 0.5f,
+      mode: String = ModeNotInIndex): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
     def empty = spark.createDataset(Seq.empty[(String, Double, Long)])
       .toDF("term", "score", "df")
     if (queryTerm.codePointCount(0, queryTerm.length) < minQueryLength) return empty
-    // query-term df gates (`DirectSpellChecker.java:339-349`): only
-    // correct terms ABSENT from the index (mode default), and never
-    // "correct" a term more frequent than maxQueryFrequency*maxDoc
+    // query-term df gates (`DirectSpellChecker.java:339-349`): the default
+    // mode only corrects terms ABSENT from the index, and no mode
+    // "corrects" a term more frequent than maxQueryFrequency*maxDoc;
+    // MORE_POPULAR raises the candidate df floor to the query's own df
+    // (`:351-357`: docfreq kept only in that mode)
     val qdf = index.termStats.filter($"term" === queryTerm)
       .select($"df").as[Long].collect().headOption.getOrElse(0L)
-    if (qdf > 0) return empty // SUGGEST_WHEN_NOT_IN_INDEX
+    if (qdf > 0 && mode == ModeNotInIndex) return empty
     if (qdf > math.ceil(maxQueryFrequency * index.fieldStats.docCount.toFloat).toInt) return empty
+    val dfFloor = if (mode == ModeMorePopular) qdf else 0L
     val qLen = queryTerm.length
     val qSuf = queryTerm.substring(math.min(minPrefix, qLen))
     val pre = queryTerm.substring(0, math.min(minPrefix, qLen))
@@ -68,11 +79,73 @@ object Suggest {
       .filter($"term" =!= queryTerm) // `DirectSpellChecker.java:440-442`
       .withColumn("eb", edBoost($"term"))
       .filter($"eb._1" > 0 && $"eb._1" <= maxEdits && $"eb._2" >= accuracy)
+      .filter($"df" > dfFloor) // `DirectSpellChecker.java:446-449`
       .select($"term",
         (floor($"eb._2".cast("double") * 10000d + 0.5d) / 10000d).as("score"),
         $"df")
       .orderBy(desc("score"), desc("df"), asc("term"))
       .limit(numSug)
+  }
+
+  /** Run-together word splitting — `suggest/.../spell/
+    * WordBreakSpellChecker.suggestWordBreaks` with its defaults
+    * (`:34-37`: maxChanges=1 so bi-sects only, minSuggestionFrequency=1,
+    * minBreakWordLength=1; mode SUGGEST_WHEN_NOT_IN_INDEX gates on the
+    * whole term's absence, `:419-421`): every split position whose left
+    * AND right parts exist in the dictionary is a suggestion, ranked by
+    * the NUM_CHANGES_THEN_MAX_FREQUENCY comparator (`:461-471`: fewer
+    * words, then higher max part-df; our deterministic residual
+    * tie-break is left-part asc). ONE pushed `In(term, parts)` stats
+    * lookup — 2*(len-1) strings, bounded by the term's length, never a
+    * vocabulary scan.
+    */
+  def wordBreaks(index: Index, term: String, maxSuggestions: Int): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    def empty = spark.createDataset(Seq.empty[(String, String, Long, Long)])
+      .toDF("left_part", "right_part", "freq_left", "freq_right")
+    if (term.length < 2) return empty
+    val splits = (1 until term.length).map(i => (term.substring(0, i), term.substring(i)))
+    val need = (splits.flatMap(p => Seq(p._1, p._2)) :+ term).distinct
+    val dfs = index.termStats.filter($"term".isin(need: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    if (dfs.getOrElse(term, 0L) > 0L) return empty // SUGGEST_WHEN_NOT_IN_INDEX
+    val rows = splits.flatMap { case (l, r) =>
+      for (dl <- dfs.get(l); dr <- dfs.get(r) if dl > 0 && dr > 0)
+        yield (l, r, dl, dr)
+    }.sortBy { case (l, _, dl, dr) => (-math.max(dl, dr), l) }.take(maxSuggestions)
+    spark.createDataset(rows).toDF("left_part", "right_part", "freq_left", "freq_right")
+  }
+
+  /** Incorrectly-split word combining — `suggestWordCombinations`
+    * (`:148-246`) with maxChanges=1 (adjacent pairs) and mode
+    * SUGGEST_WHEN_NOT_IN_INDEX (`:217`: at least one original part must
+    * be ABSENT), maxCombineWordLength=20: a pair combines when the
+    * concatenation exists (df >= minSuggestionFrequency=1), ranked by
+    * the CombinationsThenFreqComparator (`:487-498`: fewer
+    * combinations, then higher combined df; residual tie-break =
+    * position asc). Again one pushed In(...) stats lookup.
+    */
+  def wordCombine(index: Index, words: Seq[String], maxSuggestions: Int,
+      maxCombineWordLength: Int = 20): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    def empty = spark.createDataset(Seq.empty[(String, Long, Long)])
+      .toDF("combined", "pos", "freq")
+    if (words.size < 2) return empty
+    val pairs = words.zipWithIndex.sliding(2).map(s => (s(0), s(1))).toSeq
+    val need = (words ++ pairs.map { case ((a, _), (b, _)) => a + b }).distinct
+    val dfs = index.termStats.filter($"term".isin(need: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val rows = pairs.flatMap { case ((a, i), (b, _)) =>
+      val combined = a + b
+      val cf = dfs.getOrElse(combined, 0L)
+      val minOrig = math.min(dfs.getOrElse(a, 0L), dfs.getOrElse(b, 0L))
+      if (minOrig == 0L && cf >= 1L && combined.length <= maxCombineWordLength)
+        Some((combined, i.toLong, cf))
+      else None
+    }.sortBy { case (_, i, cf) => (-cf, i) }.take(maxSuggestions)
+    spark.createDataset(rows).toDF("combined", "pos", "freq")
   }
 
   /** Weight-ordered prefix completion — the AnalyzingSuggester /

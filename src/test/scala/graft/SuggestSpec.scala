@@ -58,6 +58,43 @@ class SuggestSpec extends SparkTest {
     assert(Suggest.didYouMean(index, "tpill", 5).count() === 0L)
   }
 
+  test("didYouMean modes: more_popular df floor, always ignores presence") {
+    // "still" (df 3, in 3/24 docs): the maxQueryFrequency gate (default
+    // 0.01*maxDoc) refuses frequent terms in EVERY mode — raise it for
+    // the 24-doc fixture to exercise the mode logic itself
+    assert(Suggest.didYouMean(index, "still", 5).count() === 0L)
+    assert(Suggest.didYouMean(index, "still", 5,
+      maxQueryFrequency = 0.5f, mode = Suggest.ModeAlways).count() > 0L)
+    val always = Suggest.didYouMean(index, "still", 5,
+      maxQueryFrequency = 0.5f, mode = Suggest.ModeAlways)
+      .collect().map(_.getString(0)).toSeq
+    assert(always.contains("stile") && always.contains("spill"), always.toString)
+    // more_popular: only candidates with df > 3 survive (stile 6, spill 12)
+    val popular = Suggest.didYouMean(index, "still", 5,
+      maxQueryFrequency = 0.5f, mode = Suggest.ModeMorePopular)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(popular.nonEmpty && popular.forall(_._2 > 3L), popular.toString)
+  }
+
+  test("wordBreaks: bi-sects where both parts exist, max-freq order, gates") {
+    // "spillmerge" absent; valid splits: spill+merge (df 12/24)
+    val got = Suggest.wordBreaks(index, "spillmerge", 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("spill", "merge", 12L, 24L)), got.toString)
+    // in-index terms are never broken (SUGGEST_WHEN_NOT_IN_INDEX)
+    assert(Suggest.wordBreaks(index, "still", 5).count() === 0L)
+    // no valid split -> empty
+    assert(Suggest.wordBreaks(index, "zzzqqq", 5).count() === 0L)
+  }
+
+  test("wordCombine: adjacent absent parts whose concatenation exists") {
+    // "sti"+"ll" -> "still" (both parts absent, combined df 3);
+    // "merge"+"spark": both present -> gated; "ll"+"merge" -> absent
+    val got = Suggest.wordCombine(index, Seq("sti", "ll", "merge", "spark"), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("still", 0L, 3L)), got.toString)
+  }
+
   test("completePrefix: weight order, term tie-break, k cap") {
     val got = Suggest.completePrefix(index, "st", 10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
