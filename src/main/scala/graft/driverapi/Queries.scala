@@ -2763,6 +2763,22 @@ object Queries {
          |  FROM first f JOIN documents d ON f.doc_id = d.doc_id)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin))),
 
+    // BooleanSimilarity (core/search/similarities/BooleanSimilarity.java):
+    // every matched clause scores its boost — a 3-term SHOULD ranks docs
+    // by matched-term COUNT, the matched-set semantics
+    "ft_boolean_sim_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("stream"),
+          graft.query.TermQ("vector"))), 10,
+        sim = graft.exec.BooleanSim)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |sc AS (SELECT doc_id, CAST(count(DISTINCT term) AS DOUBLE) AS s FROM tok
+         |       WHERE term IN ('merge', 'stream', 'vector') GROUP BY doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // LMDirichletSimilarity (core/search/similarities/LMDirichletSimilarity
     // .java:68-76, mu=2000): per-term ln(1 + tf/(mu*P)) + ln(mu/(dl+mu))
     // clamped at 0, P = (ttf+1)/(sumTTF+1), dl = the byte-quantised

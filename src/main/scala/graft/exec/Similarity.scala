@@ -126,6 +126,26 @@ object ClassicSim extends SimilarityFactory {
     }
 }
 
+/** BooleanSimilarity (`core/search/similarities/BooleanSimilarity.java:
+  * 28-66`): every match scores the query boost — freq, norm, and
+  * collection stats are ignored ("simple similarity that gives terms a
+  * score equal to their query boost"). Under a boolean SHOULD tree a
+  * doc's score is therefore its matched-clause count — set semantics.
+  */
+object BooleanSim extends SimilarityFactory {
+  final class Scorer(b: Double) extends Kernel.AnyScorer {
+    def score(freq: Int, norm: Byte): Double = b
+    def scoreF(freq: Double, norm: Byte): Double = b
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = b
+    def globalMax: Double = b
+  }
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(if (doubleMode && boostD >= 0d) boostD else boost.toDouble)
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(1d)
+}
+
 /** LMDirichletSimilarity — Bayesian smoothing with Dirichlet priors
   * (`core/search/similarities/LMDirichletSimilarity.java:68-76`, Zhai &
   * Lafferty 2001), default mu = 2000 (`:61-66`):
