@@ -761,13 +761,24 @@ object IndexBuilder {
   private def commitsDir(dir: String) = s"$dir/commits"
   private def commitRoot(dir: String, id: Int) = s"${commitsDir(dir)}/commit_$id"
 
-  /** Pin the current commit point; returns the snapshot id. */
+  /** Pin the current commit point; returns the snapshot id. Ids are
+    * allocated from a persisted monotonic counter (never from
+    * max(remaining)+1 alone), so a released snapshot's id is never
+    * reissued — a stale snapId held by a reader fails to open rather
+    * than silently resolving to a DIFFERENT point-in-time state.
+    */
   def commitSnapshot(dir: String): Int = {
     val manifests = listManifests(dir)
     require(manifests.nonEmpty, s"nothing to snapshot in $dir")
     val tombs = IndexFs.list(tombstoneDir(dir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
-    val id = listSnapshots(dir).foldLeft(-1)(math.max) + 1
+    val counterPath = s"${commitsDir(dir)}/next_id"
+    val persisted =
+      if (IndexFs.exists(counterPath)) IndexFs.readString(counterPath).trim.toInt else 0
+    val id = math.max(persisted, listSnapshots(dir).foldLeft(-1)(math.max) + 1)
+    // counter first: a crash between counter and commit dir burns an id,
+    // never reuses one
+    IndexFs.writeString(counterPath, (id + 1).toString)
     val root = commitRoot(dir, id)
     val scope = sha256Hex("snap:" + tombs.mkString("|") + ":" +
       manifests.map(m => s"${m.seg}:${m.inputFingerprint}:${m.dataDir}")

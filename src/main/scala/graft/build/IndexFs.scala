@@ -53,9 +53,16 @@ object IndexFs {
     finally in.close()
   }
 
-  /** Atomic small-file write: tmp + rename, the same commit discipline as
-    * the livedocs sidecars — a manifest half-written by a killed driver
-    * must never be read back as a (corrupt) commit point.
+  /** Atomic small-file write: tmp + atomic-replace rename, the same
+    * commit discipline as the livedocs sidecars — a manifest half-written
+    * by a killed driver must never be read back as a (corrupt) commit
+    * point, and a reader racing the write must always see SOME complete
+    * file. The replace goes through `FileContext.rename(OVERWRITE)`
+    * (single atomic op on HDFS and posix stores — no delete window);
+    * only schemes with no AbstractFileSystem binding (e.g. the test
+    * scheme) fall back to delete-then-rename, whose gap is why the
+    * FileContext path is preferred (`FileSystem.rename` refuses an
+    * existing destination, which would otherwise force the delete).
     */
   def writeString(path: String, s: String): Unit = {
     val p = new Path(path)
@@ -66,10 +73,16 @@ object IndexFs {
     val out = fs.create(tmp, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      if (!fs.exists(p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(p)) throw new java.io.IOException(s"rename $tmp -> $p failed")
+        }
     }
   }
 

@@ -843,6 +843,12 @@ object Searcher {
   def docsBatch(index: Index, queries: Seq[(String, Query)]): DataFrame = {
     val spark = index.postings.sparkSession
     import spark.implicits._
+    // a percolator set with two DIFFERENT queries under one id is a
+    // registration bug — fail fast rather than silently evaluating only
+    // the first (exact duplicates are a harmless no-op re-registration)
+    val dup = queries.groupBy(_._1)
+      .collect { case (id, qs) if qs.distinct.size > 1 => id }
+    require(dup.isEmpty, s"conflicting queries registered under ids: ${dup.toSeq.sorted.mkString(", ")}")
     val planned: Seq[(String, Plan)] = queries.distinctBy(_._1).flatMap { case (qid, q0) =>
       plan(index, q0, doubleMode = true, scoring = false).map(qid -> _)
     }

@@ -59,7 +59,14 @@ object Suggest {
     val qdf = index.termStats.filter($"term" === queryTerm)
       .select($"df").as[Long].collect().headOption.getOrElse(0L)
     if (qdf > 0 && mode == ModeNotInIndex) return empty
-    if (qdf > math.ceil(maxQueryFrequency * index.fieldStats.docCount.toFloat).toInt) return empty
+    // values >= 1 are an ABSOLUTE document-frequency cutoff, < 1 a
+    // fraction of docCount (`DirectSpellChecker.setMaxQueryFrequency`
+    // doc + `:339-349`) — a caller using the absolute convention must
+    // not have its cutoff silently rescaled by corpus size
+    val qfCap =
+      if (maxQueryFrequency >= 1f) maxQueryFrequency.toLong
+      else math.ceil(maxQueryFrequency * index.fieldStats.docCount.toFloat).toLong
+    if (qdf > qfCap) return empty
     val dfFloor = if (mode == ModeMorePopular) qdf else 0L
     val qLen = queryTerm.length
     val qSuf = queryTerm.substring(math.min(minPrefix, qLen))

@@ -97,4 +97,21 @@ class MockFsSpec extends SparkTest {
     LiveDocs.gc(local, graceMs = 0)
     assert(!fresh.exists(), "grace 0 compacts everything")
   }
+
+  test("writeString atomically replaces an existing file on file: and mockfs: schemes") {
+    val base = java.nio.file.Files.createTempDirectory("graftws").toString
+    // file: takes the FileContext rename(OVERWRITE) path; mockfs: has no
+    // AbstractFileSystem binding and exercises the fallback
+    for (scheme <- Seq("file:", "mockfs:")) {
+      val p = s"$scheme$base/${scheme.stripSuffix(":")}/manifest.json"
+      graft.build.IndexFs.writeString(p, "{\"gen\":1}")
+      graft.build.IndexFs.writeString(p, "{\"gen\":2}")
+      assert(graft.build.IndexFs.readString(p) == "{\"gen\":2}",
+        s"overwrite lost on $scheme")
+      // no tmp residue left behind
+      val parent = p.substring(0, p.lastIndexOf('/'))
+      assert(!graft.build.IndexFs.listNames(parent).exists(_.contains(".tmp-")),
+        graft.build.IndexFs.listNames(parent).toString)
+    }
+  }
 }

@@ -57,4 +57,17 @@ class PercolatorSpec extends SparkTest {
     assert(byQ.getOrElse("sq_absent", 0) == 0)
     assert(byQ.getOrElse("sq_def", 0) > 0)
   }
+
+  test("conflicting standing queries under one id fail fast; exact re-registration is a no-op") {
+    val docs = Datagen.toInputDocs(Datagen.corpus(spark, 100, seed = 19L), 2)
+    val index = IndexBuilder.buildInMemory(spark, docs)
+    intercept[IllegalArgumentException] {
+      Percolator.percolate(index,
+        Seq(Standing("sq", "def"), Standing("sq", "class"))).count()
+    }
+    // identical duplicate = harmless re-registration, evaluates once
+    val dupOk = Percolator.percolate(index,
+      Seq(Standing("sq", "def"), Standing("sq", "def")))
+    assert(dupOk.count() == Searcher.count(index, "def"))
+  }
 }

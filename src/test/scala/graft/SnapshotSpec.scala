@@ -148,4 +148,20 @@ class SnapshotSpec extends SparkTest {
     assert(snap.docmeta.count() == 300)
     assert(Searcher.topK(snap, "def", 10).as[(Long, Float)].collect().toSeq == before)
   }
+
+  test("released snapshot ids are never reissued (monotonic counter)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsnapid").toString
+    val src = Datagen.corpus(spark, 120, seed = 67L)
+    IndexBuilder.buildPersistent(spark, Datagen.toInputDocs(src, 3), dir)
+    assert(IndexBuilder.commitSnapshot(dir) == 0)
+    assert(IndexBuilder.commitSnapshot(dir) == 1)
+    assert(IndexBuilder.releaseSnapshot(dir, 1))
+    // max(remaining)+1 would reissue 1 — a stale snapId would then open
+    // a DIFFERENT point-in-time state instead of failing
+    assert(IndexBuilder.commitSnapshot(dir) == 2)
+    assert(IndexBuilder.releaseSnapshot(dir, 0))
+    assert(IndexBuilder.releaseSnapshot(dir, 2))
+    assert(IndexBuilder.listSnapshots(dir).isEmpty)
+    assert(IndexBuilder.commitSnapshot(dir) == 3)
+  }
 }

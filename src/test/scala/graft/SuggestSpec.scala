@@ -147,4 +147,14 @@ class SuggestSpec extends SparkTest {
     assert(Suggest.nextToken(index, shingled, "merge", 20)
       .groupBy("suggestion").count().filter($"count" > 1).count() === 0L)
   }
+
+  test("didYouMean: maxQueryFrequency >= 1 is an absolute df cutoff") {
+    // "still" has df 3: an absolute cutoff of 2 refuses it in EVERY mode,
+    // an absolute cutoff of 3 admits it — no silent docCount rescale of
+    // a caller's absolute-threshold convention (DirectSpellChecker's)
+    assert(Suggest.didYouMean(index, "still", 5,
+      maxQueryFrequency = 2f, mode = Suggest.ModeAlways).count() === 0L)
+    assert(Suggest.didYouMean(index, "still", 5,
+      maxQueryFrequency = 3f, mode = Suggest.ModeAlways).count() > 0L)
+  }
 }
