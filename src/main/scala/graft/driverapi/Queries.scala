@@ -117,7 +117,7 @@ object Queries {
     * still tie the kth rounded score (a fixed buffer could drop
     * lower-doc_id ties just outside the window).
     */
-  private def topRoundedHits(index: graft.build.Index, q0: graft.query.Query,
+  private[graft] def topRoundedHits(index: graft.build.Index, q0: graft.query.Query,
       k: Int, sim: graft.exec.SimilarityFactory = graft.exec.BM25Sim): Array[(Long, Double)] = {
     val spark = index.postings.sparkSession
     import spark.implicits._
@@ -136,6 +136,43 @@ object Queries {
     hits.map { case (d, s) => (d, r4d(s)) }
       .sortBy { case (d, s) => (-s, d) } // docId order == doc_id order (range routing)
       .take(k)
+  }
+
+  /** Batched [[topRoundedHits]]: ALL queries' rounded top-k through
+    * [[Searcher.topKBatch]] — one postings scan + one kernel pass per
+    * segment per escalation round for the whole query set, the shape a
+    * corpus-scale labeling pass needs (N queries, O(1) jobs, not N
+    * jobs). Escalation reruns only the still-ambiguous qids. Per-qid
+    * results are IDENTICAL to the sequential path (KnnBatchSpec).
+    */
+  private[graft] def topRoundedHitsBatch(index: graft.build.Index,
+      queries: Seq[(String, graft.query.Query)], k: Int,
+      sim: graft.exec.SimilarityFactory = graft.exec.BM25Sim)
+      : Map[String, Array[(Long, Double)]] = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val done = scala.collection.mutable.Map.empty[String, Array[(Long, Double)]]
+    var pending = queries
+    var kk = k + 40
+    while (pending.nonEmpty) {
+      val byQid = Searcher.topKBatch(index, pending, kk, doubleMode = true, sim = sim)
+        .select($"qid", $"docId", $"score")
+        .as[(String, Long, Double)].collect() // rank order within each qid
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+      val next = Seq.newBuilder[(String, graft.query.Query)]
+      pending.foreach { case (qid, q0) =>
+        val hits = byQid.getOrElse(qid, Array.empty[(Long, Double)])
+        val constScore =
+          graft.query.Query.rewrite(q0).isInstanceOf[graft.query.ConstScoreQ]
+        if (!constScore && hits.length == kk && hits.length >= k &&
+            r4d(hits.last._2) >= r4d(hits(k - 1)._2)) next += (qid -> q0)
+        else done(qid) = hits.map { case (d, s) => (d, r4d(s)) }
+          .sortBy { case (d, s) => (-s, d) }.take(k)
+      }
+      pending = next.result()
+      kk *= 4
+    }
+    done.toMap
   }
 
   private def ftScoredQ(q0: graft.query.Query, k: Int, variant: String = "std",
@@ -2818,9 +2855,15 @@ object Queries {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val tests = docs.filter($"doc_id" < 5).select($"doc_id", $"text")
         .as[(Long, String)].collect().sortBy(_._1)
-      val hitRows = tests.map { case (sid, text) =>
-        (sid, topRoundedHits(index, graft.exec.MoreLikeThis.likeQueryBoosted(index, text), 10))
-      }
+      // corpus-scale labeling shape: ONE stats job forms all N MLT
+      // queries, ONE batch kernel pass scores them (not N sequential
+      // searches) — identical per-doc results proven in KnnBatchSpec
+      val batchQs = graft.exec.MoreLikeThis.likeQueryBoostedBatch(
+        index, tests.map { case (sid, text) => (sid.toString, text) }.toSeq)
+      val hitMap = topRoundedHitsBatch(index, batchQs, 10)
+      val hitRows = tests.map { case (sid, _) =>
+        (sid, hitMap.getOrElse(sid.toString, Array.empty[(Long, Double)]))
+      }.filter(_._2.nonEmpty)
       val allIds = hitRows.flatMap(_._2.map(_._1)).distinct.toSeq
       val langOf = spark.createDataset(allIds).toDF("docId")
         .join(mapping, "docId")

@@ -38,16 +38,23 @@ object MoreLikeThis {
     * term asc), capped at maxQueryTerms.
     */
   def selectTerms(index: Index, content: String, p: Params): Seq[(String, Double)] = {
-    val tf = CodeAnalyzer.tokenize(content)
-      .groupBy(_.term).map { case (t, xs) => (t, xs.length) }
-    val cands = tf.filter { case (_, f) => f >= p.minTermFreq }
+    val cands = candidateTf(content, p)
     if (cands.isEmpty) return Nil
     val spark = index.postings.sparkSession
     import spark.implicits._
     val dfs = index.termStats
       .filter($"term".isin(cands.keys.toSeq: _*))
       .select($"term", $"df").as[(String, Long)].collect().toMap
-    val n = index.fieldStats.docCount
+    rank(cands, dfs, index.fieldStats.docCount, p)
+  }
+
+  private def candidateTf(content: String, p: Params): Map[String, Int] =
+    CodeAnalyzer.tokenize(content)
+      .groupBy(_.term).map { case (t, xs) => (t, xs.length) }
+      .filter { case (_, f) => f >= p.minTermFreq }
+
+  private def rank(cands: Map[String, Int], dfs: Map[String, Long], n: Long,
+      p: Params): Seq[(String, Double)] =
     cands.toSeq
       .flatMap { case (t, f) =>
         dfs.get(t) match {
@@ -58,6 +65,25 @@ object MoreLikeThis {
       }
       .sortBy { case (t, s) => (-math.floor(s * 10000d + 0.5d), t) }
       .take(p.maxQueryTerms)
+
+  /** Batched term selection: ONE pushed `In(term, ...)` stats lookup for
+    * the UNION of all source docs' candidate terms, then the per-doc
+    * ranking of [[selectTerms]] — the corpus-scale labeling shape (N
+    * source docs, one stats job instead of N). Per-id results are
+    * IDENTICAL to [[selectTerms]] (KnnBatchSpec).
+    */
+  def selectTermsBatch(index: Index, contents: Seq[(String, String)],
+      p: Params = Params()): Map[String, Seq[(String, Double)]] = {
+    val perDoc = contents.map { case (id, c) => (id, candidateTf(c, p)) }
+    val all = perDoc.flatMap(_._2.keys).distinct
+    if (all.isEmpty) return contents.map(_._1 -> Seq.empty[(String, Double)]).toMap
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val dfs = index.termStats
+      .filter($"term".isin(all: _*))
+      .select($"term", $"df").as[(String, Long)].collect().toMap
+    val n = index.fieldStats.docCount
+    perDoc.map { case (id, cands) => id -> rank(cands, dfs, n, p) }.toMap
   }
 
   /** The MLT query: a plain SHOULD disjunction of the selected terms. */
@@ -71,8 +97,17 @@ object MoreLikeThis {
     * FLOAT-cast so a cross-engine oracle reproduces the widened value
     * exactly.
     */
-  def likeQueryBoosted(index: Index, content: String, p: Params = Params()): Query = {
-    val sel = selectTerms(index, content, p)
+  def likeQueryBoosted(index: Index, content: String, p: Params = Params()): Query =
+    boosted(selectTerms(index, content, p))
+
+  /** Batched [[likeQueryBoosted]]: one stats job for all source docs. */
+  def likeQueryBoostedBatch(index: Index, contents: Seq[(String, String)],
+      p: Params = Params()): Seq[(String, Query)] = {
+    val sels = selectTermsBatch(index, contents, p)
+    contents.map { case (id, _) => id -> boosted(sels(id)) }
+  }
+
+  private def boosted(sel: Seq[(String, Double)]): Query =
     if (sel.isEmpty) graft.query.MatchNone
     else {
       val best = sel.map(_._2).max
@@ -81,5 +116,4 @@ object MoreLikeThis {
           (math.floor(s / best * 10000d + 0.5d) / 10000d).toFloat)
       })
     }
-  }
 }
