@@ -109,6 +109,23 @@ object Corpus {
   private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
 
+  private val auxCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Char-ngram infix-pruning artifact over the std index's dictionary
+    * ([[graft.exec.Suggest.infixGrams]]) — built once per session+dir
+    * like the variant indexes.
+    */
+  def getInfixGrams(spark: SparkSession, dir: String): DataFrame =
+    auxCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:grams:$dir",
+      graft.exec.Suggest.infixGrams(get(spark, dir)._1).persist())
+
+  /** Backoff-ordered top-N unigram artifact for FreeText next-token
+    * ([[graft.exec.Suggest.topUnigrams]], default alpha).
+    */
+  def getTopUnigrams(spark: SparkSession, dir: String): DataFrame =
+    auxCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:unitop:$dir",
+      graft.exec.Suggest.topUnigrams(get(spark, dir)._1).persist())
+
   private val tokenCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Documents table + a `ts` token-array column, tokenized ONCE per

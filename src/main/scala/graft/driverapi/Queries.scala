@@ -2646,7 +2646,8 @@ object Queries {
     // AnalyzingInfixSuggester surface: containment completion
     "suggest_infix_topk" -> (((spark, dir) => {
       val (index, _) = Corpus.get(spark, dir)
-      graft.exec.Suggest.completeInfix(index, "ar", 5)
+      graft.exec.Suggest.completeInfix(index, "ar", 5,
+        grams = Some(Corpus.getInfixGrams(spark, dir)))
     }, Some(
       s"""WITH $tokCte,
          |w AS (SELECT term, CAST(count(*) AS BIGINT) AS weight FROM tok
@@ -2677,7 +2678,8 @@ object Queries {
     "suggest_freetext" -> (((spark, dir) => {
       val (index, _) = Corpus.get(spark, dir)
       val (shingled, _) = Corpus.getShingled(spark, dir)
-      graft.exec.Suggest.nextToken(index, shingled, "merge", 10)
+      graft.exec.Suggest.nextToken(index, shingled, "merge", 10,
+        unigramTop = Some(Corpus.getTopUnigrams(spark, dir)))
     }, Some(
       s"""WITH $posCte,
          |big AS (SELECT b.term AS suggestion, count(*) AS c FROM pos a JOIN pos b
@@ -3018,7 +3020,9 @@ object Queries {
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() },
-      step("nb_model") { nbModel(spark, dir)._1.count() }
+      step("nb_model") { nbModel(spark, dir)._1.count() },
+      step("infix_grams") { Corpus.getInfixGrams(spark, dir).count() },
+      step("unigram_top") { Corpus.getTopUnigrams(spark, dir).count() }
     )
   }
 }

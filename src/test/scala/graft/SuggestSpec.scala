@@ -110,6 +110,46 @@ class SuggestSpec extends SparkTest {
     assert(got.toSet === Set("spill", "stile", "still"), got.toString)
   }
 
+  test("completeInfix with infixGrams artifact == full scan; plan prunes on gram") {
+    val grams = Suggest.infixGrams(index).persist()
+    try {
+      // every fragment length (1, 2, 3, >3), a hit-less fragment, and a
+      // full-term fragment — the pruned path must be result-identical
+      for (frag <- Seq("i", "il", "til", "till", "ream", "spark", "zzq")) {
+        val full = Suggest.completeInfix(index, frag, 10)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val pruned = Suggest.completeInfix(index, frag, 10, Some(grams))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(pruned === full, s"fragment [$frag]: pruned=$pruned full=$full")
+      }
+      // the pruned plan's source is the aux table with a gram-equality
+      // predicate (one bucket), not a dictionary-wide contains scan
+      val plan = Suggest.completeInfix(index, "il", 10, Some(grams))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("gram") && plan.contains("= il"), plan)
+    } finally { grams.unpersist(); () }
+  }
+
+  test("nextToken with topUnigrams artifact == full-dictionary backoff") {
+    val top = Suggest.topUnigrams(index).persist()
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      // a context with followers (mixed bigram+backoff top-k), one with
+      // none (pure backoff), and an absent context
+      for (ctx <- Seq("merge", "spark", "nonexistent_ctx")) {
+        val full = rows(Suggest.nextToken(index, shingled, ctx, 20))
+        val fast = rows(Suggest.nextToken(index, shingled, ctx, 20, unigramTop = Some(top)))
+        assert(fast === full, s"context [$ctx]: fast=$fast full=$full")
+      }
+      // an artifact too small for k+F must fall back, still exact
+      val tiny = Suggest.topUnigrams(index, n = 2).persist()
+      try assert(rows(Suggest.nextToken(index, shingled, "merge", 20, unigramTop = Some(tiny)))
+        === rows(Suggest.nextToken(index, shingled, "merge", 20)))
+      finally { tiny.unpersist(); () }
+    } finally { top.unpersist(); () }
+  }
+
   test("completeFuzzy: sub/del/transposition prefixes match, weight-ranked") {
     // input "setam": first char exact, some prefix of the term within 1
     // edit of "etam"? stream: prefix "trea"... no; "steam"-like typo for
