@@ -2764,6 +2764,77 @@ object Queries {
          |     JOIN snip ON bp.doc_id = snip.doc_id AND bp.w = snip.w
          |ORDER BY top.rank""".stripMargin))),
 
+    // ranked MULTI-passage highlighting (FieldHighlighter's passage
+    // queue returns the best N, not one): top-3 hits of `merge OR
+    // stream`, top-3 passages per hit — rounded score desc, window asc
+    "highlight_passages" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val hits = topRoundedHits(index, graft.query.BoolQ(
+        should = Seq(graft.query.TermQ("merge"), graft.query.TermQ("stream"))), 3)
+      val ranked = hits.zipWithIndex.map { case ((d, _), i) => (d, (i + 1).toLong) }
+      spark.createDataset(ranked.toSeq).toDF("docId", "rank")
+        .join(mapping, "docId")
+        .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"text"), "doc_id")
+        .select($"doc_id", $"rank", $"text").as[(Long, Long, String)]
+        .flatMap { case (id, rank, text) =>
+          graft.exec.Highlighter.topPassages(text, Set("merge", "stream"), 3)
+            .zipWithIndex.map { case (p, pi) =>
+              (id, rank, (pi + 1).toLong, p.idx.toLong, p.score, p.snippet)
+            }
+        }.toDF("doc_id", "rank", "prank", "passage", "pscore", "snippet")
+        .orderBy($"rank", $"prank")
+    }, Some(
+      s"""WITH $tokCte, $posCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |bm AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id),
+         |top AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY floor((s)*10000+0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bm) WHERE rank <= 3),
+         |pt AS (SELECT doc_id, term, p,
+         |         coalesce(sum(length(term)+1) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st2,
+         |         CAST(floor((p-1)/8) AS INT) AS w
+         |       FROM pos WHERE doc_id IN (SELECT doc_id FROM top)),
+         |cl AS (SELECT doc_id, sum(length(term)+1) - 1 AS clen FROM pos
+         |       WHERE doc_id IN (SELECT doc_id FROM top) GROUP BY doc_id),
+         |pw AS (SELECT doc_id, w, min(st2) AS pstart,
+         |              max(st2 + length(term)) - min(st2) AS plen
+         |       FROM pt GROUP BY doc_id, w),
+         |ttfd AS (SELECT doc_id, term, count(*) AS ttf FROM pt
+         |         WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |mf AS (SELECT doc_id, w, term, count(*) AS f FROM pt
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, w, term),
+         |ps AS (SELECT mf.doc_id, mf.w,
+         |         (1 + 1/ln(87 + pw.pstart)) *
+         |         sum( (mf.f / (mf.f + 1.2*((1 - 0.75) + 0.75*pw.plen/87.0))) *
+         |              ((1.2 + 1) * ln(1 + ((1 + cl.clen/87.0) + 0.5)/(ttfd.ttf + 0.5))) ) AS s
+         |       FROM mf JOIN pw ON mf.doc_id = pw.doc_id AND mf.w = pw.w
+         |            JOIN cl ON mf.doc_id = cl.doc_id
+         |            JOIN ttfd ON mf.doc_id = ttfd.doc_id AND mf.term = ttfd.term
+         |       GROUP BY mf.doc_id, mf.w, pw.pstart),
+         |bp AS (SELECT doc_id, w, pscore, rn FROM (
+         |  SELECT doc_id, w, floor(s*10000+0.5)/10000 AS pscore,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY floor(s*10000+0.5)/10000 DESC, w) AS rn FROM ps) WHERE rn <= 3),
+         |snip AS (SELECT doc_id, w, string_agg(term, ' ' ORDER BY p) AS snippet
+         |         FROM pt GROUP BY doc_id, w)
+         |SELECT top.doc_id, top.rank, CAST(bp.rn AS BIGINT) AS prank,
+         |       CAST(bp.w AS BIGINT) AS passage, bp.pscore, snip.snippet
+         |FROM top JOIN bp ON top.doc_id = bp.doc_id
+         |     JOIN snip ON bp.doc_id = snip.doc_id AND bp.w = snip.w
+         |ORDER BY top.rank, prank""".stripMargin))),
+
     // expressions-module analogue: second-pass rescoring by a USER
     // EXPRESSION STRING compiled by Catalyst (`expressions/.../js/
     // JavascriptCompiler.java` compiles to bytecode; Spark's expr()

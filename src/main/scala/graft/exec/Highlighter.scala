@@ -36,9 +36,20 @@ object Highlighter {
   final case class Passage(idx: Int, startOffset: Int, score: Double, snippet: String)
 
   def bestPassage(text: String, terms: Set[String], window: Int = 8,
-      k1: Double = 1.2, b: Double = 0.75, pivot: Double = 87d): Option[Passage] = {
+      k1: Double = 1.2, b: Double = 0.75, pivot: Double = 87d): Option[Passage] =
+    topPassages(text, terms, 1, window, k1, b, pivot).headOption
+
+  /** Ranked top-N passages — the reference's passage priority queue
+    * (`FieldHighlighter.java:147-192`: a PQ of the best N passages,
+    * returned in offset-resolved rank order), over the same fixed
+    * windows and exact PassageScorer formula as [[bestPassage]].
+    * Ordering: rounded score desc, then window index asc (earliest
+    * start, the reference PQ's tie resolution).
+    */
+  def topPassages(text: String, terms: Set[String], n: Int, window: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75, pivot: Double = 87d): Seq[Passage] = {
     val toks = CodeAnalyzer.tokenize(text)
-    if (toks.isEmpty) return None
+    if (toks.isEmpty) return Nil
     val starts = new Array[Int](toks.length)
     var off = 0
     var i = 0
@@ -57,9 +68,9 @@ object Highlighter {
       if (terms(t)) ttfInDoc.merge(t, 1, Integer.sum)
       i += 1
     }
-    if (ttfInDoc.isEmpty) return None
+    if (ttfInDoc.isEmpty) return Nil
     val numDocs = 1 + contentLen / pivot
-    var best: Passage = null
+    val all = Seq.newBuilder[Passage]
     var w = 0
     while (w * window < toks.length) {
       val lo = w * window
@@ -86,19 +97,17 @@ object Highlighter {
         }
         s *= norm
         val rs = math.floor(s * 10000d + 0.5d) / 10000d
-        if (best == null || rs > best.score) {
-          val snippet = new StringBuilder()
-          i = lo
-          while (i < hi) {
-            if (i > lo) snippet.append(' ')
-            snippet.append(toks(i).term)
-            i += 1
-          }
-          best = Passage(w, starts(lo), rs, snippet.toString)
+        val snippet = new StringBuilder()
+        i = lo
+        while (i < hi) {
+          if (i > lo) snippet.append(' ')
+          snippet.append(toks(i).term)
+          i += 1
         }
+        all += Passage(w, starts(lo), rs, snippet.toString)
       }
       w += 1
     }
-    Option(best)
+    all.result().sortBy(p => (-p.score, p.idx)).take(n)
   }
 }

@@ -72,6 +72,61 @@ class HighlightSpec extends AnyFunSuite {
     Some(cands.maxBy { case (w, s) => (s, -w) })
   }
 
+  /** Full ranked list from the same independent transcription. */
+  private def naiveRanked(tokens: Vector[String], terms: Set[String], window: Int)
+      : Seq[(Int, Double)] = {
+    if (tokens.isEmpty || !tokens.exists(terms)) return Nil
+    val k1 = 1.2; val b = 0.75; val pivot = 87d
+    val joined = tokens.mkString(" ")
+    val numDocs = 1 + joined.length / pivot
+    val ttf = tokens.filter(terms).groupBy(identity).view.mapValues(_.size).toMap
+    val offsets = tokens.scanLeft(0)((acc, t) => acc + t.length + 1)
+    tokens.grouped(window).zipWithIndex.flatMap { case (win, w) =>
+      val matched = win.filter(terms)
+      if (matched.isEmpty) None
+      else {
+        val start = offsets(w * window)
+        val passLen = win.map(_.length).sum + (win.size - 1)
+        val s = matched.groupBy(identity).toSeq.sortBy(_._1).map { case (t, g) =>
+          val f = g.size.toDouble
+          val tf = f / (f + k1 * ((1 - b) + b * passLen / pivot))
+          tf * ((k1 + 1) * math.log(1 + (numDocs + 0.5) / (ttf(t) + 0.5)))
+        }.sum * (1 + 1 / math.log(pivot + start))
+        Some((w, math.floor(s * 10000d + 0.5d) / 10000d))
+      }
+    }.toSeq.sortBy { case (w, s) => (-s, w) }
+  }
+
+  test("topPassages: ranked N, score desc / window asc, prefix-consistent") {
+    val text = "hit aa bb cc dd ee ff gg hit hit xx yy zz qq rr ss hit aa bb cc dd ee ff gg"
+    val top = Highlighter.topPassages(text, Set("hit"), 3, window = 8)
+    assert(top.size === 3)
+    // densest window first, then the earlier of the two equal singles
+    assert(top.map(_.idx) === Seq(1, 0, 2), top.toString)
+    assert(top.map(_.score) === top.map(_.score).sorted(Ordering[Double].reverse))
+    // n=1 is exactly bestPassage
+    assert(Highlighter.bestPassage(text, Set("hit"), 8).get === top.head)
+    // asking for more than exist returns only matched windows
+    assert(Highlighter.topPassages(text, Set("hit"), 99, window = 8).size === 3)
+  }
+
+  test("topPassages differential vs independent ranked evaluation (randomized)") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("merge", "stream", "table", "scan", "alpha", "beta",
+      "gamma", "delta", "x", "longidentifier_name")
+    for (trial <- 0 until 300) {
+      val n = 1 + rnd.nextInt(40)
+      val tokens = Vector.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      val terms: Set[String] = Set("merge", "stream")
+      val window = 1 + rnd.nextInt(10)
+      val k = 1 + rnd.nextInt(4)
+      val got = Highlighter.topPassages(tokens.mkString(" "), terms, k, window)
+        .map(p => (p.idx, p.score))
+      val exp = naiveRanked(tokens, terms, window).take(k)
+      assert(got === exp, s"trial $trial: $tokens window=$window k=$k")
+    }
+  }
+
   test("differential vs independent formula evaluation (randomized)") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("merge", "stream", "table", "scan", "alpha", "beta",
