@@ -2,8 +2,62 @@ package graft.analysis
 
 import scala.collection.mutable.ArrayBuffer
 
-/** A token with its position (for phrase queries). */
-final case class Token(term: String, pos: Int)
+/** A token with its position (for phrase queries) and an optional
+  * per-occurrence payload (the PAYLOADS IndexOptions lane,
+  * `core/index/PostingsEnum.java`; attached by payload token filters —
+  * see [[Payloads]]). Null payload = none; the default analyzers never
+  * attach one.
+  */
+final case class Token(term: String, pos: Int, payload: Array[Byte] = null)
+
+/** Payload-attaching token filters — the reference's
+  * `analysis/common/.../payloads/` family re-expressed as pure
+  * token-array transforms.
+  */
+object Payloads {
+
+  /** `PayloadHelper.encodeFloat` (`analysis/common/.../payloads/
+    * PayloadHelper.java:27-38`): big-endian 4-byte IEEE float.
+    */
+  def encodeFloat(f: Float): Array[Byte] = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    Array[Byte]((bits >> 24).toByte, (bits >> 16).toByte, (bits >> 8).toByte, bits.toByte)
+  }
+
+  def decodeFloat(bytes: Array[Byte]): Float = {
+    require(bytes != null && bytes.length >= 4, "float payload needs 4 bytes")
+    java.lang.Float.intBitsToFloat(
+      ((bytes(0) & 0xff) << 24) | ((bytes(1) & 0xff) << 16) |
+        ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff))
+  }
+
+  /** DelimitedPayloadTokenFilter (`analysis/common/.../payloads/
+    * DelimitedPayloadTokenFilter.java:44-58`: text after the LAST
+    * delimiter becomes the payload, the rest stays the term) with the
+    * float encoder, over whitespace tokens — `"boost|2.5"` indexes term
+    * `boost` with payload float 2.5; tokens without the delimiter (or
+    * with an unparsable tail) pass through payload-less.
+    */
+  def delimitedFloat(tokens: Array[Token], delimiter: Char = '|'): Array[Token] =
+    tokens.map { t =>
+      val i = t.term.lastIndexOf(delimiter.toInt)
+      if (i < 0) t
+      else {
+        val tail = t.term.substring(i + 1)
+        try Token(t.term.substring(0, i), t.pos, encodeFloat(tail.toFloat))
+        catch { case _: NumberFormatException => t }
+      }
+    }
+
+  /** Token-length payload — a deterministic member of the
+    * NumericPayloadTokenFilter family (`analysis/common/.../payloads/
+    * NumericPayloadTokenFilter.java` attaches a constant float per
+    * token; here the float is the term's length so per-occurrence
+    * payloads vary and a cross-engine oracle can recompute them).
+    */
+  def lengthFloat(tokens: Array[Token]): Array[Token] =
+    tokens.map(t => t.copy(payload = encodeFloat(t.term.length.toFloat)))
+}
 
 /** Word tokenizer + lowercase filter for source-code text.
   *

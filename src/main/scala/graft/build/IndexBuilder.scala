@@ -222,17 +222,38 @@ object IndexBuilder {
     var n = 0
     var posFlat = new Array[Int](8)
     var posN = 0
+    // optional flat payload lane, parallel to posFlat: payOff(j) = start
+    // of position j's payload bytes in payFlat (end = next start / payN).
+    // Allocated lazily on the FIRST payload — earlier positions backfill
+    // as empty (payN was 0, so zeros are correct start offsets).
+    var payFlat: Array[Byte] = null
+    var payOff: Array[Int] = null
+    var payN = 0
 
     @inline def lastDocId: Long = docIds(n - 1)
 
-    @inline private def addPos(p: Int): Unit = {
-      if (posN == posFlat.length) posFlat = java.util.Arrays.copyOf(posFlat, posN * 2)
+    @inline private def addPos(p: Int, pay: Array[Byte]): Unit = {
+      if (posN == posFlat.length) {
+        posFlat = java.util.Arrays.copyOf(posFlat, posN * 2)
+        if (payOff != null) payOff = java.util.Arrays.copyOf(payOff, posN * 2)
+      }
+      if (pay != null && payOff == null) {
+        payOff = new Array[Int](posFlat.length) // zeros backfill earlier positions
+        payFlat = new Array[Byte](16)
+      }
+      if (payOff != null) payOff(posN) = payN
       posFlat(posN) = p
       posN += 1
+      if (pay != null) {
+        while (payN + pay.length > payFlat.length)
+          payFlat = java.util.Arrays.copyOf(payFlat, payFlat.length * 2)
+        System.arraycopy(pay, 0, payFlat, payN, pay.length)
+        payN += pay.length
+      }
     }
 
     /** New posting for `docId` with its first position. */
-    def start(docId: Long, pos: Int): Unit = {
+    def start(docId: Long, pos: Int, pay: Array[Byte] = null): Unit = {
       if (n == docIds.length) {
         val cap = n * 2
         docIds = java.util.Arrays.copyOf(docIds, cap)
@@ -242,13 +263,13 @@ object IndexBuilder {
       }
       docIds(n) = docId; freqs(n) = 1; norms(n) = 0; posOff(n) = posN
       n += 1
-      addPos(pos)
+      addPos(pos, pay)
     }
 
     /** Another occurrence in the same (last) doc. */
-    def bump(pos: Int): Unit = {
+    def bump(pos: Int, pay: Array[Byte] = null): Unit = {
       freqs(n - 1) += 1
-      addPos(pos)
+      addPos(pos, pay)
     }
 
     def setLastNorm(b: Byte): Unit = norms(n - 1) = b
@@ -274,11 +295,21 @@ object IndexBuilder {
     case "shingle" => CodeAnalyzer.shingleTokenize(text)
     case "ngram" => CodeAnalyzer.ngramTokenize(text)
     case "fold" => CodeAnalyzer.tokenize(CodeAnalyzer.foldAscii(text))
+    // payload-attaching filters (tokens gain a per-occurrence payload;
+    // the postings rows grow the optional payload lane)
+    case "delimpayload" =>
+      graft.analysis.Payloads.delimitedFloat(CodeAnalyzer.whitespaceTokenize(text))
+    case "lenpayload" =>
+      graft.analysis.Payloads.lengthFloat(CodeAnalyzer.tokenize(text))
     // stemming filters (1:1 on tokens: positions and field length keep)
     case "porter" => CodeAnalyzer.tokenize(text).map(t =>
       t.copy(term = graft.analysis.Stemmer.porter(t.term)))
     case "enmin" => CodeAnalyzer.tokenize(text).map(t =>
       t.copy(term = graft.analysis.Stemmer.englishMinimal(t.term)))
+    case "frmin" => CodeAnalyzer.tokenize(text).map(t =>
+      t.copy(term = graft.analysis.Stemmer.frenchMinimal(t.term)))
+    case "demin" => CodeAnalyzer.tokenize(text).map(t =>
+      t.copy(term = graft.analysis.Stemmer.germanMinimal(t.term)))
     case _ => CodeAnalyzer.tokenize(text)
   }
 
@@ -369,7 +400,14 @@ object IndexBuilder {
           (c + p, combinedNorm(Seq(c, p)))
         case m =>
           val ts = analyze(m, d.content)
-          ts.foreach(t => handle(t.term, t.pos))
+          // payload-aware inversion: same hash-then-append as `handle`,
+          // threading each token's optional payload into the buffer
+          ts.foreach { t =>
+            var buf = inv.get(t.term)
+            if (buf == null) { buf = new Postings; inv.put(t.term, buf) }
+            if (buf.n > 0 && buf.lastDocId == docId) buf.bump(t.pos, t.payload)
+            else { buf.start(docId, t.pos, t.payload); touched += buf }
+          }
           (ts.length, SmallFloat.intToByte4(ts.length))
       }
       var ti = 0
@@ -403,7 +441,8 @@ object IndexBuilder {
       val pl =
         if (hasPositions(term))
           fmt.encodeFlat(seg, term, buf.docIds, buf.freqs, buf.norms,
-            buf.n, buf.posFlat, buf.posOff, buf.posN)
+            buf.n, buf.posFlat, buf.posOff, buf.posN,
+            buf.payFlat, buf.payOff, buf.payN)
         else fmt.encode(seg, term,
           java.util.Arrays.copyOf(buf.docIds, buf.n),
           java.util.Arrays.copyOf(buf.freqs, buf.n),

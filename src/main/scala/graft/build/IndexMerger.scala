@@ -100,9 +100,11 @@ object IndexMerger {
       private val fqs = new Array[Int](cap)
       private val nms = new Array[Byte](cap)
       private val pss = new Array[Array[Int]](cap)
+      private val pys = new Array[Array[Array[Byte]]](cap)
       private var n = 0
       private var curTerm: String = null
       private var hasPos = true
+      private var hasPay = false
       // current decoded input row + read offset within it
       private var d: PostingCodec.Decoded = null
       private var di = 0
@@ -114,7 +116,8 @@ object IndexMerger {
         pending = graft.codec.PostingFormats.byName(codec).encode(newSeg, curTerm,
           java.util.Arrays.copyOf(ids, n), java.util.Arrays.copyOf(fqs, n),
           java.util.Arrays.copyOf(nms, n),
-          if (hasPos) java.util.Arrays.copyOf(pss, n) else null)
+          if (hasPos) java.util.Arrays.copyOf(pss, n) else null,
+          if (hasPos && hasPay) java.util.Arrays.copyOf(pys, n) else null)
         n = 0
       }
 
@@ -129,6 +132,10 @@ object IndexMerger {
                 fqs(n) = d.freqs(di)
                 nms(n) = d.norms(di)
                 if (d.positions != null) pss(n) = d.positions(di) else hasPos = false
+                // payload lane survives merges; a term mixing payload and
+                // payload-less input rows keeps the lane (absent = len 0)
+                if (d.payloads != null) { pys(n) = d.payloads(di); hasPay = true }
+                else pys(n) = null
                 n += 1
               }
               di += 1
@@ -140,9 +147,11 @@ object IndexMerger {
               // `@norms:` sidecar rows are position-less by layout
               // convention (freq = field length, no positions section)
               hasPos = IndexBuilder.hasPositions(curTerm)
+              hasPay = false
               n = 0
             }
-            d = PostingCodec.decodeAll(it.next(), withPositions = hasPos)
+            d = PostingCodec.decodeAll(it.next(), withPositions = hasPos,
+              withPayloads = hasPos)
             di = 0
           } else {
             // term exhausted (or input empty): flush the partial chunk

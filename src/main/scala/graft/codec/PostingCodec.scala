@@ -21,13 +21,27 @@ import scala.collection.mutable.ArrayBuffer
   *   [packed run: n freq-1 values]
   *   [n norm bytes]
   *   [packed run: sum(freq) position deltas]   (when positions kept)
+  *   [per position: varint payLen + payLen bytes]  (when payload lane on)
   * The first doc delta is varint because it can carry the absolute
   * (seg << 40)-based docId; all in-block deltas fit well under the
   * packer's 57-bit ceiling. A width of 0 costs zero bytes — blocks of
   * all-freq-1 postings store no freq payload at all.
+  *
+  * Payload lane (round 6 — the PAYLOADS IndexOptions analogue,
+  * `core/index/PostingsEnum.java` PAYLOADS): OPTIONAL per row. A row
+  * with per-position payloads carries a 2-byte header
+  * `[format id][flags]` with `offsets(0) = 2` and flags bit 0 set;
+  * payload-less rows keep the 1-byte header — byte-identical to the
+  * pre-payload layout, so every existing index decodes unchanged.
+  * Readers that don't ask for payloads never touch the lane (blocks
+  * are bounded by `offsets`), so the kernel hot paths are unaffected.
   */
 object PostingCodec {
   val BlockSize = 128
+
+  /** Does this row carry the per-position payload lane? */
+  def hasPayloads(pl: PostingList): Boolean =
+    pl.offsets.length > 0 && pl.offsets(0) >= 2 && (pl.payload(1) & 1) != 0
 
   // ---- varint + bit-packing primitives -----------------------------------
 
@@ -155,6 +169,8 @@ object PostingCodec {
 
   /** Mutable byte reader over a payload region. */
   final class Reader(bytes: Array[Byte], var pos: Int) {
+    /** Raw backing bytes (payload-lane slicing). */
+    def bytesRef: Array[Byte] = bytes
     @inline def readVLong(): Long = {
       var shift = 0
       var v = 0L
@@ -210,15 +226,20 @@ object PostingCodec {
 
   // ---- encode -------------------------------------------------------------
 
-  /** Encode a full posting list (ascending docIds) for a (seg, term). */
+  /** Encode a full posting list (ascending docIds) for a (seg, term).
+    * `payloads(i)(j)` = posting i's j-th position's payload bytes (null
+    * row/element = none); requires positions when supplied.
+    */
   def encode(
       seg: Int,
       term: String,
       docIds: Array[Long],
       freqs: Array[Int],
       norms: Array[Byte],
-      positions: Array[Array[Int]] = null
+      positions: Array[Array[Int]] = null,
+      payloads: Array[Array[Array[Byte]]] = null
   ): PostingList = {
+    require(payloads == null || positions != null, "payloads need positions")
     val n = docIds.length
     val numBlocks = (n + BlockSize - 1) / BlockSize
     val counts = new Array[Int](numBlocks)
@@ -229,7 +250,8 @@ object PostingCodec {
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ArrayBuffer[Byte](n * 3)
     buf += PForFormat.id // self-describing payload (see PostingFormat)
-    offsets(0) = 1
+    if (payloads != null) { buf += 1.toByte; offsets(0) = 2 } // flags: payload lane
+    else offsets(0) = 1
     // per-block scratch, reused across blocks (encode is the build hot path)
     val deltas = new Array[Long](BlockSize)
     val fvals = new Array[Long](BlockSize)
@@ -298,6 +320,24 @@ object PostingCodec {
           i += 1
         }
         writePacked(buf, pvals, 0, total)
+        if (payloads != null) {
+          i = from
+          while (i < until) {
+            val pays = payloads(i)
+            var j = 0
+            while (j < positions(i).length) {
+              val p = if (pays == null) null else pays(j)
+              if (p == null) writeVLong(buf, 0L)
+              else {
+                writeVLong(buf, p.length.toLong)
+                var bi = 0
+                while (bi < p.length) { buf += p(bi); bi += 1 }
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
       }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
@@ -315,7 +355,9 @@ object PostingCodec {
     * way to avoid one array allocation per posting. Produces byte-for-byte
     * the same PostingList as [[encode]] with nested positions.
     * `posOff(i)` is posting i's start in `posFlat`; posting n-1 ends at
-    * `posEnd`.
+    * `posEnd`. Flat payload lane (optional): position j's payload bytes
+    * are `payFlat(payOff(j) until end)` with end = payOff(j+1) (or
+    * `payEnd` for the last position).
     */
   def encodeFlat(
       seg: Int,
@@ -326,7 +368,10 @@ object PostingCodec {
       n: Int,
       posFlat: Array[Int],
       posOff: Array[Int],
-      posEnd: Int
+      posEnd: Int,
+      payFlat: Array[Byte] = null,
+      payOff: Array[Int] = null,
+      payEnd: Int = 0
   ): PostingList = {
     val numBlocks = (n + BlockSize - 1) / BlockSize
     val counts = new Array[Int](numBlocks)
@@ -337,7 +382,8 @@ object PostingCodec {
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ArrayBuffer[Byte](n * 3)
     buf += PForFormat.id // self-describing payload (see PostingFormat)
-    offsets(0) = 1
+    if (payOff != null) { buf += 1.toByte; offsets(0) = 2 } // flags: payload lane
+    else offsets(0) = 1
     val deltas = new Array[Long](BlockSize)
     val fvals = new Array[Long](BlockSize)
     var pvals = new Array[Long](4 * BlockSize)
@@ -401,6 +447,17 @@ object PostingCodec {
         i += 1
       }
       writePacked(buf, pvals, 0, total)
+      if (payOff != null) {
+        var j = blockPosStart
+        while (j < blockPosEnd) {
+          val pEndB = if (j + 1 < posEnd) payOff(j + 1) else payEnd
+          val len = pEndB - payOff(j)
+          writeVLong(buf, len.toLong)
+          var bi = payOff(j)
+          while (bi < pEndB) { buf += payFlat(bi); bi += 1 }
+          j += 1
+        }
+      }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
       offsets(b + 1) = buf.length
@@ -412,22 +469,31 @@ object PostingCodec {
       offsets, buf.toArray)
   }
 
-  /** Decoded postings of one block. `positions` null unless requested. */
+  /** Decoded postings of one block. `positions` null unless requested;
+    * `payloads(i)(j)` (aligned with positions) null unless requested AND
+    * the row carries the lane — a position with no payload decodes to
+    * null.
+    */
   final case class Decoded(
       docIds: Array[Long],
       freqs: Array[Int],
       norms: Array[Byte],
-      positions: Array[Array[Int]]
+      positions: Array[Array[Int]],
+      payloads: Array[Array[Array[Byte]]] = null
   )
 
   /** Decode block `b` of `pl` — dispatches on the row's self-described
     * format (the Codec SPI read side, see [[PostingFormat]]).
     */
-  def decodeBlock(pl: PostingList, b: Int, withPositions: Boolean = false): Decoded =
-    PostingFormats.of(pl).decodeBlockImpl(pl, b, withPositions)
+  def decodeBlock(pl: PostingList, b: Int, withPositions: Boolean = false,
+      withPayloads: Boolean = false): Decoded =
+    PostingFormats.of(pl).decodeBlockImpl(pl, b,
+      withPositions || (withPayloads && hasPayloads(pl)),
+      withPayloads && hasPayloads(pl))
 
   /** PFOR block decode (legacy prefix-less rows and PForFormat rows). */
-  private[codec] def decodeBlockPFor(pl: PostingList, b: Int, withPositions: Boolean): Decoded = {
+  private[codec] def decodeBlockPFor(pl: PostingList, b: Int, withPositions: Boolean,
+      withPayloads: Boolean = false): Decoded = {
     val count = pl.counts(b)
     val r = new Reader(pl.payload, pl.offsets(b))
     // docIds: varint first delta + packed rest, then prefix-sum
@@ -477,30 +543,53 @@ object PostingCodec {
         i += 1
       }
     }
-    Decoded(ids, freqs, norms, poss)
+    var pays: Array[Array[Array[Byte]]] = null
+    if (withPayloads) {
+      pays = new Array[Array[Array[Byte]]](count)
+      i = 0
+      while (i < count) {
+        val pa = new Array[Array[Byte]](freqs(i))
+        var j = 0
+        while (j < pa.length) {
+          val len = r.readVLong().toInt
+          if (len > 0) {
+            pa(j) = java.util.Arrays.copyOfRange(r.bytesRef, r.pos, r.pos + len)
+            r.pos += len
+          }
+          j += 1
+        }
+        pays(i) = pa
+        i += 1
+      }
+    }
+    Decoded(ids, freqs, norms, poss, pays)
   }
 
   /** Decode a whole posting list (test/oracle/merge path; kernels decode
     * block-at-a-time to preserve skipping).
     */
-  def decodeAll(pl: PostingList, withPositions: Boolean = false): Decoded = {
+  def decodeAll(pl: PostingList, withPositions: Boolean = false,
+      withPayloads: Boolean = false): Decoded = {
+    val wPay = withPayloads && hasPayloads(pl)
     val total = pl.df
     val ids = new Array[Long](total)
     val freqs = new Array[Int](total)
     val norms = new Array[Byte](total)
-    val poss = if (withPositions) new Array[Array[Int]](total) else null
+    val poss = if (withPositions || wPay) new Array[Array[Int]](total) else null
+    val pays = if (wPay) new Array[Array[Array[Byte]]](total) else null
     var off = 0
     var b = 0
     while (b < pl.numBlocks) {
-      val d = decodeBlock(pl, b, withPositions)
+      val d = decodeBlock(pl, b, withPositions || wPay, wPay)
       System.arraycopy(d.docIds, 0, ids, off, d.docIds.length)
       System.arraycopy(d.freqs, 0, freqs, off, d.freqs.length)
       System.arraycopy(d.norms, 0, norms, off, d.norms.length)
-      if (withPositions) System.arraycopy(d.positions, 0, poss, off, d.positions.length)
+      if (poss != null) System.arraycopy(d.positions, 0, poss, off, d.positions.length)
+      if (wPay) System.arraycopy(d.payloads, 0, pays, off, d.payloads.length)
       off += d.docIds.length
       b += 1
     }
-    Decoded(ids, freqs, norms, poss)
+    Decoded(ids, freqs, norms, poss, pays)
   }
 
   /** Concatenate same-term rows whose docId ranges are disjoint; caller
@@ -511,16 +600,25 @@ object PostingCodec {
     if (rows.size == 1) return rows.head
     val head = rows.head
     val fmt = PostingFormats.of(head)
-    if (rows.exists(r => !(PostingFormats.of(r) eq fmt))) {
+    val headPay = hasPayloads(head)
+    if (rows.exists(r => !(PostingFormats.of(r) eq fmt) || hasPayloads(r) != headPay)) {
       // rare: the same term written under different codecs (mixed-codec
-      // generations) — decode and re-encode once with the head's format
+      // generations) or mixed payload-lane presence — decode and
+      // re-encode once with the head's format; the lane survives iff any
+      // row carries it (missing positions decode to null payloads)
+      val withPay = rows.exists(hasPayloads)
       val withPos = graft.build.IndexBuilder.hasPositions(head.term)
-      val ds = rows.map(r => decodeAll(r, withPos))
+      val ds = rows.map(r => decodeAll(r, withPos, withPay))
       val ids = ds.flatMap(_.docIds).toArray
       val freqs = ds.flatMap(_.freqs).toArray
       val norms = ds.flatMap(_.norms).toArray
       val poss = if (withPos) ds.flatMap(_.positions).toArray else null
-      return fmt.encode(head.seg, head.term, ids, freqs, norms, poss)
+      val pays =
+        if (!withPay) null
+        else ds.flatMap(d =>
+          if (d.payloads != null) d.payloads
+          else new Array[Array[Array[Byte]]](d.docIds.length)).toArray
+      return fmt.encode(head.seg, head.term, ids, freqs, norms, poss, pays)
     }
     val numBlocks = rows.map(_.numBlocks).sum
     val counts = new Array[Int](numBlocks)

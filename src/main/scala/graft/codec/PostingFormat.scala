@@ -18,12 +18,14 @@ trait PostingFormat extends Serializable {
   def id: Byte
   def name: String
   def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
-      norms: Array[Byte], positions: Array[Array[Int]] = null): PostingList
+      norms: Array[Byte], positions: Array[Array[Int]] = null,
+      payloads: Array[Array[Array[Byte]]] = null): PostingList
   def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
       norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
-      posEnd: Int): PostingList
+      posEnd: Int, payFlat: Array[Byte] = null, payOff: Array[Int] = null,
+      payEnd: Int = 0): PostingList
   private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
-      withPositions: Boolean): PostingCodec.Decoded
+      withPositions: Boolean, withPayloads: Boolean): PostingCodec.Decoded
 }
 
 /** Format registry (the codec SPI lookup, `Codec.forName`). */
@@ -51,15 +53,18 @@ object PForFormat extends PostingFormat {
   val id: Byte = 0
   val name = "pfor"
   def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
-      norms: Array[Byte], positions: Array[Array[Int]]): PostingList =
-    PostingCodec.encode(seg, term, docIds, freqs, norms, positions)
+      norms: Array[Byte], positions: Array[Array[Int]],
+      payloads: Array[Array[Array[Byte]]]): PostingList =
+    PostingCodec.encode(seg, term, docIds, freqs, norms, positions, payloads)
   def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
       norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
-      posEnd: Int): PostingList =
-    PostingCodec.encodeFlat(seg, term, docIds, freqs, norms, n, posFlat, posOff, posEnd)
+      posEnd: Int, payFlat: Array[Byte], payOff: Array[Int],
+      payEnd: Int): PostingList =
+    PostingCodec.encodeFlat(seg, term, docIds, freqs, norms, n, posFlat, posOff,
+      posEnd, payFlat, payOff, payEnd)
   private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
-      withPositions: Boolean): PostingCodec.Decoded =
-    PostingCodec.decodeBlockPFor(pl, b, withPositions)
+      withPositions: Boolean, withPayloads: Boolean): PostingCodec.Decoded =
+    PostingCodec.decodeBlockPFor(pl, b, withPositions, withPayloads)
 }
 
 /** Variable-byte posting format: same 128-doc block structure, skip
@@ -71,6 +76,8 @@ object PForFormat extends PostingFormat {
   *   [varint (freq-1) x count]
   *   [norm byte x count]
   *   [varint posDelta x sum(freq)]   (when positions kept)
+  *   [varint payLen + payLen bytes x sum(freq)]   (when payload lane on;
+  *     2-byte [id, flags] header with offsets(0)=2, see PostingCodec)
   */
 object VByteFormat extends PostingFormat {
   val id: Byte = 1
@@ -108,7 +115,8 @@ object VByteFormat extends PostingFormat {
   }
 
   def encode(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
-      norms: Array[Byte], positions: Array[Array[Int]]): PostingList =
+      norms: Array[Byte], positions: Array[Array[Int]],
+      payloads: Array[Array[Array[Byte]]]): PostingList =
     if (positions == null)
       encodeGeneric(seg, term, docIds, freqs, norms, docIds.length, null, null, 0)
     else {
@@ -125,17 +133,53 @@ object VByteFormat extends PostingFormat {
         System.arraycopy(positions(i), 0, flat, posOff(i), positions(i).length)
         i += 1
       }
-      encodeGeneric(seg, term, docIds, freqs, norms, n, flat, posOff, total)
+      if (payloads == null)
+        encodeGeneric(seg, term, docIds, freqs, norms, n, flat, posOff, total)
+      else {
+        // flatten the payload lane the same way
+        val pOff = new Array[Int](total)
+        var payTotal = 0
+        i = 0
+        var o = 0
+        while (i < n) {
+          val pa = payloads(i)
+          var j = 0
+          while (j < positions(i).length) {
+            pOff(o) = payTotal
+            if (pa != null && pa(j) != null) payTotal += pa(j).length
+            j += 1; o += 1
+          }
+          i += 1
+        }
+        val pFlat = new Array[Byte](payTotal)
+        i = 0; o = 0
+        while (i < n) {
+          val pa = payloads(i)
+          var j = 0
+          while (j < positions(i).length) {
+            if (pa != null && pa(j) != null)
+              System.arraycopy(pa(j), 0, pFlat, pOff(o), pa(j).length)
+            j += 1; o += 1
+          }
+          i += 1
+        }
+        encodeGeneric(seg, term, docIds, freqs, norms, n, flat, posOff, total,
+          pFlat, pOff, payTotal)
+      }
     }
 
   def encodeFlat(seg: Int, term: String, docIds: Array[Long], freqs: Array[Int],
       norms: Array[Byte], n: Int, posFlat: Array[Int], posOff: Array[Int],
-      posEnd: Int): PostingList =
-    encodeGeneric(seg, term, docIds, freqs, norms, n, posFlat, posOff, posEnd)
+      posEnd: Int, payFlat: Array[Byte], payOff: Array[Int],
+      payEnd: Int): PostingList =
+    encodeGeneric(seg, term, docIds, freqs, norms, n, posFlat, posOff, posEnd,
+      payFlat, payOff, payEnd)
 
   private def encodeGeneric(seg: Int, term: String, docIds: Array[Long],
       freqs: Array[Int], norms: Array[Byte], n: Int,
-      posFlat: Array[Int], posOff: Array[Int], posEnd: Int): PostingList = {
+      posFlat: Array[Int], posOff: Array[Int], posEnd: Int,
+      payFlat: Array[Byte] = null, payOff: Array[Int] = null,
+      payEnd: Int = 0): PostingList = {
     val numBlocks = (n + BlockSize - 1) / BlockSize
     val counts = new Array[Int](numBlocks)
     val bases = new Array[Long](numBlocks)
@@ -145,7 +189,8 @@ object VByteFormat extends PostingFormat {
     val offsets = new Array[Int](numBlocks + 1)
     val buf = new ByteWriter(1 + n * 3 + (if (posFlat == null) 0 else posEnd))
     buf.add(id) // self-describing payload
-    offsets(0) = 1
+    if (payOff != null) { buf.add(1.toByte); offsets(0) = 2 } // flags: payload lane
+    else offsets(0) = 1
     var ttf = 0L
     var from = 0
     var prevBlockLast = -1L
@@ -195,6 +240,18 @@ object VByteFormat extends PostingFormat {
           }
           i += 1
         }
+        if (payOff != null) {
+          val blockPosStart = posOff(from)
+          val blockPosEnd = if (until < n) posOff(until) else posEnd
+          var j = blockPosStart
+          while (j < blockPosEnd) {
+            val pEndB = if (j + 1 < posEnd) payOff(j + 1) else payEnd
+            buf.writeV((pEndB - payOff(j)).toLong)
+            var bi = payOff(j)
+            while (bi < pEndB) { buf.add(payFlat(bi)); bi += 1 }
+            j += 1
+          }
+        }
       }
       maxFreqs(b) = maxFreq
       minNorms(b) = minNorm
@@ -208,7 +265,7 @@ object VByteFormat extends PostingFormat {
   }
 
   private[codec] def decodeBlockImpl(pl: PostingList, b: Int,
-      withPositions: Boolean): PostingCodec.Decoded = {
+      withPositions: Boolean, withPayloads: Boolean): PostingCodec.Decoded = {
     val count = pl.counts(b)
     val r = new PostingCodec.Reader(pl.payload, pl.offsets(b))
     val ids = new Array[Long](count)
@@ -247,6 +304,25 @@ object VByteFormat extends PostingFormat {
         i += 1
       }
     }
-    PostingCodec.Decoded(ids, freqs, norms, poss)
+    var pays: Array[Array[Array[Byte]]] = null
+    if (withPayloads) {
+      pays = new Array[Array[Array[Byte]]](count)
+      i = 0
+      while (i < count) {
+        val pa = new Array[Array[Byte]](freqs(i))
+        var j = 0
+        while (j < pa.length) {
+          val len = r.readVLong().toInt
+          if (len > 0) {
+            pa(j) = java.util.Arrays.copyOfRange(r.bytesRef, r.pos, r.pos + len)
+            r.pos += len
+          }
+          j += 1
+        }
+        pays(i) = pa
+        i += 1
+      }
+    }
+    PostingCodec.Decoded(ids, freqs, norms, poss, pays)
   }
 }
