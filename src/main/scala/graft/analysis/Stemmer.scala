@@ -1,6 +1,6 @@
 package graft.analysis
 
-/** English stemmers.
+/** Stemmers (English Porter + minimal; French + German minimal).
   *
   * [[porter]] — the classic Porter algorithm (M.F. Porter, "An algorithm
   * for suffix stripping", Program 14(3), 1980), the algorithm behind the
@@ -37,6 +37,61 @@ object Stemmer {
         else w.substring(0, len - 1)
       case _ => w.substring(0, len - 1)
     }
+  }
+
+  /** Minimal French stemmer (Jacques Savoy, "A stemming procedure and
+    * stopword list for general French corpora", JASIS 50(10), 1999 —
+    * the algorithm behind the reference's
+    * `analysis/common/.../fr/FrenchMinimalStemFilter.java`): words
+    * shorter than 6 chars pass through; a final 'x' is dropped with
+    * `-aux` becoming `-al` (chevaux -> cheval); otherwise one each of a
+    * final s, r, e, é is stripped in that order, then a final doubled
+    * letter is singled (appelle -> appel).
+    */
+  def frenchMinimal(w: String): String = {
+    if (w.length < 6) return w
+    var len = w.length
+    if (w.charAt(len - 1) == 'x')
+      return if (w.charAt(len - 3) == 'a' && w.charAt(len - 2) == 'u')
+        w.substring(0, len - 2) + "l"
+      else w.substring(0, len - 1)
+    if (w.charAt(len - 1) == 's') len -= 1
+    if (w.charAt(len - 1) == 'r') len -= 1
+    if (w.charAt(len - 1) == 'e') len -= 1
+    if (w.charAt(len - 1) == 'é') len -= 1
+    if (w.charAt(len - 1) == w.charAt(len - 2) && Character.isLetter(w.charAt(len - 1)))
+      len -= 1
+    w.substring(0, len)
+  }
+
+  /** Minimal German stemmer (Jacques Savoy, "Morphologie et recherche
+    * d'information" — the reference's
+    * `analysis/common/.../de/GermanMinimalStemmer.java`): words shorter
+    * than 5 chars pass through untouched; otherwise umlauts fold
+    * (ä->a, ö->o, ü->u), then ONE plural/case suffix strips — `-nen`
+    * when longer than 6 (scannen -> scan), `-en`/`-se`/`-es`/`-er` when
+    * longer than 5, else a single final n/e/s/r.
+    */
+  def germanMinimal(w: String): String = {
+    if (w.length < 5) return w
+    val b = w.map {
+      case 'ä' => 'a'
+      case 'ö' => 'o'
+      case 'ü' => 'u'
+      case c => c
+    }
+    val len = b.length
+    val last = b.charAt(len - 1)
+    val prev = b.charAt(len - 2)
+    if (len > 6 && last == 'n' && prev == 'e' && b.charAt(len - 3) == 'n')
+      b.substring(0, len - 3)
+    else if (len > 5 &&
+        ((last == 'n' && prev == 'e') || (last == 'e' && prev == 's') ||
+         (last == 's' && prev == 'e') || (last == 'r' && prev == 'e')))
+      b.substring(0, len - 2)
+    else if (last == 'n' || last == 'e' || last == 's' || last == 'r')
+      b.substring(0, len - 1)
+    else b
   }
 
   def porter(w: String): String = {

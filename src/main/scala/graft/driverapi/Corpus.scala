@@ -106,6 +106,44 @@ object Corpus {
       build(spark, docs, "enmin")
     }
 
+  /** French-minimal-stemmed variant (`ft_french_topk`) over a
+    * French-pluralized derivation: every standalone `stream` becomes
+    * `streams` (the French plural marker) and the Savoy minimal French
+    * stemmer restores the ORIGINAL token stream exactly on this
+    * vocabulary — so the plain BM25 oracle applies and a hash match
+    * proves the stemmer ran (unstemmed, `stream` would match nothing).
+    */
+  def getFrench(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"frmin:$dir") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", regexp_replace($"text", "\\bstream\\b", "streams"))
+      build(spark, docs, "frmin")
+    }
+
+  /** German-minimal-stemmed variant (`ft_german_topk`) over a
+    * German-infinitive derivation: every standalone `scan` becomes
+    * `scannen`, which the Savoy minimal German stemmer's `-nen` rule
+    * restores exactly (same proof shape as [[getFrench]]).
+    */
+  def getGerman(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"demin:$dir") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", regexp_replace($"text", "\\bscan\\b", "scannen"))
+      build(spark, docs, "demin")
+    }
+
+  /** Payload-lane variant (`ft_payload_topk`): std tokens, each carrying
+    * a 4-byte float payload = token length ([[graft.analysis.Payloads
+    * .lengthFloat]]) — per-occurrence payloads a DuckDB oracle can
+    * recompute from the text.
+    */
+  def getLenPayload(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"lenpayload:$dir") {
+      build(spark, spark.read.parquet(s"$dir/documents.parquet"), "lenpayload")
+    }
+
   private def cached(spark: SparkSession, key: String)(mk: => (Index, DataFrame)): (Index, DataFrame) =
     cache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$key", mk)
 

@@ -186,6 +186,8 @@ object Queries {
       case "vbyte" => Corpus.getVByte(spark, dir)
       case "porter" => Corpus.getPorter(spark, dir)
       case "enmin" => Corpus.getStemmed(spark, dir)
+      case "frmin" => Corpus.getFrench(spark, dir)
+      case "demin" => Corpus.getGerman(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
     spark.createDataset(topRoundedHits(index, q0, k, sim).toSeq).toDF("docId", "score")
@@ -785,6 +787,26 @@ object Queries {
         graft.query.TermQ("stream"), graft.query.TermQ("merge"))), 10,
         variant = "enmin")(spark, dir)
     }, Some(bm25Sql(Seq("stream", "merge"), requireAll = true, 10)))),
+
+    // Minimal FRENCH stemmer (Savoy; FrenchMinimalStemFilter.java) over
+    // the French-pluralized derivation (Corpus.getFrench): frmin restores
+    // the original token stream on this vocabulary, so the plain BM25
+    // oracle applies — `stream` only matches through the stemmer (the
+    // derived text contains only `streams`)
+    "ft_french_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("stream"), graft.query.TermQ("query"))), 10,
+        variant = "frmin")(spark, dir)
+    }, Some(bm25Sql(Seq("stream", "query"), requireAll = true, 10)))),
+
+    // Minimal GERMAN stemmer (Savoy; GermanMinimalStemFilter.java) over
+    // the German-infinitive derivation (Corpus.getGerman): the -nen rule
+    // restores `scannen` -> `scan` exactly (same proof shape)
+    "ft_german_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("scan"), graft.query.TermQ("spark"))), 10,
+        variant = "demin")(spark, dir)
+    }, Some(bm25Sql(Seq("scan", "spark"), requireAll = true, 10)))),
 
     // sloppy phrase (slop=1): docs where `fast` is followed by `table`
     // within one displacement (SloppyPhraseMatcher.java:54); docs-only —
@@ -2835,6 +2857,25 @@ object Queries {
          |     JOIN snip ON bp.doc_id = snip.doc_id AND bp.w = snip.w
          |ORDER BY top.rank, prank""".stripMargin))),
 
+    // PayloadScoreQuery analogue over the payload-lane variant index
+    // (`queries/.../payloads/PayloadScoreQuery.java` + SumPayloadFunction,
+    // includeSpanScore=false): per-occurrence float payload = token
+    // length (lenpayload filter), score(doc) = sum of payloads at the
+    // queried terms' positions
+    "ft_payload_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.getLenPayload(spark, dir)
+      graft.exec.PayloadScore.topK(index, Seq("stream", "scan", "spark"), "sum", 10)
+        .join(mapping, "docId")
+        .select($"doc_id", r4($"score").as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }, Some(
+      s"""WITH $tokCte,
+         |m AS (SELECT doc_id, CAST(sum(length(term)) AS DOUBLE) AS s FROM tok
+         |      WHERE term IN ('stream', 'scan', 'spark') GROUP BY doc_id)
+         |SELECT doc_id, floor(s * 10000 + 0.5)/10000 AS score
+         |FROM m ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))),
+
     // expressions-module analogue: second-pass rescoring by a USER
     // EXPRESSION STRING compiled by Catalyst (`expressions/.../js/
     // JavascriptCompiler.java` compiles to bytecode; Spark's expr()
@@ -3087,7 +3128,10 @@ object Queries {
       step("idx_ngram") { force(Corpus.getNgram(spark, dir)) },
       step("idx_vbyte") { force(Corpus.getVByte(spark, dir)) },
       step("idx_porter") { force(Corpus.getPorter(spark, dir)) },
+      step("idx_lenpayload") { force(Corpus.getLenPayload(spark, dir)) },
       step("idx_enmin") { force(Corpus.getStemmed(spark, dir)) },
+      step("idx_frmin") { force(Corpus.getFrench(spark, dir)) },
+      step("idx_demin") { force(Corpus.getGerman(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() },

@@ -64,6 +64,47 @@ class StemSpec extends AnyFunSuite {
     }
   }
 
+  test("minimal French stemmer goldens (Savoy rules)") {
+    val cases = Seq(
+      // -x family: aux -> al, other x just drops
+      "chevaux" -> "cheval", "tableaux" -> "tableal", "travaux" -> "traval",
+      "généreux" -> "généreu",
+      // s / r / e / é cascade + double-letter singling
+      "chanteurs" -> "chanteu", "chanteur" -> "chanteu",
+      "appelle" -> "appel", "appelles" -> "appel",
+      "employé" -> "employ", "fermées" -> "ferm",
+      // shorter than 6 pass through
+      "actes" -> "actes", "merge" -> "merge", "table" -> "table", "query" -> "query",
+      // engine-vocabulary words the ft_french_topk oracle relies on
+      "streams" -> "stream", "stream" -> "stream",
+      "customer" -> "custom", "filter" -> "filt", "vector" -> "vecto",
+      "column" -> "column", "window" -> "window"
+    )
+    cases.foreach { case (w, want) =>
+      assert(Stemmer.frenchMinimal(w) == want, s"frenchMinimal($w)")
+    }
+  }
+
+  test("minimal German stemmer goldens (Savoy rules + umlaut fold)") {
+    val cases = Seq(
+      // -nen (len > 6), -en/-se/-es/-er (len > 5), single n/e/s/r
+      "scannen" -> "scan", "frauen" -> "frau", "bilder" -> "bild",
+      "hauses" -> "haus", "ergebnisse" -> "ergebnis",
+      "karten" -> "kart", "worte" -> "wort",
+      // umlaut folding happens before suffix rules (len >= 5 only)
+      "bücher" -> "buch", "übungen" -> "ubung", "häuser" -> "haus",
+      "über" -> "über", // len < 5: untouched, no fold
+      // engine-vocabulary words the ft_german_topk oracle relies on
+      "spark" -> "spark", "merge" -> "merg", "stream" -> "stream",
+      "table" -> "tabl", "scan" -> "scan", "query" -> "query",
+      "filter" -> "filt", "customer" -> "custom", "order" -> "orde",
+      "column" -> "colum", "vector" -> "vecto", "window" -> "window"
+    )
+    cases.foreach { case (w, want) =>
+      assert(Stemmer.germanMinimal(w) == want, s"germanMinimal($w)")
+    }
+  }
+
   test("porter never lengthens beyond +1 and is total on the fixture alphabet") {
     val rnd = new scala.util.Random(8899)
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789_"
