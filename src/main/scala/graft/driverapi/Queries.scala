@@ -2876,6 +2876,51 @@ object Queries {
          |SELECT doc_id, floor(s * 10000 + 0.5)/10000 AS score
          |FROM m ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))),
 
+    // LatLonPoint.newBoxQuery (core/document/LatLonPoint.java:220):
+    // inclusive bounding-box filter over deterministic per-doc
+    // coordinates (derived from doc_id by integer arithmetic, so both
+    // engines compute bit-identical doubles). At scale lat/lon are
+    // parquet sort columns and these comparisons prune row groups —
+    // the BKD-tree analogue.
+    "geo_box_filter" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lat", expr("(doc_id * 7919 % 18000) / 100e0 - 90e0"))
+        .withColumn("lon", expr("(doc_id * 104729 % 36000) / 100e0 - 180e0"))
+      graft.exec.Geo.boxFilter(docs, $"lat", $"lon", 10d, 40d, -20d, 30d)
+        .select($"doc_id", $"lat", $"lon")
+        .orderBy($"doc_id").limit(20)
+    }, Some(
+      s"""WITH g AS (SELECT doc_id,
+         |  (doc_id * 7919 % 18000) / 100e0 - 90e0 AS lat,
+         |  (doc_id * 104729 % 36000) / 100e0 - 180e0 AS lon FROM documents)
+         |SELECT doc_id, lat, lon FROM g
+         |WHERE lat >= 10 AND lat <= 40 AND lon >= -20 AND lon <= 30
+         |ORDER BY doc_id LIMIT 20""".stripMargin))),
+
+    // LatLonPoint.newDistanceQuery / distance sort (nearest-k): whole-
+    // meter-rounded haversine on the reference's mean earth radius
+    // (SloppyMath TO_METERS) — ranking on rounded meters + doc_id makes
+    // the cutoff reproducible across engines (libm 1-ulp differences
+    // are absorbed by the rounding)
+    "geo_distance_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("lat", expr("(doc_id * 7919 % 18000) / 100e0 - 90e0"))
+        .withColumn("lon", expr("(doc_id * 104729 % 36000) / 100e0 - 180e0"))
+      graft.exec.Geo.nearestK(docs, $"lat", $"lon", $"doc_id", 48.8566, 2.3522, 10)
+        .withColumnRenamed("key", "doc_id")
+    }, Some(
+      s"""WITH g AS (SELECT doc_id,
+         |  (doc_id * 7919 % 18000) / 100e0 - 90e0 AS lat,
+         |  (doc_id * 104729 % 36000) / 100e0 - 180e0 AS lon FROM documents),
+         |d AS (SELECT doc_id, CAST(floor(2 * 6371008.7714 * asin(sqrt(
+         |  sin(radians(lat - 48.8566)/2) * sin(radians(lat - 48.8566)/2)
+         |  + cos(radians(48.8566)) * cos(radians(lat)) *
+         |    sin(radians(lon - 2.3522)/2) * sin(radians(lon - 2.3522)/2))) + 0.5)
+         |  AS BIGINT) AS meters FROM g)
+         |SELECT doc_id, meters FROM d ORDER BY meters, doc_id LIMIT 10""".stripMargin))),
+
     // expressions-module analogue: second-pass rescoring by a USER
     // EXPRESSION STRING compiled by Catalyst (`expressions/.../js/
     // JavascriptCompiler.java` compiles to bytecode; Spark's expr()
