@@ -94,6 +94,34 @@ object Stemmer {
     else b
   }
 
+  /** German normalization (the Snowball *german2* variant folding, the
+    * reference's `analysis/common/.../de/GermanNormalizationFilter.java`
+    * three-state machine): ß -> ss; ä/ö/ü -> a/o/u; an 'e' directly
+    * following an umlaut-state a/o/u is deleted (ae -> a, oe -> o,
+    * ue -> u) unless the u was itself preceded by a vowel or q
+    * ("bauer", "quelle" keep their e — the V state blocks deletion).
+    */
+  def germanNormalize(w: String): String = {
+    val out = new java.lang.StringBuilder(w.length + 2)
+    var state = 0 // 0 = ordinary, 1 = V (blocks u), 2 = U (allows e-deletion)
+    var i = 0
+    while (i < w.length) {
+      w.charAt(i) match {
+        case c @ ('a' | 'o') => out.append(c); state = 2
+        case 'u' => out.append('u'); state = if (state == 0) 2 else 1
+        case 'e' => if (state != 2) out.append('e'); state = 1
+        case c @ ('i' | 'q' | 'y') => out.append(c); state = 1
+        case 'ä' => out.append('a'); state = 1
+        case 'ö' => out.append('o'); state = 1
+        case 'ü' => out.append('u'); state = 1
+        case 'ß' => out.append("ss"); state = 0
+        case c => out.append(c); state = 0
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   def porter(w: String): String = {
     if (w.length <= 2) return w
     val st = new P(w)

@@ -310,6 +310,8 @@ object IndexBuilder {
       t.copy(term = graft.analysis.Stemmer.frenchMinimal(t.term)))
     case "demin" => CodeAnalyzer.tokenize(text).map(t =>
       t.copy(term = graft.analysis.Stemmer.germanMinimal(t.term)))
+    case "denorm" => CodeAnalyzer.tokenize(text).map(t =>
+      t.copy(term = graft.analysis.Stemmer.germanNormalize(t.term)))
     case _ => CodeAnalyzer.tokenize(text)
   }
 

@@ -134,6 +134,19 @@ object Corpus {
       build(spark, docs, "demin")
     }
 
+  /** German-NORMALIZED variant (`ft_denorm_topk`) over an umlauted
+    * derivation: every standalone `group` becomes `gröup`, which the
+    * german2 normalization folds back exactly — same restore-proof
+    * shape as [[getGerman]].
+    */
+  def getGermanNorm(spark: SparkSession, dir: String): (Index, DataFrame) =
+    cached(spark, s"denorm:$dir") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", regexp_replace($"text", "\\bgroup\\b", "gröup"))
+      build(spark, docs, "denorm")
+    }
+
   /** Payload-lane variant (`ft_payload_topk`): std tokens, each carrying
     * a 4-byte float payload = token length ([[graft.analysis.Payloads
     * .lengthFloat]]) — per-occurrence payloads a DuckDB oracle can

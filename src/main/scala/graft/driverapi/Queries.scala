@@ -188,6 +188,7 @@ object Queries {
       case "enmin" => Corpus.getStemmed(spark, dir)
       case "frmin" => Corpus.getFrench(spark, dir)
       case "demin" => Corpus.getGerman(spark, dir)
+      case "denorm" => Corpus.getGermanNorm(spark, dir)
       case _ => Corpus.get(spark, dir)
     }
     spark.createDataset(topRoundedHits(index, q0, k, sim).toSeq).toDF("docId", "score")
@@ -807,6 +808,16 @@ object Queries {
         graft.query.TermQ("scan"), graft.query.TermQ("spark"))), 10,
         variant = "demin")(spark, dir)
     }, Some(bm25Sql(Seq("scan", "spark"), requireAll = true, 10)))),
+
+    // German NORMALIZATION (german2 folding, GermanNormalizationFilter
+    // .java) over the umlauted derivation (Corpus.getGermanNorm): the
+    // state machine folds `gröup` back to `group` exactly, so the plain
+    // BM25 oracle applies — `group` only matches through the filter
+    "ft_denorm_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(must = Seq(
+        graft.query.TermQ("group"), graft.query.TermQ("stream"))), 10,
+        variant = "denorm")(spark, dir)
+    }, Some(bm25Sql(Seq("group", "stream"), requireAll = true, 10)))),
 
     // sloppy phrase (slop=1): docs where `fast` is followed by `table`
     // within one displacement (SloppyPhraseMatcher.java:54); docs-only —
@@ -3177,6 +3188,7 @@ object Queries {
       step("idx_enmin") { force(Corpus.getStemmed(spark, dir)) },
       step("idx_frmin") { force(Corpus.getFrench(spark, dir)) },
       step("idx_demin") { force(Corpus.getGerman(spark, dir)) },
+      step("idx_denorm") { force(Corpus.getGermanNorm(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() },

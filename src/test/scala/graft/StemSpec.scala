@@ -105,6 +105,26 @@ class StemSpec extends AnyFunSuite {
     }
   }
 
+  test("german2 normalization state machine goldens") {
+    val cases = Seq(
+      // ß expansion, umlaut fold
+      "weißbier" -> "weissbier", "fußball" -> "fussball",
+      "schön" -> "schon", "müller" -> "muller", "häuser" -> "hauser",
+      // ae/oe/ue -> a/o/u via the U state
+      "goethe" -> "gothe", "hueber" -> "huber", "aepfel" -> "apfel",
+      // V state BLOCKS the e-deletion: u after vowel/q, post-umlaut e
+      "bauer" -> "bauer", "quelle" -> "quelle", "mauer" -> "mauer",
+      "äepfel" -> "aepfel", // folded ä enters V: next e kept
+      // engine-vocabulary words the ft_denorm_topk oracle relies on
+      "gröup" -> "group", "group" -> "group", "stream" -> "stream",
+      "value" -> "valu", "merge" -> "merge", "query" -> "query",
+      "customer" -> "customer", "table" -> "table", "order" -> "order"
+    )
+    cases.foreach { case (w, want) =>
+      assert(Stemmer.germanNormalize(w) == want, s"germanNormalize($w)")
+    }
+  }
+
   test("porter never lengthens beyond +1 and is total on the fixture alphabet") {
     val rnd = new scala.util.Random(8899)
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789_"
