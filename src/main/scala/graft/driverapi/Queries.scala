@@ -3014,6 +3014,33 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:68-74,
+    // Zhai & Lafferty linear interpolation, lambda = 0.1): the sixth
+    // similarity family through the SPI — same collection model as
+    // LMDirichlet, score = ln(1 + ((1-l)*tf/dl)/(l*P(t|C)))
+    "ft_lmjm_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("stream"))), 10,
+        sim = graft.exec.LMJelinekMercerSim.Default)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |tt AS (SELECT term, CAST(count(*) AS BIGINT) AS ttf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |         sum(ln(1 + ((1 - 0.1e0) * tf.tf / qd.qlen)
+         |                    / (0.1e0 * ((tt.ttf + 1.0)/(st.sttf + 1.0))))) AS s
+         |       FROM tf JOIN tt ON tf.term = tt.term
+         |            JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // k-NN classifier (classification/.../KNearestNeighborClassifier.java:
     // 156-193, 199-246): boosted-MLT top-k per input doc, classes voted
     // score(c) = sum_{hits of c}(score/maxScore) / min(k, hits) — the

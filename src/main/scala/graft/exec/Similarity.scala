@@ -204,3 +204,61 @@ object LMDirichletSim extends SimilarityFactory {
   def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
     new Scorer(1d, stats.map(ts => pOf(ts.ttf, fs)).toArray, asFloat = !doubleMode)
 }
+
+/** LMJelinekMercerSimilarity — linear-interpolation language-model
+  * smoothing (`core/search/similarities/LMJelinekMercerSimilarity.java:
+  * 68-74`, Zhai & Lafferty 2001), lambda in (0, 1]:
+  *
+  *   P(t|C) = (ttf + 1) / (sumTotalTermFreq + 1)   (same collection model)
+  *   score  = boost * ln(1 + ((1-lambda) * freq/dl) / (lambda * P))
+  *
+  * Always >= 0 (the SimilarityBase clamp never fires). Monotone up in
+  * freq, down in dl — block-max impacts stay valid; global bound +inf.
+  * Float-parity mode casts the double result like the other LM family.
+  */
+final class LMJelinekMercerSim(lambda: Double) extends SimilarityFactory {
+  require(!lambda.isNaN && lambda > 0d && lambda <= 1d, "lambda must be in (0 .. 1]")
+
+  private def pOf(ttf: Long, fs: FieldStats): Double =
+    (ttf + 1d) / (fs.sumTotalTermFreq + 1d)
+
+  /** One subscorer per member stat, SUMMED (`MultiSimilarity`). */
+  final class Scorer(boost: Double, ps: Array[Double], asFloat: Boolean)
+      extends Kernel.AnyScorer {
+    private def raw(freq: Double, norm: Byte): Double = {
+      val dl = SmallFloat.LengthTable(norm & 0xff).toDouble
+      var s = 0d
+      var i = 0
+      while (i < ps.length) {
+        s += boost * math.log(1 + ((1 - lambda) * freq / dl) / (lambda * ps(i)))
+        i += 1
+      }
+      s
+    }
+    def score(freq: Int, norm: Byte): Double = {
+      val s = raw(freq.toDouble, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def scoreF(freq: Double, norm: Byte): Double = {
+      val s = raw(freq, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = score(maxFreq, minNorm)
+    def globalMax: Double = Double.PositiveInfinity
+  }
+
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(if (doubleMode && boostD >= 0d) boostD else boost.toDouble,
+      Array(pOf(stats.ttf, fs)), asFloat = !doubleMode)
+
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(1d, stats.map(ts => pOf(ts.ttf, fs)).toArray, asFloat = !doubleMode)
+}
+
+object LMJelinekMercerSim {
+  /** The paper's short-query sweet spot (Zhai & Lafferty: ~0.1 for
+    * title queries) — the conventional default.
+    */
+  val Default = new LMJelinekMercerSim(0.1d)
+}

@@ -52,6 +52,40 @@ class LmSimilaritySpec extends AnyFunSuite {
     assert(ph.score(2, n9) === expected(2d, 20L, len) + expected(2d, 30L, len))
   }
 
+  test("LMJelinekMercer: published formula, lambda gate, phrase sum, float parity") {
+    import graft.exec.LMJelinekMercerSim
+    val lambda = 0.1d
+    def jm(freq: Double, ttf: Long, len: Int): Double = {
+      val p = (ttf + 1d) / (fs.sumTotalTermFreq + 1d)
+      math.log(1 + ((1 - lambda) * freq / len) / (lambda * p))
+    }
+    val sim = LMJelinekMercerSim.Default
+    val sc = sim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
+    val n7 = SmallFloat.intToByte4(7)
+    val len7 = SmallFloat.byte4ToInt(n7)
+    assert(sc.score(3, n7) === jm(3d, 40L, len7))
+    assert(sc.score(1, n7) === jm(1d, 40L, len7))
+    // always >= 0: even the most common term in the longest doc
+    val common = sim.term(TermStats("c", 90L, 4000L), fs, 1f, -1d, doubleMode = true)
+    assert(common.score(1, SmallFloat.intToByte4(100000)) > 0d)
+    // float parity casts at the end
+    val scF = sim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = false)
+    assert(scF.score(3, n7) === jm(3d, 40L, len7).toFloat.toDouble)
+    // phrase sums member subscorers
+    val ph = sim.phrase(Seq(TermStats("a", 5L, 20L), TermStats("b", 7L, 30L)),
+      fs, doubleMode = true)
+    val n9 = SmallFloat.intToByte4(9)
+    val len9 = SmallFloat.byte4ToInt(n9)
+    assert(ph.score(2, n9) === jm(2d, 20L, len9) + jm(2d, 30L, len9))
+    // block-max bound dominates
+    val bound = sc.maxScore(8, SmallFloat.intToByte4(5))
+    for (f <- 1 to 8; l <- Seq(5, 9, 40, 1000))
+      assert(sc.score(f, SmallFloat.intToByte4(l)) <= bound)
+    // lambda domain gate (reference: (0 .. 1])
+    intercept[IllegalArgumentException] { new LMJelinekMercerSim(0d) }
+    intercept[IllegalArgumentException] { new LMJelinekMercerSim(1.5d) }
+  }
+
   test("block-max bound: maxScore(maxFreq, minNorm) dominates the block") {
     val sc = LMDirichletSim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
     val bound = sc.maxScore(8, SmallFloat.intToByte4(5))
