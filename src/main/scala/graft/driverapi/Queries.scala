@@ -3041,6 +3041,33 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // DFR InL2 (DFRSimilarity.java with BasicModelIn + AfterEffectL +
+    // NormalizationH2 c=1, Amati & van Rijsbergen): the sixth similarity
+    // family — score = log2((N+1)/(df+0.5)) * (1 - 1/(1 + tfn)),
+    // tfn = tf * log2(1 + avgdl/dl)
+    "ft_dfr_topk" -> (((spark, dir) => {
+      ftScoredQ(graft.query.BoolQ(should = Seq(
+          graft.query.TermQ("merge"), graft.query.TermQ("stream"))), 10,
+        sim = graft.exec.DfrInL2Sim.Default)(spark, dir)
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('merge', 'stream') GROUP BY doc_id, term),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id,
+         |         sum( (ln((st.n + 1) / (dfc.df + 0.5e0)) / ln(2)) *
+         |              (1 - 1/(1 + tf.tf * (ln(1 + (st.sttf / st.n) / qd.qlen) / ln(2)))) ) AS s
+         |       FROM tf JOIN dfc ON tf.term = dfc.term
+         |            JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id)
+         |SELECT doc_id, floor((s) * 10000 + 0.5)/10000 AS score,
+         |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
+         |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
+
     // k-NN classifier (classification/.../KNearestNeighborClassifier.java:
     // 156-193, 199-246): boosted-MLT top-k per input doc, classes voted
     // score(c) = sum_{hits of c}(score/maxScore) / min(k, hits) — the

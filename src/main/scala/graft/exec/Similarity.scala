@@ -262,3 +262,68 @@ object LMJelinekMercerSim {
     */
   val Default = new LMJelinekMercerSim(0.1d)
 }
+
+/** DFR InL2 — divergence from randomness with basic model I(n),
+  * after-effect L (Laplace), and length normalization H2
+  * (`core/search/similarities/DFRSimilarity.java`,
+  * `BasicModelIn.java:38-45` A = log2((N+1)/(n+0.5)) combined with the
+  * after-effect as A·(1 − 1/(1+tfn)), `AfterEffectL.java:33` (=1),
+  * `NormalizationH2.java:57-59` tfn = tf·log2(1 + c·avgdl/dl), default
+  * c = 1; Amati & van Rijsbergen 2002):
+  *
+  *   score = boost · log2((N+1)/(n+0.5)) · (1 − 1/(1+tfn))
+  *
+  * Monotone up in freq and down in dl, so block-max impacts hold; tfn
+  * saturates, so the GLOBAL bound is finite: boost·A (unlike the
+  * unbounded BM25-free-freq families). avgdl uses exact collection sums
+  * (`BasicStats.getAvgFieldLength`); dl is the byte-quantised decoded
+  * length. Float-parity mode casts the double result like the LM family.
+  */
+final class DfrInL2Sim(c: Double = 1d) extends SimilarityFactory {
+  require(java.lang.Double.isFinite(c) && c >= 0d, "c must be a non-negative finite value")
+
+  private val Ln2 = math.log(2d)
+
+  /** One subscorer per member stat, SUMMED (`MultiSimilarity`). */
+  final class Scorer(boost: Double, as: Array[Double], avgdl: Double, asFloat: Boolean)
+      extends Kernel.AnyScorer {
+    private def raw(freq: Double, norm: Byte): Double = {
+      val dl = SmallFloat.LengthTable(norm & 0xff).toDouble
+      val tfn = freq * (math.log(1 + c * avgdl / dl) / Ln2)
+      var s = 0d
+      var i = 0
+      while (i < as.length) {
+        s += boost * as(i) * (1 - 1 / (1 + tfn))
+        i += 1
+      }
+      s
+    }
+    def score(freq: Int, norm: Byte): Double = {
+      val s = raw(freq.toDouble, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def scoreF(freq: Double, norm: Byte): Double = {
+      val s = raw(freq, norm)
+      if (asFloat) s.toFloat.toDouble else s
+    }
+    def maxScore(maxFreq: Int, minNorm: Byte): Double = score(maxFreq, minNorm)
+    // tfn saturation: score < boost * sum(A) for every (freq, dl)
+    def globalMax: Double = { var t = 0d; as.foreach(t += _); boost * t }
+  }
+
+  private def aOf(df: Long, fs: FieldStats): Double =
+    math.log((fs.docCount + 1).toDouble / (df + 0.5)) / Ln2
+
+  def term(stats: TermStats, fs: FieldStats, boost: Float, boostD: Double,
+      doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(if (doubleMode && boostD >= 0d) boostD else boost.toDouble,
+      Array(aOf(stats.df, fs)), fs.avgdlDouble, asFloat = !doubleMode)
+
+  def phrase(stats: Seq[TermStats], fs: FieldStats, doubleMode: Boolean): Kernel.AnyScorer =
+    new Scorer(1d, stats.map(ts => aOf(ts.df, fs)).toArray, fs.avgdlDouble,
+      asFloat = !doubleMode)
+}
+
+object DfrInL2Sim {
+  val Default = new DfrInL2Sim(1d)
+}

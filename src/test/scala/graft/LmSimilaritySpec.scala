@@ -86,6 +86,36 @@ class LmSimilaritySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new LMJelinekMercerSim(1.5d) }
   }
 
+  test("DFR InL2: published composition, finite global bound, phrase sum") {
+    import graft.exec.DfrInL2Sim
+    def log2(x: Double) = math.log(x) / math.log(2d)
+    val avgdl = fs.sumTotalTermFreq / fs.docCount.toDouble
+    def inl2(freq: Double, df: Long, len: Int): Double = {
+      val tfn = freq * log2(1 + avgdl / len)
+      log2((fs.docCount + 1).toDouble / (df + 0.5)) * (1 - 1 / (1 + tfn))
+    }
+    val sim = DfrInL2Sim.Default
+    val sc = sim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
+    val n7 = SmallFloat.intToByte4(7)
+    val len7 = SmallFloat.byte4ToInt(n7)
+    assert(sc.score(3, n7) === inl2(3d, 10L, len7))
+    assert(sc.score(1, n7) === inl2(1d, 10L, len7))
+    // tfn saturation: the GLOBAL bound is finite and dominates any freq
+    val a = log2((fs.docCount + 1).toDouble / (10L + 0.5))
+    assert(sc.globalMax === a)
+    assert(sc.score(1000000, n7) < sc.globalMax)
+    // float parity + phrase sum + block-max dominance
+    val scF = sim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = false)
+    assert(scF.score(3, n7) === inl2(3d, 10L, len7).toFloat.toDouble)
+    val ph = sim.phrase(Seq(TermStats("a", 5L, 20L), TermStats("b", 7L, 30L)),
+      fs, doubleMode = true)
+    assert(ph.score(2, n7) === inl2(2d, 5L, len7) + inl2(2d, 7L, len7))
+    val bound = sc.maxScore(8, SmallFloat.intToByte4(5))
+    for (f <- 1 to 8; l <- Seq(5, 9, 40, 1000))
+      assert(sc.score(f, SmallFloat.intToByte4(l)) <= bound)
+    intercept[IllegalArgumentException] { new DfrInL2Sim(-1d) }
+  }
+
   test("block-max bound: maxScore(maxFreq, minNorm) dominates the block") {
     val sc = LMDirichletSim.term(TermStats("t", 10L, 40L), fs, 1f, -1d, doubleMode = true)
     val bound = sc.maxScore(8, SmallFloat.intToByte4(5))
