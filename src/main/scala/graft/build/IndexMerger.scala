@@ -369,6 +369,24 @@ object CheckIndex {
     val postingViolations = index.postings.flatMap { pl =>
       val d = PostingCodec.decodeAll(pl)
       val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+      // payload lane: a flagged row must decode cleanly with one payload
+      // slot per position (absent = null slot, never a short array)
+      if (PostingCodec.hasPayloads(pl)) {
+        try {
+          val dp = PostingCodec.decodeAll(pl, withPayloads = true)
+          var i = 0
+          while (i < dp.payloads.length) {
+            if (dp.payloads(i) == null || dp.payloads(i).length != dp.freqs(i)) {
+              errs += s"term=${pl.term} seg=${pl.seg}: payload slots != freq at posting $i"
+              i = dp.payloads.length
+            }
+            i += 1
+          }
+        } catch {
+          case e: Exception =>
+            errs += s"term=${pl.term} seg=${pl.seg}: payload lane decode failed: ${e.getMessage}"
+        }
+      }
       if (d.docIds.length != pl.df)
         errs += s"term=${pl.term} seg=${pl.seg}: df=${pl.df} != postings=${d.docIds.length}"
       if (d.freqs.map(_.toLong).sum != pl.ttf)

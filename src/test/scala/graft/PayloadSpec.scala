@@ -161,6 +161,10 @@ class PayloadSpec extends SparkTest {
     }
   }
 
+  test("CheckIndex validates the payload lane (healthy index reports nothing)") {
+    assert(graft.build.CheckIndex.run(index).isEmpty)
+  }
+
   test("payloads survive forceMerge") {
     import spark.implicits._
     val merged = graft.build.IndexMerger.forceMerge(spark, index, numPartitions = 4)
