@@ -3041,6 +3041,51 @@ object Queries {
          |       CAST(row_number() OVER (ORDER BY floor((s) * 10000 + 0.5)/10000 DESC, doc_id) AS BIGINT) AS rank
          |FROM sc ORDER BY rank LIMIT 10""".stripMargin))),
 
+    // DiversifiedTopDocsCollector (misc/.../search/
+    // DiversifiedTopDocsCollector.java): global top-k where each KEY may
+    // contribute at most maxHitsPerKey hits (here: <= 2 per lang for the
+    // `merge` BM25 ranking). Distributed shape: score all matches, ONE
+    // per-key window (partial WindowGroupLimit map-side), then the
+    // global top-k — never a per-key driver loop.
+    "ft_diversified_topk" -> (((spark, dir) => {
+      import spark.implicits._
+      val (index, mapping) = Corpus.get(spark, dir)
+      val hits = topRoundedHits(index, graft.query.TermQ("merge"), 100000)
+      spark.createDataset(hits.toSeq).toDF("docId", "score")
+        .join(mapping, "docId")
+        .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"lang"), "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy(desc("score"), asc("doc_id"))))
+        .filter($"rn" <= 2)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .filter($"rank" <= 10)
+        .select($"doc_id", $"lang", $"score", $"rank")
+        .orderBy($"rank")
+    }, Some(
+      s"""WITH $tokCte,
+         |dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+         |              CAST((SELECT count(*) FROM tok) AS DOUBLE) AS sttf),
+         |qd AS (SELECT doc_id, $qlenExpr AS qlen FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term = 'merge' GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |idf AS (SELECT term, ln(1 + (st.n - df + 0.5)/(df + 0.5)) AS idf FROM df, st),
+         |sc AS (SELECT tf.doc_id,
+         |              sum(idf.idf - idf.idf/(1 + tf.tf * (1.0/(1.2*(0.25 + 0.75*qd.qlen/(st.sttf/st.n)))))) AS s
+         |       FROM tf JOIN idf ON tf.term = idf.term JOIN qd ON tf.doc_id = qd.doc_id, st
+         |       GROUP BY tf.doc_id),
+         |rs AS (SELECT sc.doc_id, d.lang,
+         |              floor((s) * 10000 + 0.5)/10000 AS score
+         |       FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+         |dv AS (SELECT doc_id, lang, score,
+         |              row_number() OVER (PARTITION BY lang
+         |                ORDER BY score DESC, doc_id) AS rn FROM rs)
+         |SELECT doc_id, lang, score,
+         |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |FROM dv WHERE rn <= 2 ORDER BY rank LIMIT 10""".stripMargin))),
+
     // DFR InL2 (DFRSimilarity.java with BasicModelIn + AfterEffectL +
     // NormalizationH2 c=1, Amati & van Rijsbergen): the sixth similarity
     // family — score = log2((N+1)/(df+0.5)) * (1 - 1/(1 + tfn)),
