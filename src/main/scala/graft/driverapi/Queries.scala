@@ -2127,6 +2127,57 @@ object Queries {
         |     AND x.doc_id < y.doc_id
         |ORDER BY a, b""".stripMargin))),
 
+    // Duplicate-CLUSTER resolution: connected components over the
+    // LSH candidate pairs -> one canonical doc (cluster min) per member —
+    // the keep-one step a dedup pipeline needs after pair generation.
+    // Distributed min-label propagation: each round is one edge join +
+    // one min-aggregate (no collect of edges), converging in
+    // O(cluster diameter) rounds — LSH clusters are near-cliques, so a
+    // handful. At 10^12 docs the same per-round join shape runs the
+    // alternating large-star/small-star variant (Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond", SoCC'14).
+    "dedup_clusters" -> (((spark, dir) => {
+      import spark.implicits._
+      val bands = minhashBands(spark, dir)
+      val pairs = bands.as("x").join(bands.as("y"), Seq("b", "u", "v"))
+        .filter($"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
+      val edges = pairs.unionByName(pairs.select($"b".as("a"), $"a".as("b"))).persist()
+      var labels = edges.select($"a".as("doc_id")).distinct()
+        .withColumn("canonical", $"doc_id").persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 64) {
+        val nbr = edges
+          .join(labels.select($"doc_id".as("b"), $"canonical".as("cb")), "b")
+          .groupBy($"a").agg(min($"cb").as("nc"))
+        val next = labels
+          .join(nbr.select($"a".as("doc_id"), $"nc"), Seq("doc_id"), "left")
+          .select($"doc_id",
+            least($"canonical", coalesce($"nc", $"canonical")).as("canonical"))
+          .persist()
+        changed = next
+          .join(labels.select($"doc_id", $"canonical".as("old")), "doc_id")
+          .filter($"canonical" =!= $"old").count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0L, s"label propagation did not converge in $rounds rounds")
+      edges.unpersist()
+      labels.orderBy($"doc_id")
+    }, Some(
+      s"""WITH RECURSIVE $minhashBandsSql,
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |          FROM bands x JOIN bands y ON x.b = y.b AND x.u = y.u AND x.v = y.v
+        |               AND x.doc_id < y.doc_id),
+        |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |r AS (SELECT a AS doc, b AS reach FROM e
+        |      UNION
+        |      SELECT r.doc, e.b FROM r JOIN e ON r.reach = e.a)
+        |SELECT doc AS doc_id, least(doc, min(reach)) AS canonical
+        |FROM r GROUP BY doc ORDER BY doc_id""".stripMargin))),
+
     // 60-bit tf-weighted simhash fingerprints, whole table (no demo cap)
     "dedup_simhash" -> (((spark, dir) => {
       import spark.implicits._
