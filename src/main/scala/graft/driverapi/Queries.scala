@@ -2470,6 +2470,33 @@ object Queries {
         |SELECT doc_id, CASE WHEN hits / CAST(n AS DOUBLE) > 0.05 THEN 'en' ELSE 'other' END AS pred
         |FROM r ORDER BY doc_id""".stripMargin))),
 
+    // Deterministic STRATIFIED sampling — the class-rebalancing step of a
+    // training-data pipeline (downsample over-represented languages):
+    // keep fraction r(lang) of docs, membership decided by a per-doc
+    // hash (md5 of doc_id), so the sample is reproducible, join-free,
+    // one narrow filter at any scale (no per-class count pass, no RNG
+    // state), and stable under re-runs/appends — unlike rand()-based
+    // Dataset.sample.
+    "sample_stratified" -> (((spark, dir) => {
+      import spark.implicits._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("u",
+          conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+            .cast("long") % 10000L)
+        .withColumn("cut", expr(
+          "CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 " +
+            "WHEN 'es' THEN 5000 WHEN 'de' THEN 6000 ELSE 10000 END"))
+        .filter($"u" < $"cut")
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    }, Some(
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS u,
+         |  CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000
+         |            WHEN 'es' THEN 5000 WHEN 'de' THEN 6000 ELSE 10000 END AS cut
+         |  FROM documents)
+         |SELECT doc_id, lang FROM s WHERE u < cut ORDER BY doc_id""".stripMargin))),
+
     "quality_score" -> (((spark, dir) => {
       import spark.implicits._
       val stop = Seq("the", "a", "of", "to", "and")
