@@ -3128,8 +3128,11 @@ object Queries {
     "ft_diversified_topk" -> (((spark, dir) => {
       import spark.implicits._
       val (index, mapping) = Corpus.get(spark, dir)
-      val hits = topRoundedHits(index, graft.query.TermQ("merge"), 100000)
-      spark.createDataset(hits.toSeq).toDF("docId", "score")
+      // all matches stay a DataFrame end-to-end (no driver collect);
+      // diversity + final rank both rank on ROUNDED scores like the oracle
+      graft.exec.Searcher.topKQ(index, graft.query.TermQ("merge"), 100000,
+          doubleMode = true)
+        .select($"docId", r4($"score").as("score"))
         .join(mapping, "docId")
         .join(spark.read.parquet(s"$dir/documents.parquet").select($"doc_id", $"lang"), "doc_id")
         .withColumn("rn", row_number().over(
