@@ -165,6 +165,33 @@ class PayloadSpec extends SparkTest {
     assert(graft.build.CheckIndex.run(index).isEmpty)
   }
 
+  test("payload lane round-trips through parquet (persistent-index storage)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-paytest").toString
+    try {
+      index.postings.write.mode("overwrite").parquet(dir)
+      val back = spark.read.parquet(dir).as[graft.model.PostingList]
+        .collect().map(pl => (pl.seg, pl.term) -> pl).toMap
+      val orig = index.postings.collect()
+      assert(orig.nonEmpty && orig.exists(PostingCodec.hasPayloads))
+      orig.foreach { pl =>
+        val rt = back((pl.seg, pl.term))
+        assert(PostingCodec.hasPayloads(rt) == PostingCodec.hasPayloads(pl))
+        assert(java.util.Arrays.equals(rt.payload, pl.payload) &&
+          rt.offsets.toSeq == pl.offsets.toSeq, s"${pl.term}")
+        if (PostingCodec.hasPayloads(pl)) {
+          val a = PostingCodec.decodeAll(pl, withPayloads = true)
+          val b = PostingCodec.decodeAll(rt, withPayloads = true)
+          assert(b.docIds.toSeq == a.docIds.toSeq)
+          assert(flatten(b.payloads, b.freqs) == flatten(a.payloads, a.freqs), pl.term)
+        }
+      }
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+
   test("payloads survive forceMerge") {
     import spark.implicits._
     val merged = graft.build.IndexMerger.forceMerge(spark, index, numPartitions = 4)
