@@ -2147,6 +2147,13 @@ object Queries {
         .withColumn("canonical", $"doc_id").persist()
       var changed = 1L
       var rounds = 0
+      // the propagation rounds run over the candidate-PAIR table, orders
+      // of magnitude smaller than the corpus — size the per-round shuffle
+      // to it (AQE coalesces this automatically on a real cluster; the
+      // catalog pins it and restores the session setting)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       while (changed > 0 && rounds < 64) {
         val nbr = edges
           .join(labels.select($"doc_id".as("b"), $"canonical".as("cb")), "b")
@@ -2163,6 +2170,7 @@ object Queries {
         labels = next
         rounds += 1
       }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       require(changed == 0L, s"label propagation did not converge in $rounds rounds")
       edges.unpersist()
       labels.orderBy($"doc_id")
