@@ -2130,49 +2130,62 @@ object Queries {
     // Duplicate-CLUSTER resolution: connected components over the
     // LSH candidate pairs -> one canonical doc (cluster min) per member —
     // the keep-one step a dedup pipeline needs after pair generation.
-    // Distributed min-label propagation: each round is one edge join +
-    // one min-aggregate (no collect of edges), converging in
-    // O(cluster diameter) rounds — LSH clusters are near-cliques, so a
-    // handful. At 10^12 docs the same per-round join shape runs the
-    // alternating large-star/small-star variant (Kiveris et al.,
-    // "Connected Components in MapReduce and Beyond", SoCC'14).
+    // Distributed min-label propagation WITH pointer jumping (each round
+    // also contracts canonical -> canonical(canonical), the Shiloach-
+    // Vishkin shortcut): O(log diameter) rounds instead of O(diameter),
+    // each round one edge join + one min-aggregate + one label self-join
+    // (no collect of edges). The fixed point is the per-component id
+    // minimum either way (labels only decrease and stay inside the
+    // component; at changed==0 the symmetric-edge condition forces one
+    // constant per component, and that constant is pinned to the min by
+    // the component-min node itself), so the result is IDENTICAL to the
+    // plain propagation and to the oracle's recursive closure.
+    // Per-round frames are localCheckpoint'ed, not persist'ed: the round
+    // plan collapses to a LogicalRDD (no O(rounds)-deep Catalyst tree to
+    // re-analyze each round, no CacheManager entry for every later
+    // catalog query to canonicalize against — the r06 bench showed the
+    // leaked deep cached plans taxing the entire remaining run) and the
+    // intermediate blocks are freed by the ContextCleaner as soon as the
+    // next round drops the reference. Shuffle sizing is left to AQE
+    // (spark.sql.adaptive coalesces the tiny pair-table exchanges
+    // without pinning a session-global partition count).
     "dedup_clusters" -> (((spark, dir) => {
       import spark.implicits._
       val bands = minhashBands(spark, dir)
       val pairs = bands.as("x").join(bands.as("y"), Seq("b", "u", "v"))
         .filter($"x.doc_id" < $"y.doc_id")
         .select($"x.doc_id".as("a"), $"y.doc_id".as("b")).distinct()
-      val edges = pairs.unionByName(pairs.select($"b".as("a"), $"a".as("b"))).persist()
+      val edges = pairs.unionByName(pairs.select($"b".as("a"), $"a".as("b")))
+        .localCheckpoint()
       var labels = edges.select($"a".as("doc_id")).distinct()
-        .withColumn("canonical", $"doc_id").persist()
+        .withColumn("canonical", $"doc_id").localCheckpoint()
       var changed = 1L
       var rounds = 0
-      // the propagation rounds run over the candidate-PAIR table, orders
-      // of magnitude smaller than the corpus — size the per-round shuffle
-      // to it (AQE coalesces this automatically on a real cluster; the
-      // catalog pins it and restores the session setting)
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
       while (changed > 0 && rounds < 64) {
-        val nbr = edges
+        // neighbor messages and the node's own label go through ONE
+        // union + min aggregation (the self row doubles as the
+        // old-label carrier, so convergence detection needs no extra
+        // join); base-stability alone is a sound stop condition — a
+        // round whose neighbor-min changes nothing has per-component
+        // constant labels, which makes the jump a no-op too
+        val m = edges
           .join(labels.select($"doc_id".as("b"), $"canonical".as("cb")), "b")
-          .groupBy($"a").agg(min($"cb").as("nc"))
-        val next = labels
-          .join(nbr.select($"a".as("doc_id"), $"nc"), Seq("doc_id"), "left")
-          .select($"doc_id",
-            least($"canonical", coalesce($"nc", $"canonical")).as("canonical"))
-          .persist()
-        changed = next
-          .join(labels.select($"doc_id", $"canonical".as("old")), "doc_id")
-          .filter($"canonical" =!= $"old").count()
-        labels.unpersist()
-        labels = next
+          .select($"a".as("doc_id"), $"cb".as("c"), lit(null).cast("long").as("old"))
+          .unionByName(labels.select($"doc_id", $"canonical".as("c"),
+            $"canonical".as("old")))
+          .groupBy($"doc_id").agg(min($"c").as("base"), max($"old").as("old"))
+        // pointer jump: base is a doc_id of this component (min of ids
+        // seen so far), so its own current label contracts the path
+        val next = m
+          .join(m.select($"doc_id".as("base"), $"base".as("cc")), Seq("base"), "left")
+          .select($"doc_id", least($"base", coalesce($"cc", $"base")).as("canonical"),
+            ($"base" < $"old").as("chg"))
+          .localCheckpoint()
+        changed = next.filter($"chg").count()
+        labels = next.select($"doc_id", $"canonical")
         rounds += 1
       }
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       require(changed == 0L, s"label propagation did not converge in $rounds rounds")
-      edges.unpersist()
       labels.orderBy($"doc_id")
     }, Some(
       s"""WITH RECURSIVE $minhashBandsSql,
