@@ -1499,17 +1499,31 @@ object Queries {
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))),
 
+    // one pass instead of three: both distinct key sets meet in a single
+    // full-outer join, and all three set-op cardinalities fall out of one
+    // aggregation (union = every joined key, intersect = both sides
+    // present, except = left-only) — 3 exchanges / 1 job where the
+    // literal union+intersect+except ran ~9 exchanges / 3 jobs, with the
+    // distincts of a and b recomputed per operator. Counts are identical
+    // by definition (a, b are distinct key sets).
     "set_ops" -> (((spark, dir) => {
       import spark.implicits._
       val a = spark.read.parquet(s"$dir/orders.parquet")
         .filter($"o_totalprice" > 150000).select($"o_custkey".as("k")).distinct()
       val b = spark.read.parquet(s"$dir/customer.parquet")
         .filter($"c_nationkey" < 12).select($"c_custkey".as("k")).distinct()
-      val rows = Seq(
-        ("union", a.union(b).distinct().count()),
-        ("intersect", a.intersect(b).count()),
-        ("except", a.except(b).count()))
-      rows.toDF("op", "n").orderBy($"op")
+      a.withColumn("ina", lit(1))
+        .join(b.withColumn("inb", lit(1)), Seq("k"), "full_outer")
+        .agg(
+          count(lit(1)).as("u"),
+          count(when($"ina" === 1 && $"inb" === 1, 1)).as("i"),
+          count(when($"ina" === 1 && $"inb".isNull, 1)).as("e"))
+        .select(explode(array(
+          struct(lit("except").as("op"), $"e".as("n")),
+          struct(lit("intersect").as("op"), $"i".as("n")),
+          struct(lit("union").as("op"), $"u".as("n")))).as("r"))
+        .select($"r.op".as("op"), $"r.n".as("n"))
+        .orderBy($"op")
     }, Some(
       """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
         |     b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_nationkey < 12)
@@ -2262,11 +2276,15 @@ object Queries {
       // quantity — computing it per candidate PAIR tripled the per-pair
       // array-aggregate work (bit-identical either way: same sqrt(sum)
       // expression over the same vector)
+      // localCheckpoint, not persist: the five downstream scans read the
+      // materialized blocks, no CacheManager entry outlives the call
+      // (the r06 run leaked one per invocation, taxing every later
+      // query's cache lookup), and the ContextCleaner frees the blocks
       val sized = assign.join(emb, "vec_id")
         .join(broadcast(sizes), "cid")
         .withColumn("nrm",
           sqrt(expr("aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))
-        .persist()
+        .localCheckpoint()
       def cosXY = (expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, p) -> acc + p)") /
         ($"x.nrm" * $"y.nrm")).as("c")
       val small = sized.filter($"sz" <= B)
@@ -2332,13 +2350,15 @@ object Queries {
       import spark.implicits._
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select($"vec_id", expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      // persist: the band self-join's two legs and the vector join-back
-      // must not recompute the 32-projection signature pass; the norm is
-      // per-VECTOR, precomputed once (bit-identical to per-pair)
+      // localCheckpoint: the band self-join's two legs and the vector
+      // join-back must not recompute the 32-projection signature pass;
+      // the norm is per-VECTOR, precomputed once (bit-identical to
+      // per-pair). Checkpoint instead of persist so no CacheManager
+      // entry outlives the call and the blocks free on GC.
       val sig = emb.withColumn("sig", srpSigExpr)
         .withColumn("nrm",
           sqrt(expr("aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, p) -> acc + p)")))
-        .persist()
+        .localCheckpoint()
       val bands = sig.select($"vec_id",
         expr("inline(array(struct(0 as b, sig & 65535 as key), struct(1 as b, shiftright(sig, 16) as key)))"))
       // candidates deduped on (a, b) BEFORE the cosine (the oracle's own
@@ -3149,9 +3169,12 @@ object Queries {
     "ft_diversified_topk" -> (((spark, dir) => {
       import spark.implicits._
       val (index, mapping) = Corpus.get(spark, dir)
-      // all matches stay a DataFrame end-to-end (no driver collect);
+      // all matches stay a DataFrame end-to-end (no driver collect, no
+      // match cap, no intermediate global top-N: scoredMatches feeds the
+      // per-key window directly, whose map-side WindowGroupLimit bounds
+      // each partition to 2 rows per lang before the tiny global rank);
       // diversity + final rank both rank on ROUNDED scores like the oracle
-      graft.exec.Searcher.topKQ(index, graft.query.TermQ("merge"), 100000,
+      graft.exec.Searcher.scoredMatches(index, graft.query.TermQ("merge"),
           doubleMode = true)
         .select($"docId", r4($"score").as("score"))
         .join(mapping, "docId")

@@ -601,6 +601,37 @@ object Searcher {
       else t -> graft.codec.PostingCodec.concat(rs.sortBy(_.maxDocIds.head))
     }
 
+  /** ALL matching (docId, score) rows as a distributed DataFrame — the
+    * per-segment kernel pass of [[topKQ]] with an unbounded hit budget
+    * and NO global merge (no TakeOrdered, no single-partition reduce).
+    * The heap never fills, so no pruning acts and scores are the
+    * exhaustive-evaluation scores; feeds operators that rank DOWNSTREAM
+    * of the match stream (e.g. the diversified per-key window), where a
+    * global top-N between kernel and window would both cap the stream
+    * and serialize it through one partition.
+    */
+  def scoredMatches(index: Index, query0: Query, doubleMode: Boolean = false,
+      sim: SimilarityFactory = BM25Sim): DataFrame = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val pl = plan(index, query0, doubleMode, sim) match {
+      case None => return emptyResult(spark, doubleMode)
+      case Some(p) => p
+    }
+    val scorers = pl.scorers
+    val q = pl.query
+    val live = index.live
+    val ftok = index.filterCacheToken
+    val fanout = perSegment(index, pl.terms, wide = pl.wide) { (seg, rows) =>
+      SegmentKernel.run(q, concatByTerm(rows), scorers, Int.MaxValue,
+          floatMode = !doubleMode, deletedOrds = live.deleted(seg), seg = seg,
+          cacheToken = ftok)
+        .iterator.map { case (d, s) => ScoredDocD(d, s) }
+    }
+    val df = fanout.toDF()
+    if (doubleMode) df else df.select($"docId", $"score".cast("float").as("score"))
+  }
+
   def topKQ(index: Index, query0: Query, k: Int, doubleMode: Boolean = false,
       primeThreshold: Boolean = false, sim: SimilarityFactory = BM25Sim): DataFrame = {
     val spark = index.postings.sparkSession

@@ -115,6 +115,26 @@ class SearchDifferentialSpec extends SparkTest {
     }
   }
 
+  test("scoredMatches == topKQ over the full corpus (set and scores)") {
+    import graft.query._
+    val docs = inputDocs(4)
+    val index = IndexBuilder.buildInMemory(spark, spark.createDataset(docs))
+    val shapes: Seq[Query] = Seq(
+      TermQ("def"), TermQ("needle_1"),
+      BoolQ(must = Seq(TermQ("def"), TermQ("class"))),
+      BoolQ(should = Seq(TermQ("val"), TermQ("needle_0"))),
+      TermQ("nonexistent_term_xyz"))
+    shapes.foreach { q =>
+      // k >= corpus size makes topKQ exhaustive: same match set, same
+      // scores, only the global merge differs (scoredMatches has none)
+      val viaTopK = Searcher.topKQ(index, q, N * 2, doubleMode = true)
+        .as[(Long, Double)].collect().toSeq.sorted
+      val viaAll = Searcher.scoredMatches(index, q, doubleMode = true)
+        .as[(Long, Double)].collect().toSeq.sorted
+      assert(viaAll == viaTopK, s"query [$q]: all=${viaAll.size} topk=${viaTopK.size}")
+    }
+  }
+
   test("MoreLikeThis: thresholds, tf*idf ranking, and search == oracle") {
     import graft.exec.MoreLikeThis
     import graft.query.TermQ
