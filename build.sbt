@@ -28,8 +28,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // batch-throughput GC: the index build is allocation-heavy; ParallelGC
-  // sustains ~2x the allocation rate of G1 here and local[32] needs it
-  "-XX:+UseParallelGC",
+  // G1 with a pause target for the DRIVER/serving JVM: the catalog and
+  // latency phases are pause-sensitive, and measured ParallelGC runs
+  // showed 2-3 s stop-the-world pauses landing on random query rows
+  // (34 pauses / 10.1 s total over one catalog pass vs G1's 71 / 1.0 s,
+  // max 33 ms; catalog median sum 41.4 s -> 35.0 s). The scaling-phase
+  // child JVMs (IndexBenchChild) keep their own ParallelGC flags — bulk
+  // index-build throughput stays on the batch collector, like a real
+  // deployment that runs executors and driver with different GCs.
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=100",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

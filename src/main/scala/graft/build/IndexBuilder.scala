@@ -807,6 +807,15 @@ object IndexBuilder {
     * max(remaining)+1 alone), so a released snapshot's id is never
     * reissued — a stale snapId held by a reader fails to open rather
     * than silently resolving to a DIFFERENT point-in-time state.
+    *
+    * SINGLE-WRITER assumption (same as the build/merge/commit path as a
+    * whole): the counter update is a read-modify-write, so the
+    * never-reissued guarantee holds for one sequential snapshotter —
+    * concurrent snapshotters could read the same counter value and
+    * allocate the same id. A multi-writer deployment must serialize
+    * snapshot creation externally (or allocate by atomic commit-dir
+    * create + retry), exactly like the reference's single IndexWriter
+    * lock discipline.
     */
   def commitSnapshot(dir: String): Int = {
     val manifests = listManifests(dir)

@@ -76,6 +76,13 @@ object IndexFs {
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
       fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // the tmp was created through the (possibly checksummed) FileSystem
+      // but renamed through FileContext's raw fs, which does not move crc
+      // sidecars: drop the now-orphaned tmp sidecar, and any stale
+      // destination sidecar left by a fallback-branch write of an earlier
+      // version — a checksummed read against the old crc would throw
+      fs.delete(new Path(tmp.getParent, "." + tmp.getName + ".crc"), false)
+      fs.delete(new Path(p.getParent, "." + p.getName + ".crc"), false)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
         fs.delete(p, false)

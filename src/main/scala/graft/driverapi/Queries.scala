@@ -1795,8 +1795,20 @@ object Queries {
     * All-integer arithmetic, so the DuckDB oracle (`simhash60Sql`) matches
     * bit-for-bit: h = first 15 md5 hex chars = top 60 bits of the first 8
     * digest bytes.
+    *
+    * Persisted per (session, dir) like [[minhashBands]]: the fingerprint
+    * entry and BOTH legs of the pair entry's band self-join read it, so
+    * the tokenize+hash pass runs once, not three times (lineage is
+    * deterministic — caching cannot change results). Warmed by the
+    * `simhash60` prep step.
     */
-  private def simhash60(spark: SparkSession, dir: String): DataFrame = {
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def simhash60(spark: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$dir", {
+      simhash600(spark, dir).persist()
+    })
+
+  private def simhash600(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Corpus.docTokens(spark, dir)
       .select($"doc_id", $"ts").as[(Long, Seq[String])]
@@ -3415,6 +3427,7 @@ object Queries {
       step("idx_denorm") { force(Corpus.getGermanNorm(spark, dir)) },
       step("doc_tokens") { Corpus.docTokens(spark, dir).count() },
       step("minhash_bands") { minhashBands(spark, dir).count() },
+      step("simhash60") { simhash60(spark, dir).count() },
       step("ivf_train") { ivfTrained(spark, dir)._2.count() },
       step("nb_model") { nbModel(spark, dir)._1.count() },
       step("infix_grams") { Corpus.getInfixGrams(spark, dir).count() },

@@ -315,12 +315,19 @@ object Suggest {
       .select($"suggestion", (floor($"s" * 10000d + 0.5d) / 10000d).as("score"))
     val backoff = unigramTop match {
       case Some(top) =>
-        val f = bigram.count()
-        if (k + f <= top.count())
-          top.orderBy(desc("score"), asc("suggestion")).limit((k + f).toInt)
-            .join(bigram.select($"suggestion"), Seq("suggestion"), "left_anti")
-            .select($"suggestion", $"score")
-        else backoffFull()
+        // anti-join the WHOLE bounded artifact against the observed
+        // followers, then take k: the artifact is ordered by the exact
+        // backoff sort key, so the top-k of (artifact \ followers) IS
+        // the dictionary's backoff top-k whenever >= k rows survive —
+        // checked directly on the materialized candidate (one job)
+        // instead of the old two counting jobs (follower count + artifact
+        // count) that guarded the k+F <= |artifact| horizon conservatively
+        val cand = top
+          .join(bigram.select($"suggestion"), Seq("suggestion"), "left_anti")
+          .orderBy(desc("score"), asc("suggestion")).limit(k)
+          .select($"suggestion", $"score")
+          .localCheckpoint()
+        if (cand.count() >= k) cand else backoffFull()
       case None => backoffFull()
     }
     bg.unionByName(backoff)
